@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Portable, VectorFunctions}
+import graft.functions.Portable.{Spark => SparkD, Duck => DuckD}
+
+/** Deduplication tier for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): every method avoids the naive O(n²) all-pairs
+  * comparison — exact dedup is one hash-shuffle; MinHash/LSH compares only
+  * within LSH band buckets; n-gram Jaccard only joins docs sharing a shingle;
+  * embedding near-dup goes through hyperplane buckets (see Similarity).
+  * Signature computation is per-row column arithmetic (no shuffle at all)
+  * built from the Portable fragments so the DuckDB oracle evaluates the
+  * identical hashes.
+  */
+object Dedup {
+
+  // 16 minhashes in 2 bands of 8 ⇒ candidate threshold ≈ (1/b)^(1/r) ≈ 0.92
+  // Jaccard. The synthetic corpus draws from a tiny vocabulary, so random
+  // doc pairs already sit at J≈0.5-0.7; wide bands (4×4, threshold ≈0.7)
+  // would flag ~30% of ALL pairs as candidates. Narrow bands keep the
+  // candidate set proportional to the true near-dup population — the
+  // property that makes LSH linear-ish at 100 TB.
+  val NumHashes = 16
+  val Bands = 2
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Exact duplicate groups by content hash: md5(text) → group. One shuffle;
+    * at 100 TB this is the standard first pass (hash is 16 bytes/doc, the
+    * groupBy shuffles digests not documents). */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min("doc_id").as("keep_id"), count("*").as("n"))
+
+  /** MinHash signature matrix: doc_id, mh0..mh{NumHashes-1}. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withH = docs.withColumn("hs",
+      expr(Portable.tokenHashes(SparkD, textCol, distinctTokens = true)))
+    val sigs = (0 until NumHashes).map(j =>
+      expr(Portable.minhash(SparkD, "hs", j)).as(s"mh$j"))
+    withH.select((col("doc_id") +: sigs): _*)
+  }
+
+  /** LSH banding: one row per (doc, band) with the band's concatenated
+    * signature — the bucket key. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      struct(lit(b).as("band"), expr(Portable.bandKey(cols)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing at least one LSH bucket.
+    * The self-join shuffles on (band, bkey) — each bucket is tiny, so the
+    * join is local within buckets; no all-pairs blowup. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs, textCol))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash per document (term-frequency weighted majority vote). */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withH = docs.withColumn("hs",
+      expr(Portable.tokenHashes(SparkD, textCol, distinctTokens = false)))
+    val bitSums = (0 until 32).map(b =>
+      expr(Portable.simhashBitSum(SparkD, "hs", b)).as(s"bs$b"))
+    withH.select((col("doc_id") +: bitSums): _*)
+      .select(col("doc_id"),
+        expr(Portable.simhashFromBitSums((0 until 32).map(b => s"bs$b"))).as("simhash"))
+  }
+
+  // ---------------------------------------------------------- n-gram Jaccard
+
+  /** Token n-gram shingles (n=3), Spark dialect. Guarded so docs shorter than
+    * n yield an empty array (Spark's `sequence(1, 0)` would count DOWN). */
+  def shingleExprSpark(toksCol: String): String =
+    s"""CASE WHEN size($toksCol) < 3 THEN array()
+       | ELSE transform(sequence(1, size($toksCol) - 2),
+       |   i -> concat_ws(' ', element_at($toksCol, i),
+       |     element_at($toksCol, i + 1), element_at($toksCol, i + 2)))
+       | END""".stripMargin
+
+  /** Same shingles in DuckDB (range() end-exclusive, empty when end <= start). */
+  def shingleExprDuck(toksCol: String): String =
+    s"list_transform(range(1, greatest(length($toksCol) - 1, 1)), " +
+      s"i -> concat_ws(' ', $toksCol[i], $toksCol[i + 1], $toksCol[i + 2]))"
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def shingles(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("toks", expr(Portable.tokens(SparkD, textCol)))
+      .select(col("doc_id"), explode(expr(shingleExprSpark("toks"))).as("sh"))
+      .distinct()
+
+  /** Near-dup pairs by 3-gram Jaccard ≥ threshold. Inverted-index join: only
+    * docs sharing a shingle are ever compared. Jaccard is computed on exact
+    * distinct-shingle counts and rounded before thresholding so the oracle
+    * can't disagree at the boundary. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, textCol)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("nsh"))
+    val shared = sh.as("l")
+      .join(sh.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count("*").as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("nsh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("nsh", "nb"), "b")
+      .select(col("a"), col("b"),
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap
+    * the left side; the unbounded scale path is Similarity.lshTopK).
+    * Norms are computed once per vector BEFORE the pair join — the join then
+    * evaluates a single dot product per pair (cosine = dot/(na*nb), the same
+    * composition the oracle uses), ~3× less work than naive cosine(a,b). */
+  def embeddingNearDupPairs(emb: DataFrame, maxProbeId: Long,
+                            threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      VectorFunctions.asDouble(col("embedding")).as("v"))
+    val l = e.where(col("vec_id") < maxProbeId)
+      .select(col("vec_id").as("a"), col("v").as("va"),
+        VectorFunctions.norm(col("v")).as("na"))
+    val r = e.select(col("vec_id").as("b"), col("v").as("vb"),
+      VectorFunctions.norm(col("v")).as("nb"))
+    broadcast(l).join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

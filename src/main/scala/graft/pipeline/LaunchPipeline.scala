@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's full pipeline surface re-expressed Spark-first
+  * (SURVEY.md §3): three zones (raw / processed / reports) over a filesystem
+  * layout identical to the reference's MinIO bucket layout
+  * (`raw/launch/{date}.json`, `processed/launch/net=.../`,
+  * `reports/launch/net=.../` — dags/rocket_launch_etl.py:51,105-111,134-140),
+  * a per-day incremental unit of processing, and a catalog table + daily
+  * distinct-count serving query (src/sql/ddl/launch_events.sql,
+  * src/sql/query/daily_launch_events.sql).
+  *
+  * Every transform stage is a pure `DataFrame => DataFrame` so it is equally
+  * usable under batch or `foreachBatch` streaming (SURVEY.md §2.9 seam).
+  */
+object LaunchPipeline {
+
+  /** Zone layout rooted at a base dir (stand-in for `s3://datalake`). */
+  final case class Zones(base: String) {
+    def raw(date: LocalDate): String = s"$base/raw/launch/$date.json"
+    val processed: String = s"$base/processed/launch"
+    val reports: String = s"$base/reports/launch"
+  }
+
+  // ---------------------------------------------------------------- ingest
+
+  /** A page fetch: given (startDate, endDateExclusive, offset) return the
+    * JSON body of one LL2 `mode=list` page. Injectable for tests; the
+    * production implementation is an `java.net.http.HttpClient` GET of
+    * `.../launches/?net__gte=$start&net__lt=$end&mode=list&limit=100&offset=$o`
+    * — the half-open range predicate pushed to the source exactly as the
+    * reference builds it (dags/rocket_launch_etl.py:36-41).
+    */
+  type PageFetcher = (LocalDate, LocalDate, Int) => String
+
+  /** Driver-side HTTP fetch (C1). Unlike the reference — which lands only the
+    * first page and silently drops the rest (it never follows `next`,
+    * dags/rocket_launch_etl.py:84) — we loop pages until `next` is null,
+    * concatenating `results`. Pagination detection is a cheap regex probe of
+    * the envelope's `"next"` field; the full parse happens once, in Spark.
+    */
+  def fetchAllPages(fetch: PageFetcher, start: LocalDate, end: LocalDate,
+                    pageSize: Int = 100, maxPages: Int = 1000): Seq[String] = {
+    val pages = Seq.newBuilder[String]
+    var offset = 0
+    var more = true
+    var n = 0
+    while (more && n < maxPages) {
+      val body = fetch(start, end, offset)
+      pages += body
+      more = hasNext(body)
+      offset += pageSize
+      n += 1
+    }
+    pages.result()
+  }
+
+  private val nextNonNull = """"next"\s*:\s*"[^"]""".r
+  private[pipeline] def hasNext(body: String): Boolean =
+    nextNonNull.findFirstIn(body).isDefined
+
+  /** Raw-zone landing with the reference's at-most-once semantics
+    * (dags/rocket_launch_etl.py:53-63: `load_string` guarded by a key-exists
+    * check). Returns true if written, false if the key already existed.
+    */
+  def putRaw(zones: Zones, date: LocalDate, body: String): Boolean = {
+    val p: Path = Paths.get(zones.raw(date))
+    Files.createDirectories(p.getParent)
+    try {
+      Files.write(p, body.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  /** Entry point A (SURVEY.md §3.1): fetch one day's launches, land raw. */
+  def ingest(zones: Zones, runDate: LocalDate, fetch: PageFetcher): Boolean = {
+    val pages = fetchAllPages(fetch, runDate, runDate.plusDays(1))
+    // Land page bodies as a JSON-lines document (one envelope per line);
+    // the reader uses Ll2.schema either way.
+    putRaw(zones, runDate, pages.mkString("\n"))
+  }
+
+  // ------------------------------------------------------------- transform
+
+  /** C2: schema-pinned scan of one raw document. Each line is one envelope
+    * (a single-page landing is byte-identical to the reference's layout). */
+  def readRaw(spark: SparkSession, zones: Zones, runDate: LocalDate): DataFrame =
+    spark.read.schema(Ll2.schema).json(zones.raw(runDate))
+
+  /** C10–C12: explode the `results` array, flatten the nested structs,
+    * project/rename to the 7 public columns, cast ISO-8601 `net` to DATE.
+    * Mirrors dags/rocket_launch_etl.py:84-102 (json_normalize + column
+    * selection + to_datetime().dt.date) as a single Project over a Generate —
+    * Catalyst prunes the unread payload fields out of the scan.
+    */
+  def launchEvents(raw: DataFrame): DataFrame =
+    raw.select(explode(col("results")).as("r"))
+      .select(
+        col("r.id").as("id"),
+        col("r.url").as("url"),
+        col("r.name").as("name"),
+        col("r.status.name").as("status"),
+        col("r.image.image_url").as("image_url"),
+        col("r.image.license.name").as("license"),
+        to_date(to_timestamp(col("r.net"))).as("net"))
+
+  /** Entry point B (SURVEY.md §3.2): raw → processed, hive-partitioned by
+    * `net`. Dynamic partition overwrite replaces only the partitions present
+    * in this run's data — the idempotent-rerun fix for the reference's
+    * pyarrow append (C6, SURVEY.md §2.2).
+    */
+  def transform(spark: SparkSession, zones: Zones, runDate: LocalDate): Unit =
+    launchEvents(readRaw(spark, zones, runDate))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("net")
+      .parquet(zones.processed)
+
+  // --------------------------------------------------------------- publish
+
+  /** Entry point sign-off (C3+C7): partition-pruned read of exactly the run
+    * date's partition (dags/rocket_launch_etl.py:127-131), promoted to the
+    * reports zone (:134-140). The `net === runDate` predicate is a partition
+    * filter — Catalyst plans a single-directory scan, no data filter.
+    */
+  def publish(spark: SparkSession, zones: Zones, runDate: LocalDate): Unit =
+    spark.read.parquet(zones.processed)
+      .where(col("net") === lit(java.sql.Date.valueOf(runDate)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("net")
+      .parquet(zones.reports)
+
+  // --------------------------------------------------------------- serving
+
+  /** C8: external table over the reports zone (src/sql/ddl/launch_events.sql)
+    * + C9: partition discovery (src/sql/sync/launch_events.sql →
+    * `sync_partition_metadata`, Spark-side `recoverPartitions`).
+    */
+  def registerTable(spark: SparkSession, zones: Zones,
+                    table: String = "launch_events"): Unit = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table
+         |  (id STRING, url STRING, name STRING, status STRING,
+         |   image_url STRING, license STRING, net DATE)
+         |USING PARQUET
+         |PARTITIONED BY (net)
+         |LOCATION '${zones.reports}'""".stripMargin)
+    spark.catalog.recoverPartitions(table)
+  }
+
+  /** C13: the reference's one analytical query
+    * (src/sql/query/daily_launch_events.sql:1-5) — events per day,
+    * deduplicated by id. Plans as partial/final HashAggregate with a distinct
+    * expansion; partition-pruned when filtered by `net`.
+    */
+  def dailyCounts(spark: SparkSession, table: String = "launch_events"): DataFrame =
+    spark.sql(
+      s"""SELECT net, COUNT(DISTINCT id) AS event_count
+         |FROM $table GROUP BY net ORDER BY net""".stripMargin)
+
+  /** Full per-day run: ingest → transform → publish (Airflow chain
+    * dags/rocket_launch_etl.py:164 collapsed to a sequential driver). */
+  def run(spark: SparkSession, zones: Zones, runDate: LocalDate,
+          fetch: PageFetcher): Unit = {
+    ingest(zones, runDate, fetch)
+    transform(spark, zones, runDate)
+    publish(spark, zones, runDate)
+  }
+}

@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Portable, TextAnalysis, VectorFunctions => V}
+import graft.functions.Portable.{Spark => SparkD, Duck => DuckD}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+import graft.sources.Tables
+
+/** The declared query set (SURVEY.md §2.12 Q1–Q16 + the extended
+  * training-data-pipeline tier), each as a Spark DataFrame program plus the
+  * equivalent DuckDB oracle SQL.
+  *
+  * Determinism contract (SURVEY.md §7 risk register): every query is totally
+  * ordered; doubles that result from arithmetic are `round(,4)` (money sums
+  * go through DECIMAL(18,2) before the final cast to double); raw doubles
+  * pass through both engines bit-identically; no raw timestamps are emitted
+  * (testdata `events.ts` is ns-precision, Spark reads µs); shared hash
+  * arithmetic comes from [[Portable]] so both engines evaluate identical
+  * integers. Column names are aliased identically on both sides.
+  */
+object Catalog {
+
+  final case class Q(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = true)
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ------------------------------------------------------------------ core
+
+  /** Q1 — C10/C11 projection + rename (reference transform's column surface,
+    * dags/rocket_launch_etl.py:87-99). */
+  val q01 = Q("q01_project_rename",
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
+        col("l_returnflag").as("rflag"), col("l_linenumber"))
+      .orderBy(col("okey"), col("pkey"), col("l_linenumber"))
+      .select("okey", "pkey", "rflag"),
+    Some("""SELECT l_orderkey AS okey, l_partkey AS pkey, l_returnflag AS rflag
+           |FROM lineitem ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin))
+
+  /** Q2 — C12 timestamp→date cast (dags/rocket_launch_etl.py:102). */
+  val q02 = Q("q02_cast_date",
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"), to_date(col("ts")).as("d"))
+      .orderBy("event_id"),
+    Some("SELECT event_id, CAST(ts AS DATE) AS d FROM events ORDER BY event_id"))
+
+  /** Q3 — C3 equality date filter (partition-filter analog,
+    * dags/rocket_launch_etl.py:129). */
+  val q03 = Q("q03_eq_filter",
+    (s, d) => t(s, d, "events")
+      .where(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-02")))
+      .select("event_id", "user_id").orderBy("event_id"),
+    Some("""SELECT event_id, user_id FROM events
+           |WHERE CAST(ts AS DATE) = DATE '2024-01-02' ORDER BY event_id""".stripMargin))
+
+  /** Q4 — C1′ half-open interval range predicate
+    * (dags/rocket_launch_etl.py:37-41). */
+  val q04 = Q("q04_range_filter",
+    (s, d) => t(s, d, "events")
+      .where(expr("ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'"))
+      .select("event_id").orderBy("event_id"),
+    Some("""SELECT event_id FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-03 00:00:00' ORDER BY event_id""".stripMargin))
+
+  /** Q5 — C13 grouped distinct count, the reference's one analytical query
+    * (src/sql/query/daily_launch_events.sql:1-5). */
+  val q05 = Q("q05_daily_distinct",
+    (s, d) => t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("event_count"))
+      .orderBy("d"),
+    Some("""SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS event_count
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q6 — E6 JSON extraction (generalizes the raw-zone JSON shape, C10). */
+  val q06 = Q("q06_json_extract",
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Q7 — plain grouped count. */
+  val q07 = Q("q07_group_count",
+    (s, d) => t(s, d, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type"),
+    Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"))
+
+  /** Q8 — C6/C7 partitioned write→read round trip, run twice to prove
+    * dynamic-partition-overwrite idempotence (the reference's append-on-rerun
+    * fixed, SURVEY.md §2.2 C6). */
+  val q08 = Q("q08_roundtrip",
+    (s, d) => {
+      val day = "2024-01-02"
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q08_${math.abs(d.hashCode)}"
+      val part = t(s, d, "events")
+        .withColumn("dt", to_date(col("ts")))
+        .where(col("dt") === lit(java.sql.Date.valueOf(day)))
+      (1 to 2).foreach { _ =>   // twice: idempotent partition overwrite
+        part.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("dt").parquet(out)
+      }
+      s.read.parquet(out)
+        .where(col("dt") === lit(java.sql.Date.valueOf(day)))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(lit(java.sql.Date.valueOf(day)).as("d"), col("n"), col("n_users"))
+    },
+    Some("""SELECT DATE '2024-01-02' AS d, COUNT(*) AS n,
+           |  COUNT(DISTINCT user_id) AS n_users
+           |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin),
+    bench = false)
+
+  /** Q9 — E1 equi join + agg. Customer is a dim → broadcast; the money sum
+    * goes through DECIMAL so both engines sum exactly, then one cast. */
+  val q09 = Q("q09_join_agg",
+    (s, d) => t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q10 — E2 anti join (customers with no orders). */
+  val q10 = Q("q10_anti_join",
+    (s, d) => Relational.antiJoinKeys(
+        t(s, d, "customer"), t(s, d, "orders"), "c_custkey", "o_custkey")
+      .select("c_custkey").orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Q11 — E3 dedup-keep-latest. ts is ordered at µs on both sides (DuckDB
+    * casts its ns read down) with event_id as the total tie-break. */
+  val q11 = Q("q11_latest_per_user",
+    (s, d) => Relational.dedupKeepLatest(t(s, d, "events"),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id"),
+    Some("""SELECT user_id, event_id, event_type, value FROM (
+           |  SELECT user_id, event_id, event_type, value, row_number() OVER (
+           |    PARTITION BY user_id
+           |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           |  FROM events) t
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** Q12 — E8 exact dedup cardinality. */
+  val q12 = Q("q12_distinct_count",
+    (s, d) => t(s, d, "documents").agg(countDistinct(col("text")).as("n")),
+    Some("SELECT COUNT(DISTINCT text) AS n FROM documents"))
+
+  /** Q13 — E5 tokenize/explode/top-20 terms. */
+  val q13 = Q("q13_top_tokens",
+    (s, d) => t(s, d, "documents")
+      .select(explode(expr(Portable.tokens(SparkD, "text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20),
+    Some("""SELECT token, COUNT(*) AS n FROM (
+           |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+           |  FROM documents) u
+           |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin))
+
+  /** Q14 — E7 exact cosine top-k against vec_id=0 (broadcast query row). */
+  val q14 = Q("q14_cosine_topk",
+    (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), 0L, 10),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+            |q AS (SELECT v, nrm FROM e WHERE vec_id = 0)
+            |SELECT e.vec_id,
+            |  round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) AS cos
+            |FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Q15 — E10 set op (EXCEPT = distinct semantics in both engines). */
+  val q15 = Q("q15_set_except",
+    (s, d) => t(s, d, "events").where(col("event_type") === "purchase")
+      .select("user_id")
+      .except(t(s, d, "events").where(col("event_type") === "error")
+        .select("user_id"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+           |EXCEPT
+           |SELECT user_id FROM events WHERE event_type = 'error'
+           |ORDER BY user_id""".stripMargin))
+
+  /** Q16 — E1+E3 join + ranking window: top-2 customers per nation. */
+  val q16 = Q("q16_join_window",
+    (s, d) => Relational.topKPerGroup(
+        t(s, d, "customer").join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey")),
+        Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey")), 2)
+      .select("n_name", "rn", "c_custkey", "c_acctbal")
+      .orderBy("n_name", "rn"),
+    Some("""SELECT n_name, rn, c_custkey, c_acctbal FROM (
+           |  SELECT n.n_name, c.c_custkey, c.c_acctbal, row_number() OVER (
+           |    PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+           |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) t
+           |WHERE rn <= 2 ORDER BY n_name, rn""".stripMargin))
+
+  // -------------------------------------------------- extended: dedup tier
+
+  /** E8 exact duplicate groups by md5 content hash. */
+  val x17 = Q("x17_dedup_exact",
+    (s, d) => Dedup.exactGroups(t(s, d, "documents")).orderBy("h"),
+    Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private def duckMinhashSql: String = {
+    val sig = (0 until Dedup.NumHashes)
+      .map(j => s"${Portable.minhash(DuckD, "hs", j)} AS mh$j").mkString(",\n  ")
+    val bands = (0 until Dedup.Bands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand).map(r => s"mh${b * Dedup.RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, ${Portable.bandKey(cols)} AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH h AS (SELECT doc_id,
+       |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = true)} AS hs
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |  $sig
+       |  FROM h),
+       |bands AS (
+       |$bands
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** E8 MinHash+LSH candidate pairs (16 hashes, 4 bands × 4). */
+  val x18 = Q("x18_dedup_minhash",
+    (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"))
+      .orderBy("a", "b"),
+    Some(duckMinhashSql))
+
+  private def duckSimhashSql: String = {
+    val bs = (0 until 32)
+      .map(b => s"${Portable.simhashBitSum(DuckD, "hs", b)} AS bs$b").mkString(",\n  ")
+    s"""WITH h AS (SELECT doc_id,
+       |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
+       |  FROM documents),
+       |bs AS (SELECT doc_id,
+       |  $bs
+       |  FROM h)
+       |SELECT doc_id,
+       |  ${Portable.simhashFromBitSums((0 until 32).map(b => s"bs$b"))} AS simhash
+       |FROM bs ORDER BY doc_id""".stripMargin
+  }
+
+  /** E8 32-bit SimHash signatures. */
+  val x19 = Q("x19_dedup_simhash",
+    (s, d) => Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id"),
+    Some(duckSimhashSql))
+
+  /** E8 n-gram (3-token shingle) Jaccard near-dup pairs, inverted-index join.
+    * Threshold 0.8 — the synthetic corpus has a handful of ≥0.98 pairs. */
+  val x20 = Q("x20_dedup_ngram",
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.8)
+      .orderBy("a", "b"),
+    Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |sh0 AS (SELECT doc_id, unnest(${Dedup.shingleExprDuck("toks")}) AS sh
+            |  FROM t0),
+            |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+            |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+            |shared AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS shared
+            |  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT a, b, jaccard FROM (
+            |  SELECT s.a, s.b,
+            |    round(s.shared / (sa.nsh + sb.nsh - s.shared), 4) AS jaccard
+            |  FROM shared s
+            |  JOIN sizes sa ON s.a = sa.doc_id
+            |  JOIN sizes sb ON s.b = sb.doc_id) j
+            |WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin))
+
+  /** E7/E8 embedding-cosine near-dup pairs (probe set vec_id<500; the
+    * synthetic corpus peaks around cos≈0.5, so threshold 0.4). */
+  val x21 = Q("x21_dedup_embedding",
+    (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 500L, 0.4)
+      .orderBy("a", "b"),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)
+           |SELECT a, b, cos FROM (
+           |  SELECT l.vec_id AS a, r.vec_id AS b,
+           |    round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 4) AS cos
+           |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+           |  WHERE l.vec_id < 500) p
+           |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin))
+
+  /** E7 LSH-bucketed ANN: top-3 neighbors for each query vec_id<5, compared
+    * only within hyperplane sign buckets. */
+  val x22 = Q("x22_sim_lsh",
+    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3)
+      .orderBy("qid", "rn"),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |b AS (SELECT vec_id, v, ${Similarity.duckBucket("v")} AS bucket,
+            |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+            |scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+            |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+            |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            |  WHERE q.vec_id < 5),
+            |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
+            |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored)
+            |SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= 3
+            |ORDER BY qid, rn""".stripMargin))
+
+  // --------------------------------------------------- extended: text tier
+
+  /** Language-ID by stopword-profile argmax. */
+  val x23 = Q("x23_text_langid",
+    (s, d) => TextAnalysis.languageId(t(s, d, "documents")).orderBy("doc_id"),
+    Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |c AS (SELECT doc_id,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "en")} AS en_hits,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "de")} AS de_hits,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "fr")} AS fr_hits,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "es")} AS es_hits
+            |  FROM t0)
+            |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+            |  ${TextAnalysis.langPick("en_hits", "de_hits", "fr_hits", "es_hits")} AS lang_pred
+            |FROM c ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: length/stopword-density features + logistic score. */
+  val x24 = Q("x24_text_quality",
+    (s, d) => TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id"),
+    Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |c AS (SELECT doc_id,
+            |  CAST(length(toks) AS BIGINT) AS n_tokens,
+            |  ${TextAnalysis.tokenChars(DuckD, "toks")} AS tok_chars,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "en")} AS en_hits
+            |  FROM t0)
+            |SELECT doc_id, n_tokens,
+            |  round(CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+            |    AS avg_token_len,
+            |  round(CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+            |    AS stopword_ratio,
+            |  ${TextAnalysis.qualityScore("n_tokens", "en_hits")} AS quality
+            |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin))
+
+  /** Token counting: whitespace + regex ("BPE-ish") tokenizers. */
+  val x25 = Q("x25_text_tokencount",
+    (s, d) => TextAnalysis.tokenCounts(t(s, d, "documents")).orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+            |  CAST(length(${Portable.tokens(DuckD, "text")}) AS BIGINT) AS ws_tokens,
+            |  CAST(${TextAnalysis.regexTokens(DuckD, "text")} AS BIGINT) AS re_tokens,
+            |  CAST(length(text) AS BIGINT) AS n_chars
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Order-sensitive rolling-hash document fingerprint. */
+  val x26 = Q("x26_text_fingerprint",
+    (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id"),
+    Some(s"""WITH h AS (SELECT doc_id,
+            |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
+            |  FROM documents)
+            |SELECT doc_id, ${Portable.fingerprint(DuckD, "hs")} AS fp
+            |FROM h ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------------- extended: multimodal tier
+
+  /** Binary-column plumbing: documents → fake binary assets → stub decode. */
+  val x27 = Q("x27_multimodal_decode",
+    (s, d) => Multimodal.decodeColumns(
+        Multimodal.assetsFromDocuments(t(s, d, "documents")))
+      .orderBy("asset_id"),
+    Some("""SELECT doc_id AS asset_id, 'image' AS kind,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           |  64 + (ascii(substr(md5(text), 1, 1)) * 256 +
+           |        ascii(substr(md5(text), 2, 1))) % 448 AS width,
+           |  64 + (ascii(substr(md5(text), 3, 1)) * 256 +
+           |        ascii(substr(md5(text), 4, 1))) % 448 AS height
+           |FROM documents ORDER BY asset_id""".stripMargin))
+
+  /** E9 approximate distinct (plausibility-checked only — HLL sketches are
+    * engine-specific, so no hash oracle by design). */
+  val x28 = Q("x28_approx_distinct",
+    (s, d) => t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("d"),
+    None)
+
+  // ------------------------------------------------------------- assembly
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q13, q14, q15, q16,
+    x17, x18, x19, x20, x21, x22,
+    x23, x24, x25, x26, x27, x28)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Catalog
+
+/** t1 smoke (SURVEY.md §5): every declared query runs at sf0.001 and its
+  * output schema has the exact column names the oracle will compare on. */
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  val expectedCols: Map[String, Seq[String]] = Map(
+    "q01_project_rename" -> Seq("okey", "pkey", "rflag"),
+    "q02_cast_date" -> Seq("event_id", "d"),
+    "q03_eq_filter" -> Seq("event_id", "user_id"),
+    "q04_range_filter" -> Seq("event_id"),
+    "q05_daily_distinct" -> Seq("d", "event_count"),
+    "q06_json_extract" -> Seq("event_id", "k"),
+    "q07_group_count" -> Seq("event_type", "n"),
+    "q08_roundtrip" -> Seq("d", "n", "n_users"),
+    "q09_join_agg" -> Seq("c_mktsegment", "rev"),
+    "q10_anti_join" -> Seq("c_custkey"),
+    "q11_latest_per_user" -> Seq("user_id", "event_id", "event_type", "value"),
+    "q12_distinct_count" -> Seq("n"),
+    "q13_top_tokens" -> Seq("token", "n"),
+    "q14_cosine_topk" -> Seq("vec_id", "cos"),
+    "q15_set_except" -> Seq("user_id"),
+    "q16_join_window" -> Seq("n_name", "rn", "c_custkey", "c_acctbal"),
+    "x17_dedup_exact" -> Seq("h", "keep_id", "n"),
+    "x18_dedup_minhash" -> Seq("a", "b"),
+    "x19_dedup_simhash" -> Seq("doc_id", "simhash"),
+    "x20_dedup_ngram" -> Seq("a", "b", "jaccard"),
+    "x21_dedup_embedding" -> Seq("a", "b", "cos"),
+    "x22_sim_lsh" -> Seq("qid", "rn", "vec_id", "cos"),
+    "x23_text_langid" -> Seq("doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "lang_pred"),
+    "x24_text_quality" -> Seq("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality"),
+    "x25_text_tokencount" -> Seq("doc_id", "ws_tokens", "re_tokens", "n_chars"),
+    "x26_text_fingerprint" -> Seq("doc_id", "fp"),
+    "x27_multimodal_decode" -> Seq("asset_id", "kind", "byte_len", "width", "height"),
+    "x28_approx_distinct" -> Seq("d", "approx_users"))
+
+  test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
+    assert(Catalog.queries.keySet == expectedCols.keySet)
+    assert(Catalog.oracleSql.keySet == expectedCols.keySet - "x28_approx_distinct")
+  }
+
+  for ((name, cols) <- expectedCols.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001 with oracle-matching column names") {
+      val df = Catalog.queries(name)(spark, sf0001)
+      assert(df.columns.toSeq == cols)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{LaunchPipeline => LP}
+
+/** Golden-oracle port of the reference's correctness mechanism (SURVEY.md §5):
+  * fixture A1 (FIXTURES.md) through the full pipeline must reproduce the
+  * expected `launch_events` rows and the daily-count query result.
+  */
+class LaunchPipelineSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val day: LocalDate = LocalDate.parse("2024-12-01")
+
+  /** FIXTURES.md A1: 2 launches, one with a null image subtree. */
+  val fixtureA1: String =
+    """{"count": 2, "next": null, "previous": null, "results": [
+      | {"id": "a1b2", "url": "https://x/1", "name": "Falcon 9 | Demo",
+      |  "status": {"name": "Launch Successful", "abbrev": "Success"},
+      |  "image": {"image_url": "https://img/1.png", "license": {"name": "CC BY 4.0"}},
+      |  "net": "2024-12-01T13:05:00Z", "last_updated": "2024-12-01T14:00:00Z"},
+      | {"id": "c3d4", "url": "https://x/2", "name": "Soyuz | Resupply",
+      |  "status": {"name": "Go for Launch", "abbrev": "Go"},
+      |  "image": null,
+      |  "net": "2024-12-01T22:45:00Z", "last_updated": "2024-12-01T23:00:00Z"}
+      |]}""".stripMargin.replaceAll("\n", " ")
+
+  def freshZones(): LP.Zones =
+    LP.Zones(Files.createTempDirectory("graft_lp").toString)
+
+  test("raw landing is at-most-once (C5 semantics)") {
+    val z = freshZones()
+    assert(LP.putRaw(z, day, fixtureA1))
+    assert(!LP.putRaw(z, day, """{"count":0,"results":[]}"""))
+    // first write wins — byte-identical to the landed body
+    assert(Files.readString(java.nio.file.Paths.get(z.raw(day))) == fixtureA1)
+  }
+
+  test("transform reproduces the golden rows incl. null propagation (C10-C12)") {
+    val z = freshZones()
+    LP.putRaw(z, day, fixtureA1)
+    val got = LP.launchEvents(LP.readRaw(spark, z, day))
+      .orderBy("id").collect().toSeq
+    val d = java.sql.Date.valueOf("2024-12-01")
+    assert(got == Seq(
+      Row("a1b2", "https://x/1", "Falcon 9 | Demo", "Launch Successful",
+        "https://img/1.png", "CC BY 4.0", d),
+      Row("c3d4", "https://x/2", "Soyuz | Resupply", "Go for Launch",
+        null, null, d)))
+  }
+
+  test("empty results → zero-row partition, no failure") {
+    val z = freshZones()
+    LP.putRaw(z, day, """{"count": 0, "next": null, "previous": null, "results": []}""")
+    assert(LP.launchEvents(LP.readRaw(spark, z, day)).count() == 0)
+  }
+
+  test("re-run is idempotent: dynamic partition overwrite replaces, not appends (C6 fix)") {
+    val z = freshZones()
+    LP.putRaw(z, day, fixtureA1)
+    LP.transform(spark, z, day)
+    LP.transform(spark, z, day) // the reference would duplicate rows here
+    val processed = spark.read.parquet(z.processed)
+    assert(processed.count() == 2)
+    assert(processed.where(col("net") === "2024-12-01").count() == 2)
+  }
+
+  test("publish + catalog + daily-count query reproduce QRY golden result (C7-C9, C13)") {
+    val z = freshZones()
+    val table = s"launch_events_test_${math.abs(z.base.hashCode)}"
+    LP.putRaw(z, day, fixtureA1)
+    LP.transform(spark, z, day)
+    LP.publish(spark, z, day)
+    LP.registerTable(spark, z, table)
+    val got = LP.dailyCounts(spark, table).collect().toSeq
+    assert(got == Seq(Row(java.sql.Date.valueOf("2024-12-01"), 2L)))
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("ingest follows pagination; reference would drop page 2 (C1 fix)") {
+    val page1 =
+      """{"count": 2, "next": "https://api/launches/?offset=1", "previous": null,
+        | "results": [{"id": "p1", "url": "u1", "name": "n1",
+        |   "status": {"name": "s", "abbrev": "s"}, "image": null,
+        |   "net": "2024-12-01T01:00:00Z", "last_updated": "x"}]}"""
+        .stripMargin.replaceAll("\n", " ")
+    val page2 = page1.replace(""""next": "https://api/launches/?offset=1"""", """"next": null""")
+      .replace("p1", "p2")
+    val z = freshZones()
+    var calls = 0
+    val fetch: LP.PageFetcher = (_, _, offset) => {
+      calls += 1
+      if (offset == 0) page1 else page2
+    }
+    assert(LP.ingest(z, day, fetch))
+    assert(calls == 2)
+    val rows = LP.launchEvents(LP.readRaw(spark, z, day))
+    assert(rows.select("id").orderBy("id").collect().map(_.getString(0)).toSeq
+      == Seq("p1", "p2"))
+  }
+}

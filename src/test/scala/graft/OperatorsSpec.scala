@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextAnalysis, VectorFunctions => V}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("dedupKeepLatest keeps exactly the newest row per key") {
+    val df = Seq(
+      (1L, 10L, "old"), (1L, 20L, "new"),
+      (2L, 5L, "only")).toDF("k", "ts", "tag")
+    val got = Relational.dedupKeepLatest(df, Seq("k"), Seq(col("ts").desc))
+      .orderBy("k").select("k", "tag").collect().toSeq
+    assert(got == Seq(Row(1L, "new"), Row(2L, "only")))
+  }
+
+  test("topKPerGroup ranks deterministically with tie-break") {
+    val df = Seq(("a", 3), ("a", 3), ("a", 1), ("b", 9)).toDF("g", "v")
+      .withColumn("id", monotonically_increasing_id())
+    val got = Relational.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id")), 2)
+    assert(got.count() == 3) // 2 from a, 1 from b
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f))).toDF("id", "a", "b")
+    val got = df.select(col("id"), V.cosine4(col("a"), col("b")).as("c"))
+      .orderBy("id").collect().toSeq
+    assert(got == Seq(Row(1L, 1.0), Row(2L, 0.0)))
+  }
+
+  test("exact duplicate texts share md5 group; minhash signatures agree") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 2)
+    assert(groups.find(_.getLong(2) == 2L).get.getLong(1) == 1L) // keep min id
+
+    val sig = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
+    val s1 = sig(0).toSeq.drop(1); val s2 = sig(1).toSeq.drop(1)
+    val s3 = sig(2).toSeq.drop(1)
+    assert(s1 == s2)      // identical docs → identical signature
+    assert(s1 != s3)      // different docs → (whp) different signature
+    // and the LSH pipeline surfaces exactly the duplicate pair
+    val pairs = Dedup.minhashCandidatePairs(docs).collect().toSeq
+    assert(pairs == Seq(Row(1L, 2L)))
+  }
+
+  test("simhash: identical docs equal; hamming-far for disjoint vocab") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sig = Dedup.simhashSignatures(docs).orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    assert(sig(0) == sig(1))
+    assert(java.lang.Long.bitCount(sig(0) ^ sig(2)) > 4)
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                       // near-dup of 1
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8).select("a", "b")
+      .collect().toSeq
+    assert(pairs == Seq(Row(1L, 2L)))
+  }
+
+  test("bruteForceTopK: self is rank 1 with cosine 1.0") {
+    val emb = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1f, 2f, 3f, 4.1f)),
+      (2L, Array(-1f, -2f, -3f, -4f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, 0L, 2).collect()
+    assert(top(0).getLong(0) == 0L && top(0).getDouble(1) == 1.0)
+    assert(top(1).getLong(0) == 1L && top(1).getDouble(1) > 0.999)
+  }
+
+  test("lsh buckets: identical vectors share a bucket, opposite vectors don't") {
+    val emb = Seq(
+      (0L, Array.fill(64)(1f)),
+      (1L, Array.fill(64)(1f)),
+      (2L, Array.fill(64)(-1f))).toDF("vec_id", "embedding")
+    val b = Similarity.withBuckets(emb).select("vec_id", "bucket")
+      .orderBy("vec_id").collect().map(_.getLong(1))
+    assert(b(0) == b(1))
+    assert(b(0) != b(2))
+  }
+
+  test("language id picks the profile language; und for no hits") {
+    val docs = Seq(
+      (1L, "the cat sat of the mat and a dog"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(docs).orderBy("doc_id")
+      .select("lang_pred").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is order-sensitive where minhash is not") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "f e d c b a")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(docs).orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    assert(fp(0) != fp(1))
+    val sig = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
+    assert(sig(0).toSeq.drop(1) == sig(1).toSeq.drop(1)) // same token SET
+  }
+
+  test("multimodal: stub decode emits plausible dims; feature extraction is deterministic") {
+    val docs = Seq((1L, "hello world", "s", "src", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val dec = Multimodal.decodeColumns(assets).collect()(0)
+    assert(dec.getLong(2) == 11L) // byte_len of "hello world"
+    assert(dec.getInt(3) >= 64 && dec.getInt(3) < 512)
+    val f1 = Multimodal.extractFeatures(spark, assets).collect()(0)
+    val f2 = Multimodal.extractFeatures(spark, assets).collect()(0)
+    assert(f1.getSeq[Float](1) == f2.getSeq[Float](1))
+    assert(f1.getSeq[Float](1).length == 4)
+  }
+}

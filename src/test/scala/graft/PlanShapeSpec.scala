@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Catalog
+import graft.sources.Tables
+
+/** Plan-shape guards for the §4 optimizer claims: partition pruning,
+  * parquet filter pushdown, column pruning, and broadcast joins must
+  * actually appear in the physical plan — at 100 TB these are the
+  * difference between reading one partition and reading the lake. */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("partitioned read with date filter prunes partitions (C3)") {
+    val dir = Files.createTempDirectory("graft_prune").toString
+    Tables.events(spark, sf0001)
+      .withColumn("d", to_date(col("ts")))
+      .write.partitionBy("d").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .where(col("d") === lit(java.sql.Date.valueOf("2024-01-02")))
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("(d = 2024-01-02)") || plan.contains("(d#"),
+      s"expected partition filter on d in:\n$plan")
+    // correctness of pruning: filtered read ≡ full read + filter
+    val full = spark.read.parquet(dir)
+      .where(col("d") === lit(java.sql.Date.valueOf("2024-01-02"))).count()
+    assert(pruned.count() == full)
+  }
+
+  test("parquet scan pushes data filters (C1' analog)") {
+    val df = Tables.lineitem(spark, sf0001).where(col("l_orderkey") === 1L)
+      .select("l_orderkey", "l_partkey")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"),
+      s"missing pushed filter in:\n$plan")
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val df = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_partkey")
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      s"expected 2-column ReadSchema in:\n$plan")
+  }
+
+  test("q09 fact⋈dim join broadcasts the dim side (E1)") {
+    val plan = planOf(Catalog.queries("q09_join_agg")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("q05 distinct-count aggregates partially before the shuffle (C13)") {
+    val plan = planOf(Catalog.queries("q05_daily_distinct")(spark, sf0001))
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_count"), s"expected partial aggregation in:\n$plan")
+  }
+
+  test("q16 window ranking does not re-shuffle after the broadcast join (E3)") {
+    val plan = planOf(Catalog.queries("q16_join_window")(spark, sf0001))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected window exec in:\n$plan")
+  }
+}

@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf tables, compare to the Spark parquet dumped by
+graft.Verify (column-name-sorted, row order as returned)."""
+import sys, json, glob, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)])
+fails = []
+for name in names:
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    if name not in oracle:
+        print(f"{name:24s} rows={len(got):6d}  (no oracle: rows-only)")
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:24s} ORACLE SQL ERROR: {str(e)[:200]}")
+        fails.append(name); continue
+    got = got[sorted(got.columns)]; exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        print(f"{name:24s} COLUMN MISMATCH got={list(got.columns)} exp={list(exp.columns)}")
+        fails.append(name); continue
+    if len(got) != len(exp):
+        print(f"{name:24s} ROWCOUNT MISMATCH got={len(got)} exp={len(exp)}")
+        fails.append(name); continue
+    ok = True
+    for c in got.columns:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for i, (g, e) in enumerate(zip(gv, ev)):
+            if g != e and str(g) != str(e):
+                print(f"{name:24s} VALUE MISMATCH col={c} row={i} got={g!r} exp={e!r}")
+                ok = False; break
+        if not ok: break
+    if ok:
+        print(f"{name:24s} OK rows={len(got)}")
+    else:
+        fails.append(name)
+print("\nFAILED:", fails if fails else "none")
+sys.exit(1 if fails else 0)
