@@ -87,9 +87,8 @@ object TextAnalysis {
       expr(regexTokens(SparkD, textCol)).cast("bigint").as("re_tokens"),
       length(col(textCol)).cast("bigint").as("n_chars"))
 
-  /** doc_id, fp — order-sensitive rolling-hash document fingerprint. */
+  /** doc_id, fp — order-sensitive rolling-hash document fingerprint, via the
+    * one-pass [[Fingerprint]] codegen expression. */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("hs",
-        expr(Portable.tokenHashes(SparkD, textCol, distinctTokens = false)))
-      .select(col("doc_id"), expr(Portable.fingerprint(SparkD, "hs")).as("fp"))
+    docs.select(col("doc_id"), TextHashFunctions.fingerprint(col(textCol)).as("fp"))
 }

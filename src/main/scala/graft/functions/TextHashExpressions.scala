@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass tokenizer + hash kernels behind the text-signature expressions.
+  *
+  * These compute EXACTLY the arithmetic defined by [[Portable]] (the same
+  * fragments the DuckDB oracle evaluates): whitespace split on a single
+  * space, empty tokens dropped, token hash = length·1000003 + Σ char·31^i
+  * over the first 8 chars, mod 1e9+7. The HOF formulation spends ~0.7 ms/doc
+  * in `substr`/`ascii` UTF8String allocations; these kernels do one scan of
+  * the string per document.
+  */
+object TokenHasher {
+  val HashP: Long = Portable.HashP
+  val MinhashP: Long = Portable.MinhashP
+  val NumHashes = 16
+
+  private val A: Array[Long] = Array.tabulate(NumHashes)(Portable.minhashA)
+  private val B: Array[Long] = Array.tabulate(NumHashes)(Portable.minhashB)
+
+  /** Portable.tokHash over s[from, until). */
+  @inline private def tokenHash(s: String, from: Int, until: Int): Long = {
+    val len = until - from
+    var h = len.toLong * 1000003L
+    var p = 31L
+    var i = 0
+    val m = if (len < 8) len else 8
+    while (i < m) { h += s.charAt(from + i).toLong * p; p *= 31L; i += 1 }
+    h % HashP
+  }
+
+  @inline private def foreachToken(s: String)(f: (Int, Int) => Unit): Unit = {
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) f(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+  }
+
+  /** MinHash signature (16 values) or null for a token-free document —
+    * matching `array_min(empty) = NULL` in the declarative form.
+    * Dedup is by token HASH, which is minhash-equivalent to dedup by token:
+    * a colliding pair contributes the same candidate minimum either way. */
+  def minhashSigData(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var any = false
+    foreachToken(s) { (from, until) =>
+      any = true
+      val h = tokenHash(s, from, until)
+      if (seen.add(h)) {
+        var j = 0
+        while (j < NumHashes) {
+          val v = (A(j) * h + B(j)) % MinhashP
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+    }
+    if (any) new GenericArrayData(sig) else null
+  }
+
+  /** 32-bit SimHash (term-frequency weighted). Token-free documents get all
+    * bits set — the `coalesce(list_sum, 0) >= 0` convention of the
+    * declarative form. */
+  def simhash(u: UTF8String): Long = {
+    val s = u.toString
+    val counts = new Array[Int](32)
+    foreachToken(s) { (from, until) =>
+      val h = tokenHash(s, from, until)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Rolling polynomial fingerprint; 0 for a token-free document (the fold's
+    * initial accumulator). */
+  def fingerprint(u: UTF8String): Long = {
+    val s = u.toString
+    var acc = 0L
+    foreachToken(s) { (from, until) =>
+      acc = (acc * 31L + tokenHash(s, from, until)) % HashP
+    }
+    acc
+  }
+}
+
+/** Column-facing wrappers for the signature expressions. */
+object TextHashFunctions {
+  import org.apache.spark.sql.{Column, GraftSqlBridge => B}
+  def minhashSig(c: Column): Column = B.column(MinHashSig(B.expression(c)))
+  def simhash(c: Column): Column = B.column(SimHash(B.expression(c)))
+  def fingerprint(c: Column): Column = B.column(Fingerprint(B.expression(c)))
+}
+
+/** Base for the string→signature expressions: codegen emits a single static
+  * call into the kernel, keeping the operator inside WholeStageCodegen. */
+sealed abstract class TextHashExpression extends UnaryExpression {
+  /** Fully-qualified static method on TokenHasher. */
+  protected def kernel: String
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TokenHasher.$kernel($c);")
+}
+
+/** 16-element MinHash signature, null for token-free input. */
+case class MinHashSig(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  protected def kernel: String = "minhashSigData"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.minhashSigData(input.asInstanceOf[UTF8String])
+
+  // the kernel returns null for token-free docs even when the input is
+  // non-null, so null tracking must re-check the produced value
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.TokenHasher.minhashSigData(${c.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash as a long. */
+case class SimHash(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  protected def kernel: String = "simhash"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.simhash(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Order-sensitive rolling-hash fingerprint as a long. */
+case class Fingerprint(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+  protected def kernel: String = "fingerprint"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.fingerprint(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}

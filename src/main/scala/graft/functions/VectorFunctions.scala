@@ -15,10 +15,13 @@ object VectorFunctions {
 
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product — sequential left fold, deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product — sequential left-to-right summation, deterministic.
+    * Backed by the codegen'd [[DotProduct]] expression (the HOF
+    * `aggregate(zip_with(...))` formulation is ~50× slower per pair). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge._
+    column(DotProduct(expression(asDouble(a)), expression(asDouble(b))))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

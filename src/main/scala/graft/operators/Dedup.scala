@@ -36,13 +36,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min("doc_id").as("keep_id"), count("*").as("n"))
 
-  /** MinHash signature matrix: doc_id, mh0..mh{NumHashes-1}. */
+  /** MinHash signature matrix: doc_id, mh0..mh{NumHashes-1}. Computed by the
+    * one-pass [[graft.functions.MinHashSig]] codegen expression (same
+    * arithmetic as the Portable fragments the oracle runs — see its spec
+    * test pinning declarative ≡ kernel). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val withH = docs.withColumn("hs",
-      expr(Portable.tokenHashes(SparkD, textCol, distinctTokens = true)))
-    val sigs = (0 until NumHashes).map(j =>
-      expr(Portable.minhash(SparkD, "hs", j)).as(s"mh$j"))
-    withH.select((col("doc_id") +: sigs): _*)
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
+    sig.select((col("doc_id") +: (0 until NumHashes).map(j =>
+      element_at(col("sig"), j + 1).as(s"mh$j"))): _*)
   }
 
   /** LSH banding: one row per (doc, band) with the band's concatenated
@@ -68,16 +70,11 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash per document (term-frequency weighted majority vote). */
-  def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val withH = docs.withColumn("hs",
-      expr(Portable.tokenHashes(SparkD, textCol, distinctTokens = false)))
-    val bitSums = (0 until 32).map(b =>
-      expr(Portable.simhashBitSum(SparkD, "hs", b)).as(s"bs$b"))
-    withH.select((col("doc_id") +: bitSums): _*)
-      .select(col("doc_id"),
-        expr(Portable.simhashFromBitSums((0 until 32).map(b => s"bs$b"))).as("simhash"))
-  }
+  /** 32-bit SimHash per document (term-frequency weighted majority vote),
+    * via the one-pass [[graft.functions.SimHash]] codegen expression. */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.simhash(col(textCol)).as("simhash"))
 
   // ---------------------------------------------------------- n-gram Jaccard
 

@@ -26,11 +26,8 @@ object Similarity {
   val NumPlanes = 8
 
   /** Spark-side dot of the embedding column against a literal plane. */
-  private def planeDot(embCol: Column, i: Int): Column = {
-    val lits = array(Portable.plane(i, Dim).map(lit): _*)
-    aggregate(zip_with(embCol.cast("array<double>"), lits, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-  }
+  private def planeDot(embCol: Column, i: Int): Column =
+    V.dot(embCol, array(Portable.plane(i, Dim).map(lit): _*))
 
   /** Sign-pattern bucket id from the hyperplane projections. */
   def bucketCol(embCol: Column): Column =

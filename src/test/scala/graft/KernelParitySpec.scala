@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Portable, TextAnalysis, TextHashFunctions, VectorFunctions => V}
+import graft.functions.Portable.{Spark => SparkD}
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The custom codegen kernels (MinHashSig/SimHash/Fingerprint/DotProduct)
+  * MUST produce bit-identical results to the declarative Portable fragments,
+  * because the DuckDB oracle evaluates the declarative form. These tests pin
+  * that equivalence on the real corpus. */
+class KernelParitySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  lazy val docs = Tables.documents(spark, sf0001)
+
+  test("MinHashSig kernel ≡ declarative minhash fragments") {
+    val declarative = {
+      val withH = docs.withColumn("hs",
+        expr(Portable.tokenHashes(SparkD, "text", distinctTokens = true)))
+      withH.select((col("doc_id") +: (0 until Dedup.NumHashes).map(j =>
+        expr(Portable.minhash(SparkD, "hs", j)).as(s"mh$j"))): _*)
+    }
+    val kernel = Dedup.minhashSignatures(docs)
+    assert(kernel.except(declarative).count() == 0)
+    assert(declarative.except(kernel).count() == 0)
+  }
+
+  test("SimHash kernel ≡ declarative bit-sum fragments") {
+    val declarative = {
+      val withH = docs.withColumn("hs",
+        expr(Portable.tokenHashes(SparkD, "text", distinctTokens = false)))
+      withH.select((col("doc_id") +: (0 until 32).map(b =>
+          expr(Portable.simhashBitSum(SparkD, "hs", b)).as(s"bs$b"))): _*)
+        .select(col("doc_id"),
+          expr(Portable.simhashFromBitSums((0 until 32).map(b => s"bs$b")))
+            .as("simhash"))
+    }
+    val kernel = Dedup.simhashSignatures(docs)
+    assert(kernel.except(declarative).count() == 0)
+    assert(declarative.except(kernel).count() == 0)
+  }
+
+  test("Fingerprint kernel ≡ declarative rolling-fold fragments") {
+    val declarative = docs.withColumn("hs",
+        expr(Portable.tokenHashes(SparkD, "text", distinctTokens = false)))
+      .select(col("doc_id"), expr(Portable.fingerprint(SparkD, "hs")).as("fp"))
+    val kernel = TextAnalysis.fingerprints(docs)
+    assert(kernel.except(declarative).count() == 0)
+    assert(declarative.except(kernel).count() == 0)
+  }
+
+  test("DotProduct kernel ≡ HOF zip_with/aggregate fold") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val hof = emb.select(col("vec_id"),
+      aggregate(zip_with(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    val kernel = emb.select(col("vec_id"),
+      V.dot(col("embedding"), col("embedding")).as("d"))
+    assert(kernel.except(hof).count() == 0)
+    assert(hof.except(kernel).count() == 0)
+  }
+
+  test("kernels handle edge inputs like the declarative forms") {
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "a"), (4L, "  x  y  "))
+      .toDF("doc_id", "text")
+    // token-free docs: simhash = all 32 bits set, fingerprint = 0, sig null
+    val sh = Dedup.simhashSignatures(edge).orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    assert(sh(0) == 0xFFFFFFFFL && sh(1) == 0xFFFFFFFFL)
+    val fp = TextAnalysis.fingerprints(edge).orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    assert(fp(0) == 0L && fp(1) == 0L)
+    val sig = edge.select(col("doc_id"),
+      TextHashFunctions.minhashSig(col("text")).as("s")).orderBy("doc_id").collect()
+    assert(sig(0).isNullAt(1) && sig(1).isNullAt(1))
+    assert(!sig(2).isNullAt(1) && !sig(3).isNullAt(1))
+  }
+}
