@@ -388,6 +388,61 @@ object Catalog {
            |        ascii(substr(md5(text), 4, 1))) % 448 AS height
            |FROM documents ORDER BY asset_id""".stripMargin))
 
+  /** E4 scalar kit: the date/string function surface (all built-ins, all
+    * cross-engine ANSI). Year/month cast to INT on both sides (DuckDB's
+    * part-extraction returns BIGINT). */
+  val x29 = Q("x29_scalar_kit",
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("y"),
+      month(col("o_orderdate")).cast("int").as("m"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      lower(col("o_orderpriority")).as("pri_lower"),
+      substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+      regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("pri_digit"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+      length(col("o_orderpriority")).cast("int").as("pri_len"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  CAST(year(o_orderdate) AS INT) AS y,
+           |  CAST(month(o_orderdate) AS INT) AS m,
+           |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           |  lower(o_orderpriority) AS pri_lower,
+           |  substring(o_orderpriority, 1, 1) AS pri_code,
+           |  regexp_extract(o_orderpriority, '([0-9]+)', 1) AS pri_digit,
+           |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+           |  CAST(length(o_orderpriority) AS INT) AS pri_len
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** E10 remaining set ops: UNION (distinct) then INTERSECT. */
+  val x30 = Q("x30_set_ops",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      def users(tpe: String) = ev.where(col("event_type") === tpe).select("user_id")
+      users("signup").union(users("purchase")).distinct()
+        .intersect(users("error"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM (
+           |  SELECT user_id FROM events WHERE event_type = 'signup'
+           |  UNION
+           |  SELECT user_id FROM events WHERE event_type = 'purchase')
+           |INTERSECT
+           |SELECT user_id FROM events WHERE event_type = 'error'
+           |ORDER BY user_id""".stripMargin))
+
+  /** Multi-level aggregation: ROLLUP over (event_type, day). NULLS FIRST is
+    * pinned explicitly — Spark defaults there for ASC, DuckDB doesn't. */
+  val x31 = Q("x31_rollup_agg",
+    (s, d) => t(s, d, "events")
+      .withColumn("d", to_date(col("ts")))
+      .rollup("event_type", "d")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first),
+    Some("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+           |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+           |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin))
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -403,7 +458,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
-    x23, x24, x25, x26, x27, x28)
+    x23, x24, x25, x26, x27, x28, x29, x30, x31)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming tier. The reference is strictly batch (SURVEY.md
+  * §2.9) — its "late data" story is re-running a daily interval. This module
+  * provides the streaming generalization of the same semantics:
+  *
+  *  - `readEventStream`: file-source stream of the events shape (new parquet
+  *    files appearing under a directory = arriving micro-batches — exactly
+  *    how a landing zone behaves at scale).
+  *  - `windowedCounts`: event-time tumbling windows + watermark — the
+  *    streaming analog of the reference's daily distinct-count partition.
+  *  - `sessionize`: custom state via `flatMapGroupsWithState` (gap-based
+  *    user sessions with event-time timeout).
+  *  - `foreachBatchPipeline`: every batch transform in this engine is a pure
+  *    `DataFrame => DataFrame`, so it can be replayed under `foreachBatch`
+  *    unchanged — demonstrated in the spec with
+  *    [[graft.pipeline.LaunchPipeline.launchEvents]].
+  *
+  * Scale posture: watermarks bound state; the windowed agg shuffles once on
+  * (window, key) with partial aggregation map-side; sessionization shuffles
+  * once on user_id and keeps one small state object per active user.
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts = raw TIMESTAMP(NANOS) int64). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(start: Long, end: Long, n: Int, totalValue: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Int,
+                           total_value: Double)
+
+  /** File-source stream of events (ns→µs conversion as in Tables.events). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling event-time windows with a watermark: counts + value sum per
+    * (window, event_type). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour",
+                     windowLen: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization: a session closes when no event arrives for
+    * `gapMinutes` of event time (enforced via event-time timeout against the
+    * watermark). Emits one row per closed session. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      def close(s: SessionState) = Session(userId,
+        new Timestamp(s.start), new Timestamp(s.end), s.n, s.totalValue)
+
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).iterator
+        state.remove()
+        out
+      } else {
+        val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        events.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+                s.totalValue + e.value))
+            case Some(s) =>
+              closed ::= close(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Run any pure batch transform as a streaming sink stage. */
+  def foreachBatchPipeline(stream: DataFrame, transform: DataFrame => DataFrame,
+                           outDir: String, checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        transform(batch).write.mode("append").parquet(outDir)
+      }
+}

@@ -37,7 +37,11 @@ class CatalogSpec extends AnyFunSuite {
     "x25_text_tokencount" -> Seq("doc_id", "ws_tokens", "re_tokens", "n_chars"),
     "x26_text_fingerprint" -> Seq("doc_id", "fp"),
     "x27_multimodal_decode" -> Seq("asset_id", "kind", "byte_len", "width", "height"),
-    "x28_approx_distinct" -> Seq("d", "approx_users"))
+    "x28_approx_distinct" -> Seq("d", "approx_users"),
+    "x29_scalar_kit" -> Seq("o_orderkey", "y", "m", "month_start", "pri_lower",
+      "pri_code", "pri_digit", "tag", "pri_len"),
+    "x30_set_ops" -> Seq("user_id"),
+    "x31_rollup_agg" -> Seq("event_type", "d", "n"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+  import spark.implicits._
+
+  /** Stage the sf0.001 events parquet as a streaming source directory. */
+  def stageSource(): String = {
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  test("windowed counts over the stream match the batch aggregation") {
+    val dir = stageSource()
+    val q = EventStreams.windowedCounts(
+        EventStreams.readEventStream(spark, dir), "1 hour", "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+      val batch = Tables.events(spark, sf0001)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("sessionization closes a session after the event-time gap") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_sessions").toString
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01
+    // batch 1: user 1 has two events 5 min apart, then silence
+    Seq(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(5), 1, "a", 2.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/b1")
+
+    val src = spark.readStream
+      .schema(Seq.empty[Event].toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val sessions = EventStreams.sessionize(src.as[Event],
+      gapMinutes = 30, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      // batch 2: an event far past the gap → watermark advances, session 1 closes
+      Seq(Event(3, ts(600), 1, "a", 3.0)).toDF()
+        .coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      // one more batch so the timeout fires strictly after the watermark moved
+      Seq(Event(4, ts(1200), 2, "a", 4.0)).toDF()
+        .coalesce(1).write.parquet(s"$dir/b3")
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .where(col("user_id") === 1 && col("n_events") === 2).collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("foreachBatch replays the launch-events batch transform on a stream") {
+    val rawDir = Files.createTempDirectory("graft_fb_src").toString
+    val outDir = Files.createTempDirectory("graft_fb_out").toString
+    val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
+    val body =
+      """{"count": 1, "next": null, "previous": null, "results": [
+        | {"id": "s1", "url": "u", "name": "n",
+        |  "status": {"name": "Go", "abbrev": "G"}, "image": null,
+        |  "net": "2024-12-01T13:05:00Z", "last_updated": "x"}]}"""
+        .stripMargin.replaceAll("\n", " ")
+    Files.writeString(java.nio.file.Paths.get(s"$rawDir/d1.json"), body)
+
+    val stream = spark.readStream.schema(graft.pipeline.Ll2.schema).json(rawDir)
+    val q = EventStreams.foreachBatchPipeline(stream,
+      graft.pipeline.LaunchPipeline.launchEvents, outDir, ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+      assert(got.count() == 1)
+      assert(got.columns.toSeq ==
+        Seq("id", "url", "name", "status", "image_url", "license", "net"))
+    } finally q.stop()
+  }
+}

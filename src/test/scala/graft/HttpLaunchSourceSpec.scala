@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.http.FakeTransport
+
+/** The DSv2 HTTP source: filter pushdown to query params, one partition per
+  * page, nested-null flattening. */
+class HttpLaunchSourceSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val base = "https://ll.example/2.3.0/launches/"
+  val fmt = "graft.sources.http.HttpLaunchSource"
+
+  def launch(id: String, net: String): String =
+    s"""{"id": "$id", "url": "https://x/$id", "name": "L$id",
+       | "status": {"name": "Go", "abbrev": "G"},
+       | "image": null, "net": "$net", "last_updated": "x"}""".stripMargin
+
+  def page(count: Int, results: Seq[String], next: Option[String]): String =
+    s"""{"count": $count, "next": ${next.map("\"" + _ + "\"").orNull},
+       | "previous": null, "results": [${results.mkString(",")}]}""".stripMargin
+
+  test("pushes net range into the URL and reads all pages in parallel partitions") {
+    FakeTransport.reset()
+    val range = "net__gte=2024-12-01T00:00:00Z&net__lt=2024-12-02T00:00:00Z"
+    val p0 = s"$base?mode=list&limit=2&offset=0&$range"
+    val p1 = s"$base?mode=list&limit=2&offset=2&$range"
+    FakeTransport.register(p0, page(3,
+      Seq(launch("a", "2024-12-01T01:00:00Z"), launch("b", "2024-12-01T02:00:00Z")),
+      Some(p1)))
+    FakeTransport.register(p1, page(3,
+      Seq(launch("c", "2024-12-01T03:00:00Z")), None))
+
+    val df = spark.read.format(fmt)
+      .option("url", base).option("pageSize", "2").option("transport", "fake")
+      .load()
+      .where(col("net") >= lit(java.sql.Timestamp.valueOf("2024-12-01 00:00:00")) &&
+        col("net") < lit(java.sql.Timestamp.valueOf("2024-12-02 00:00:00")))
+
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows(0).getString(3) == "Go")
+    assert(rows(0).isNullAt(4) && rows(0).isNullAt(5)) // null image subtree
+
+    // pushdown reached the wire: every request carried the range params
+    val reqs = FakeTransport.requested.toArray(Array.empty[String])
+    assert(reqs.nonEmpty && reqs.forall(_.contains(range)))
+    // pagination: both pages were fetched
+    assert(reqs.toSet == Set(p0, p1))
+    // and the plan shows the pushed filters
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("net__gte") ||
+      plan.contains("PushedFilters") || plan.contains("LaunchScan"))
+  }
+
+  test("unsupported predicates remain as post-scan filters, results stay correct") {
+    FakeTransport.reset()
+    val p0 = s"$base?mode=list&limit=100&offset=0"
+    FakeTransport.register(p0, page(2,
+      Seq(launch("a", "2024-12-01T01:00:00Z"), launch("b", "2024-12-01T02:00:00Z")),
+      None))
+    val df = spark.read.format(fmt)
+      .option("url", base).option("transport", "fake").load()
+      .where(col("name") === "La") // not pushable → residual filter
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("empty interval yields an empty frame, not a failure") {
+    FakeTransport.reset()
+    FakeTransport.register(s"$base?mode=list&limit=100&offset=0",
+      page(0, Seq.empty, None))
+    val df = spark.read.format(fmt)
+      .option("url", base).option("transport", "fake").load()
+    assert(df.count() == 0)
+  }
+}

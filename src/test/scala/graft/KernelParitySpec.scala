@@ -65,6 +65,21 @@ class KernelParitySpec extends AnyFunSuite {
     assert(hof.except(kernel).count() == 0)
   }
 
+  test("custom expressions are registered as SQL functions via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_simhash('a b c') AS s,
+        |       graft_fingerprint('a b c') AS f,
+        |       size(graft_minhash_sig('a b c')) AS m""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(3) == 16)
+    // SQL form ≡ Column form
+    import spark.implicits._
+    val viaCol = Seq("a b c").toDF("t")
+      .select(TextHashFunctions.simhash(col("t"))).collect()(0).getLong(0)
+    assert(r.getLong(1) == viaCol)
+  }
+
   test("kernels handle edge inputs like the declarative forms") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "   "), (3L, "a"), (4L, "  x  y  "))
