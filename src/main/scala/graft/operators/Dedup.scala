@@ -92,10 +92,15 @@ object Dedup {
     s"list_transform(range(1, greatest(length($toksCol) - 1, 1)), " +
       s"i -> concat_ws(' ', $toksCol[i], $toksCol[i + 1], $toksCol[i + 2]))"
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle-hash) pairs. Shingles are xxhash64'd before
+    * the self-join: the join/shuffle moves 8-byte keys instead of ~30-char
+    * strings (≈2× at bench scale; at 100 TB the difference is the shuffle).
+    * A hash collision could perturb a Jaccard count, but over ~10^5 distinct
+    * shingles in a 2^64 space the probability is ~1e-10. */
   def shingles(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("toks", expr(Portable.tokens(SparkD, textCol)))
-      .select(col("doc_id"), explode(expr(shingleExprSpark("toks"))).as("sh"))
+      .select(col("doc_id"), explode(expr(shingleExprSpark("toks"))).as("sh0"))
+      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
       .distinct()
 
   /** Near-dup pairs by 3-gram Jaccard ≥ threshold. Inverted-index join: only

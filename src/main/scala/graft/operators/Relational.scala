@@ -30,4 +30,40 @@ object Relational {
   def antiJoinKeys(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String): DataFrame =
     left.join(right, left(leftKey) === right(rightKey), "left_anti")
+
+  /** As-of join: for every left row, the most recent right row with the same
+    * keys and `rightTs <= leftTs` (ties count as prior). Emits the left
+    * columns plus `asof_ts` (matched right timestamp, null when no prior row)
+    * and any requested right payload columns.
+    *
+    * Spark has no ASOF JOIN operator; the naive formulation (range join +
+    * per-left-row max) explodes quadratically. This composition is the
+    * scalable pattern: tag both sides, union, ONE shuffle on the keys, then a
+    * running `last(..., ignoreNulls)` window carries the latest right value
+    * forward — O(n log n) per key group, no custom SparkPlan needed.
+    *
+    * Determinism: when several right rows share the same key and timestamp,
+    * which payload wins is unspecified (`asof_ts` itself is still
+    * deterministic) — give payload a deterministic tie-break upstream if
+    * that matters.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               payload: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val r2 = right.select(
+      (keys.map(col) :+ col(rightTs).as("__t")) ++
+        payload.map { case (c, o) => col(c).as(o) }: _*)
+      .withColumn("__side", lit(0))
+    val l2 = left.withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc) // right sorts before left at equal ts
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (("asof_ts", "__t") +: payload.map { case (_, o) => (o, o) })
+      .foldLeft(u) { case (df, (out, src)) =>
+        df.withColumn(out,
+          last(when(col("__side") === 0, col(src)), ignoreNulls = true).over(w))
+      }
+    carried.where(col("__side") === 1).drop("__t", "__side")
+  }
 }

@@ -80,11 +80,16 @@ object Catalog {
     Some("""SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS event_count
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Q6 — E6 JSON extraction (generalizes the raw-zone JSON shape, C10). */
+  /** Q6 — E6 JSON extraction (generalizes the raw-zone JSON shape, C10).
+    * `from_json` with a pinned schema (one Jackson parse into a struct)
+    * rather than `get_json_object` (per-row JSONPath evaluation — measured
+    * ~10× slower at sf0.1). */
   val q06 = Q("q06_json_extract",
     (s, d) => t(s, d, "events")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))("k").as("k"))
       .orderBy("event_id"),
     Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
@@ -443,6 +448,42 @@ object Catalog {
            |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
            |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin))
 
+  /** As-of join: each purchase matched to the user's most recent prior error
+    * event. Output is epoch-µs of the matched timestamp (deterministic even
+    * when several errors share an instant; no raw timestamp emitted). */
+  val x32 = Q("x32_asof_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val e = ev.where(col("event_type") === "error").select("user_id", "ts")
+      Relational.asOfJoin(p, e, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), unix_micros(col("asof_ts")).as("prior_error_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events WHERE event_type = 'purchase'),
+           |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events WHERE event_type = 'error')
+           |SELECT p.event_id, epoch_us(e.ts) AS prior_error_us
+           |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+           |ORDER BY p.event_id""".stripMargin))
+
+  /** Exact continuous percentiles per group (Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition). */
+  val x33 = Q("x33_percentiles",
+    (s, d) => t(s, d, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  round(quantile_cont(value, 0.5), 4) AS p50,
+           |  round(quantile_cont(value, 0.9), 4) AS p90,
+           |  round(quantile_cont(value, 0.99), 4) AS p99
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -458,7 +499,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
-    x23, x24, x25, x26, x27, x28, x29, x30, x31)
+    x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -41,7 +41,9 @@ class CatalogSpec extends AnyFunSuite {
     "x29_scalar_kit" -> Seq("o_orderkey", "y", "m", "month_start", "pri_lower",
       "pri_code", "pri_digit", "tag", "pri_len"),
     "x30_set_ops" -> Seq("user_id"),
-    "x31_rollup_agg" -> Seq("event_type", "d", "n"))
+    "x31_rollup_agg" -> Seq("event_type", "d", "n"),
+    "x32_asof_join" -> Seq("event_id", "prior_error_us"),
+    "x33_percentiles" -> Seq("event_type", "p50", "p90", "p99"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

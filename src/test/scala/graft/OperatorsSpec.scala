@@ -28,6 +28,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.count() == 3) // 2 from a, 1 from b
   }
 
+  test("asOfJoin matches the most recent prior right row, ties count as prior") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val left = Seq((1L, 10L, ts(10)), (2L, 10L, ts(20)), (3L, 20L, ts(5)))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((10L, ts(10), "exact"), (10L, ts(15), "mid"), (20L, ts(9), "late"))
+      .toDF("k", "rts", "tag")
+    val got = Relational.asOfJoin(left, right, Seq("k"), "ts", "rts",
+        payload = Seq("tag" -> "matched_tag"))
+      .select("event_id", "asof_ts", "matched_tag").orderBy("event_id").collect()
+    assert(got(0).getTimestamp(1) == ts(10) && got(0).getString(2) == "exact") // tie
+    assert(got(1).getTimestamp(1) == ts(15) && got(1).getString(2) == "mid")
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2)) // no prior row for k=20
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
