@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHashFunctions
+import graft.pipeline.{Ll2, LaunchPipeline => LP}
+import graft.sources.Tables
+
+/** Property-based invariants (SURVEY.md §5): explode/flatten row counts,
+  * cast round-trips, partition-overwrite idempotence, pruning invariance,
+  * and signature-operator algebraic properties. */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+  import spark.implicits._
+
+  val tokenGen: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  val docGen: Gen[List[String]] = Gen.listOfN(12, tokenGen)
+
+  /** Deterministic scalacheck sampling (no scalatest bridge in the offline
+    * cache, so drive Gen directly with pinned seeds). */
+  def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("explode/flatten yields exactly Σ|results| rows over generated payloads") {
+    for (sizes <- samples(Gen.nonEmptyListOf(Gen.chooseNum(0, 5)), 8)) {
+      def launch(i: Int, j: Int) =
+        s"""{"id":"$i-$j","url":"u","name":"n","status":{"name":"s","abbrev":"s"},
+           |"image":null,"net":"2024-12-01T00:00:00Z","last_updated":"x"}"""
+          .stripMargin.replaceAll("\n", "")
+      val lines = sizes.zipWithIndex.map { case (n, i) =>
+        s"""{"count":$n,"next":null,"previous":null,"results":[${
+          (0 until n).map(j => launch(i, j)).mkString(",")}]}"""
+      }
+      val raw = spark.read.schema(Ll2.schema).json(lines.toDS())
+      assert(LP.launchEvents(raw).count() == sizes.sum.toLong)
+    }
+  }
+
+  test("minhash signature is invariant under token permutation and duplication") {
+    for (toks <- samples(docGen, 10) if toks.nonEmpty) {
+      val variants = Seq(
+        toks.mkString(" "),
+        new scala.util.Random(7).shuffle(toks).mkString(" "),
+        (toks ++ toks).mkString(" "))
+      val sigs = variants.toDF("text")
+        .select(TextHashFunctions.minhashSig(col("text")).as("s"))
+        .collect().map(_.getSeq[Long](0))
+      assert(sigs.distinct.length == 1)
+    }
+  }
+
+  test("fingerprint is invariant under re-evaluation but sensitive to order") {
+    for (toks <- samples(docGen, 10) if toks.distinct.length > 1) {
+      val t = toks.mkString(" ")
+      val r = toks.reverse.mkString(" ")
+      val fps = Seq(t, t, r).toDF("text")
+        .select(TextHashFunctions.fingerprint(col("text")).as("f"))
+        .collect().map(_.getLong(0))
+      assert(fps(0) == fps(1))
+      assert(fps(0) != fps(2)) // reversal of distinct tokens changes the hash
+    }
+  }
+
+  test("partition overwrite is idempotent: N re-runs ≡ 1 run (table state)") {
+    val dir = Files.createTempDirectory("graft_prop_overwrite").toString
+    val part = Tables.events(spark, sf0001)
+      .withColumn("d", to_date(col("ts")))
+      .where(col("d") === lit(java.sql.Date.valueOf("2024-01-03")))
+    (1 to 3).foreach { _ =>
+      part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d").parquet(dir)
+    }
+    val readBack = spark.read.parquet(dir)
+    assert(readBack.count() == part.count())
+    assert(readBack.select("event_id").except(part.select("event_id")).count() == 0)
+  }
+
+  test("pruning invariance: filtered partitioned read ≡ full read + filter") {
+    val dir = Files.createTempDirectory("graft_prop_prune").toString
+    Tables.events(spark, sf0001)
+      .withColumn("d", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("d").parquet(dir)
+    val d = java.sql.Date.valueOf("2024-01-02")
+    val pruned = spark.read.parquet(dir).where(col("d") === lit(d))
+    val full = spark.read.parquet(dir).collect().filter(r =>
+      r.getAs[java.sql.Date]("d") == d)
+    assert(pruned.count() == full.length)
+  }
+
+  test("timestamp→date cast round-trips through parquet write/read") {
+    val ev = Tables.events(spark, sf0001).withColumn("d", to_date(col("ts")))
+    val dir = Files.createTempDirectory("graft_prop_cast").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.where(col("d") =!= to_date(col("ts"))).count() == 0)
+  }
+}
