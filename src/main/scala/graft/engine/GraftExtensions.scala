@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Fingerprint, MinHashSig, SimHash}
+import graft.functions.{DotProduct, Fingerprint, JsonLongField, MinHashSig, SimHash}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so every
   * operator is reachable from pure `spark.sql(...)` as well as the Column
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_fingerprint"),
       info("graft_fingerprint", "graft_fingerprint(text) - rolling-hash document fingerprint"),
       (args: Seq[Expression]) => Fingerprint(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_json_long"),
+      info("graft_json_long", "graft_json_long(json, 'key') - single-scan integer field extraction"),
+      (args: Seq[Expression]) => JsonLongField(args(0),
+        args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
   }
 }

@@ -110,6 +110,8 @@ object TextHashFunctions {
   def minhashSig(c: Column): Column = B.column(MinHashSig(B.expression(c)))
   def simhash(c: Column): Column = B.column(SimHash(B.expression(c)))
   def fingerprint(c: Column): Column = B.column(Fingerprint(B.expression(c)))
+  def jsonLong(c: Column, key: String): Column =
+    B.column(JsonLongField(B.expression(c), key))
 }
 
 /** Base for the string→signature expressions: codegen emits a single static

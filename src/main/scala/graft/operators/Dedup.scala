@@ -123,8 +123,28 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-dup pairs at scale: candidates limited to pairs
+    * sharing a hyperplane-LSH bucket (Similarity.bucketCol), so the self-join
+    * shuffles each vector ONCE on its bucket id instead of building all
+    * pairs. Recall for a pair at angle θ is (1-θ/π)^numPlanes — tuned via
+    * Similarity.NumPlanes / multi-probe at real scale. */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = Similarity.withBuckets(emb).select(col("vec_id"),
+      VectorFunctions.asDouble(col("embedding")).as("v"), col("bucket"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val l = e.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val r = e.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap
-    * the left side; the unbounded scale path is Similarity.lshTopK).
+    * the left side; the unbounded scale path is embeddingNearDupLsh).
     * Norms are computed once per vector BEFORE the pair join — the join then
     * evaluates a single dot product per pair (cosine = dot/(na*nb), the same
     * composition the oracle uses), ~3× less work than naive cosine(a,b). */

@@ -81,15 +81,13 @@ object Catalog {
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Q6 — E6 JSON extraction (generalizes the raw-zone JSON shape, C10).
-    * `from_json` with a pinned schema (one Jackson parse into a struct)
-    * rather than `get_json_object` (per-row JSONPath evaluation — measured
-    * ~10× slower at sf0.1). */
+    * Uses the single-scan [[graft.functions.JsonLongField]] codegen
+    * expression; `get_json_object`/`from_json` run a full Jackson parse per
+    * row (~4.5µs vs ~50ns on this shape). */
   val q06 = Q("q06_json_extract",
     (s, d) => t(s, d, "events")
       .select(col("event_id"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType))))("k").as("k"))
+        graft.functions.TextHashFunctions.jsonLong(col("props"), "k").as("k"))
       .orderBy("event_id"),
     Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
@@ -325,6 +323,22 @@ object Catalog {
             |SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= 3
             |ORDER BY qid, rn""".stripMargin))
 
+  /** E7/E8 near-dup at scale: pairs within the same LSH bucket with
+    * cos ≥ 0.3 — the shuffle-once variant of x21 (which brute-forces a
+    * bounded probe set). */
+  val x34 = Q("x34_dedup_embedding_lsh",
+    (s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), 0.3)
+      .orderBy("a", "b"),
+    Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |e AS (SELECT vec_id, v, ${Similarity.duckBucket("v")} AS bucket,
+            |  sqrt(list_dot_product(v, v)) AS nrm FROM e0)
+            |SELECT a, b, cos FROM (
+            |  SELECT l.vec_id AS a, r.vec_id AS b,
+            |    round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 4) AS cos
+            |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) p
+            |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin))
+
   // --------------------------------------------------- extended: text tier
 
   /** Language-ID by stopword-profile argmax. */
@@ -499,7 +513,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
-    x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33)
+    x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -43,7 +43,8 @@ class CatalogSpec extends AnyFunSuite {
     "x30_set_ops" -> Seq("user_id"),
     "x31_rollup_agg" -> Seq("event_type", "d", "n"),
     "x32_asof_join" -> Seq("event_id", "prior_error_us"),
-    "x33_percentiles" -> Seq("event_type", "p50", "p90", "p99"))
+    "x33_percentiles" -> Seq("event_type", "p50", "p90", "p99"),
+    "x34_dedup_embedding_lsh" -> Seq("a", "b", "cos"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

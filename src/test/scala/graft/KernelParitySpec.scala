@@ -80,6 +80,27 @@ class KernelParitySpec extends AnyFunSuite {
     assert(r.getLong(1) == viaCol)
   }
 
+  test("JsonLongField ≡ get_json_object-with-cast on the real events corpus") {
+    val ev = Tables.events(spark, sf0001)
+    val fast = ev.select(col("event_id"),
+      TextHashFunctions.jsonLong(col("props"), "k").as("k"))
+    val ref = ev.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    assert(fast.except(ref).count() == 0)
+    assert(ref.except(fast).count() == 0)
+  }
+
+  test("JsonLongField edge cases: missing key, negative, malformed, nested-safe") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k": 87}""", """{"k":-3}""", """{"x": 1}""", """{"k": "str"}""",
+      """{"kk": 5, "k": 7}""", """not json""", """{"k": 12, "j": 1}""")
+      .toDF("props")
+    val got = df.select(TextHashFunctions.jsonLong(col("props"), "k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(Some(87L), Some(-3L), None, None, Some(7L), None, Some(12L)))
+  }
+
   test("kernels handle edge inputs like the declarative forms") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "   "), (3L, "a"), (4L, "  x  y  "))
