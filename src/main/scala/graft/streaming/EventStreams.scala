@@ -109,6 +109,13 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids across micro-batches,
+    * with the watermark bounding the dedup state (ids older than the
+    * watermark are evicted — the streaming form of E8 exact dedup). */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run any pure batch transform as a streaming sink stage. */
   def foreachBatchPipeline(stream: DataFrame, transform: DataFrame => DataFrame,
                            outDir: String, checkpoint: String) =

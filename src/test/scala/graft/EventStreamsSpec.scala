@@ -76,6 +76,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event_ids across micro-batches") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    Seq(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 1.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream.schema(Seq.empty[Event].toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingDedup(src, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 re-delivers event 2 (within watermark) + a new event 3
+      Seq(Event(2, ts(1), 1, "a", 1.0), Event(3, ts(2), 1, "a", 1.0))
+        .toDF().coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // event 2 delivered once
+    } finally q.stop()
+  }
+
   test("foreachBatch replays the launch-events batch transform on a stream") {
     val rawDir = Files.createTempDirectory("graft_fb_src").toString
     val outDir = Files.createTempDirectory("graft_fb_out").toString
