@@ -52,6 +52,36 @@ object Multimodal {
       (lit(64) + (ascii(substring(md5(col("payload")), 3, 1)) * 256 +
         ascii(substring(md5(col("payload")), 4, 1))) % 448).as("height"))
 
+  /** Stub resize: computes the target geometry (aspect-preserving fit into
+    * maxW×maxH) from the decoded dims. A real implementation would replace
+    * the pass-through payload with re-encoded bytes; the geometry arithmetic
+    * and schema are the real plumbing. */
+  def resizeStub(assets: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val d = decodeColumns(assets)
+    val scale = least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0))
+    d.select(col("asset_id"), col("kind"), col("byte_len"),
+      col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_width"),
+      floor(col("height") * scale).cast("int").as("out_height"))
+  }
+
+  /** Frame sampling for video-shaped assets: n evenly-spaced byte slices of
+    * the payload, one row per frame (explode). Pure column arithmetic —
+    * binary `substring` slices without decoding; a real demuxer would swap in
+    * at exactly this projection. */
+  def frameSample(assets: DataFrame, n: Int): DataFrame =
+    assets.select(col("asset_id"), col("payload"),
+        length(col("payload")).cast("bigint").as("byte_len"))
+      .where(col("byte_len") > 0)
+      .select(col("asset_id"), col("byte_len"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),
+        col("payload"))
+      .withColumn("offset", (col("frame_idx") * col("byte_len") / n).cast("bigint"))
+      .withColumn("frame_bytes",
+        expr(s"substring(payload, CAST(offset AS INT) + 1, " +
+          s"GREATEST(CAST(byte_len / $n AS INT), 1))"))
+      .drop("payload")
+
   /** Batched per-partition feature extraction over the binary payload —
     * the `mapPartitions` seam a native decoder (JNI / subprocess) would plug
     * into: one batch per partition, no shuffle, schema declared up front.

@@ -136,6 +136,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sig(0).toSeq.drop(1) == sig(1).toSeq.drop(1)) // same token SET
   }
 
+  test("multimodal: resize preserves aspect ratio; frame sampling slices the payload") {
+    val docs = Seq((1L, "0123456789abcdef", "s", "src", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val rs = Multimodal.resizeStub(assets, 128, 128).collect()(0)
+    val (w, h) = (rs.getInt(3), rs.getInt(4))
+    val (ow, oh) = (rs.getInt(5), rs.getInt(6))
+    assert(ow <= 128 && oh <= 128 && ow <= w && oh <= h)
+    // aspect preserved within integer-floor tolerance
+    assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1 || (ow == w && oh == h))
+
+    val frames = Multimodal.frameSample(assets, 4)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getAs[Long]("offset")).toSeq == Seq(0L, 4L, 8L, 12L))
+    assert(frames.map(r => new String(r.getAs[Array[Byte]]("frame_bytes"))).toSeq
+      == Seq("0123", "4567", "89ab", "cdef"))
+  }
+
   test("multimodal: stub decode emits plausible dims; feature extraction is deterministic") {
     val docs = Seq((1L, "hello world", "s", "src", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
