@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's full pipeline surface re-expressed Spark-first
@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   * usable under batch or `foreachBatch` streaming (SURVEY.md §2.9 seam).
   */
 object LaunchPipeline {
+
+  /** Typed row for the public table (SURVEY.md §1.4: case classes at API
+    * boundaries, DataFrame internally). */
+  final case class LaunchEvent(id: String, url: String, name: String,
+                               status: String, image_url: String,
+                               license: String, net: java.sql.Date)
+
+  /** Typed view of the transform output. */
+  def launchEventsDs(raw: DataFrame): Dataset[LaunchEvent] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    launchEvents(raw).as[LaunchEvent]
+  }
 
   /** Zone layout rooted at a base dir (stand-in for `s3://datalake`). */
   final case class Zones(base: String) {

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Catalog
+import graft.sources.Tables
+
+/** SQL-surface parity (SURVEY.md §5 t1): the core queries are expressible as
+  * pure `spark.sql` over registered views and agree with the DataFrame-API
+  * programs in Catalog. Also exercises the typed Dataset boundary. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  /** Spark SQL texts for a representative core subset (these differ from the
+    * DuckDB oracle texts only where dialects diverge). */
+  val sparkSql: Map[String, String] = Map(
+    "q01_project_rename" ->
+      """SELECT l_orderkey AS okey, l_partkey AS pkey, l_returnflag AS rflag
+        |FROM lineitem ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+    "q02_cast_date" ->
+      "SELECT event_id, CAST(ts AS DATE) AS d FROM events ORDER BY event_id",
+    "q05_daily_distinct" ->
+      """SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS event_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_group_count" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "q09_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q16_join_window" ->
+      """SELECT n_name, rn, c_custkey, c_acctbal FROM (
+        |  SELECT n.n_name, c.c_custkey, c.c_acctbal, row_number() OVER (
+        |    PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) t
+        |WHERE rn <= 2 ORDER BY n_name, rn""".stripMargin)
+
+  for ((name, sql) <- sparkSql.toSeq.sortBy(_._1)) {
+    test(s"$name: spark.sql ≡ DataFrame API") {
+      Tables.registerAll(spark, sf0001)
+      val viaSql = spark.sql(sql)
+      val viaApi = Catalog.queries(name)(spark, sf0001)
+      assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+      assert(viaSql.except(viaApi).count() == 0)
+      assert(viaApi.except(viaSql).count() == 0)
+    }
+  }
+
+  test("typed Dataset boundary: launchEventsDs round-trips the golden fixture") {
+    import graft.pipeline.{Ll2, LaunchPipeline => LP}
+    import SparkTestSession.spark.implicits._
+    val body =
+      """{"count":1,"next":null,"previous":null,"results":[
+        |{"id":"t1","url":"u","name":"n","status":{"name":"Go","abbrev":"G"},
+        |"image":null,"net":"2024-12-01T13:05:00Z","last_updated":"x"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val raw = spark.read.schema(Ll2.schema).json(Seq(body).toDS())
+    val ds = LP.launchEventsDs(raw)
+    val e = ds.collect().head
+    assert(e.id == "t1" && e.status == "Go" && e.image_url == null)
+    assert(e.net == java.sql.Date.valueOf("2024-12-01"))
+    // typed filter compiles and runs on the Dataset
+    assert(ds.filter(_.net != null).count() == 1)
+  }
+}
