@@ -31,6 +31,27 @@ object Relational {
                    leftKey: String, rightKey: String): DataFrame =
     left.join(right, left(leftKey) === right(rightKey), "left_anti")
 
+  /** Skew-safe exact distinct count: salt by `hash(valueCol) % nSalts` so one
+    * hot group key fans out over `nSalts` reducers, then sum the per-salt
+    * distinct counts. Exactness holds because each VALUE maps to exactly one
+    * salt — per-salt distinct sets are disjoint, so their counts add.
+    *
+    * This is the 100 TB form of the reference's daily distinct-count query
+    * (SURVEY.md C13): a plain `COUNT(DISTINCT id)` makes the hottest day a
+    * single straggler reducer; salting bounds any reducer at 1/nSalts of the
+    * hot key (AQE's skew handling covers joins, not distinct aggregation).
+    */
+  def saltedDistinctCount(df: DataFrame, groupKeys: Seq[Column], valueCol: Column,
+                          outName: String, nSalts: Int = 64): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions.min(nSalts)
+    val perSalt = df
+      .groupBy(groupKeys :+ pmod(hash(valueCol), lit(n)).as("__salt"): _*)
+      .agg(count_distinct(valueCol).as("__partial"))
+    val keyNames = perSalt.columns.dropRight(2) // groupKeys as materialized names
+    perSalt.groupBy(keyNames.map(col): _*)
+      .agg(sum("__partial").as(outName))
+  }
+
   /** As-of join: for every left row, the most recent right row with the same
     * keys and `rightTs <= leftTs` (ties count as prior). Emits the left
     * columns plus `asof_ts` (matched right timestamp, null when no prior row)
