@@ -95,6 +95,30 @@ class PropertySpec extends AnyFunSuite {
     assert(pruned.count() == full.length)
   }
 
+  test("JsonLongField agrees with get_json_object on generated flat JSON") {
+    val keyGen = Gen.oneOf("k", "key", "a1", "zz")
+    val valGen: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+      Gen.alphaStr.map(s => "\"" + s.take(6) + "\""),
+      Gen.const("null"), Gen.const("1.5"), Gen.const("[1,2]"))
+    val objGen: Gen[String] = Gen.listOfN(3,
+      Gen.zip(keyGen, valGen)).map { kvs =>
+      kvs.distinctBy(_._1).map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+    }
+    val docs = samples(objGen, 60)
+    val df = docs.toDF("props")
+    val got = df.select(TextHashFunctions.jsonLong(col("props"), "k").as("k"))
+    // try_cast: the lenient form — ANSI cast would throw on non-integer
+    // values, while JsonLongField (like the DuckDB oracle on real data)
+    // yields null
+    val ref = df.select(
+      expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+    val g = got.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val e = ref.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(g.toSeq == e.toSeq, s"docs=${docs.mkString(" | ")}")
+  }
+
   test("timestamp→date cast round-trips through parquet write/read") {
     val ev = Tables.events(spark, sf0001).withColumn("d", to_date(col("ts")))
     val dir = Files.createTempDirectory("graft_prop_cast").toString
