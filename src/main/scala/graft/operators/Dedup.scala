@@ -76,6 +76,40 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.TextHashFunctions.simhash(col(textCol)).as("simhash"))
 
+  /** Full MinHash near-dup detection: LSH candidates verified by signature
+    * agreement (estimated Jaccard = fraction of equal minhashes). The
+    * verification join happens BEFORE the candidate-dedup shuffle, so the
+    * expensive distinct+sort runs on the small verified set, not the raw
+    * candidate explosion. `minEstJaccard` is compared on the rounded
+    * estimate (multiples of 1/16 — exactly representable). */
+  def minhashNearDupPairs(docs: DataFrame, minEstJaccard: Double,
+                          textCol: String = "text"): DataFrame = {
+    val sig = minhashSignatures(docs, textCol)
+    val bands = minhashBands(sig)
+    val cand = bands.as("l")
+      .join(bands.as("r"), col("l.band") === col("r.band") &&
+        col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // Verification keeps signatures as PACKED arrays (one 16-long column,
+    // compared by the codegen ArrayEqCount kernel) instead of 16 scalar
+    // columns per side — slimmer pair rows, one primitive loop per pair.
+    // The signature table is tiny next to the candidate stream, so it is
+    // broadcast to keep verification map-side; past broadcast size
+    // (~100M docs) drop the hint and let AQE plan the join.
+    val sigArr = docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
+    val sa = broadcast(sigArr.toDF("a", "sig_a"))
+    val sb = broadcast(sigArr.toDF("b", "sig_b"))
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val agree = B.column(graft.functions.ArrayEqCount(
+      B.expression(col("sig_a")), B.expression(col("sig_b"))))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        round(agree / lit(16.0), 4).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .distinct()
+  }
+
   // ---------------------------------------------------------- n-gram Jaccard
 
   /** Token n-gram shingles (n=3), Spark dialect. Guarded so docs shorter than

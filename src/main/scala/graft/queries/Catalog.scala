@@ -228,6 +228,9 @@ object Catalog {
       val cols = (0 until Dedup.RowsPerBand).map(r => s"mh${b * Dedup.RowsPerBand + r}")
       s"SELECT doc_id, $b AS band, ${Portable.bandKey(cols)} AS bkey FROM sig"
     }.mkString("\nUNION ALL\n")
+    val agree = (0 until Dedup.NumHashes)
+      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH h AS (SELECT doc_id,
        |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = true)} AS hs
        |  FROM documents),
@@ -236,16 +239,23 @@ object Catalog {
        |  FROM h),
        |bands AS (
        |$bands
-       |)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM bands l JOIN bands r
-       |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |),
+       |cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+       |SELECT DISTINCT c.a, c.b,
+       |  round(($agree) / 16e0, 4) AS est_jaccard
+       |FROM cand c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+       |WHERE round(($agree) / 16e0, 4) >= 0.9
        |ORDER BY a, b""".stripMargin
   }
 
-  /** E8 MinHash+LSH candidate pairs (16 hashes, 4 bands × 4). */
+  /** E8 full MinHash+LSH near-dup detection: LSH banding (16 hashes, 2
+    * bands × 8) proposes candidates, signature agreement ≥ 0.9 verifies
+    * them — the complete linear-ish dedup pipeline, not just candidate
+    * generation. */
   val x18 = Q("x18_dedup_minhash",
-    (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"))
+    (s, d) => Dedup.minhashNearDupPairs(t(s, d, "documents"), 0.9)
       .orderBy("a", "b"),
     Some(duckMinhashSql))
 

@@ -27,7 +27,7 @@ class CatalogSpec extends AnyFunSuite {
     "q15_set_except" -> Seq("user_id"),
     "q16_join_window" -> Seq("n_name", "rn", "c_custkey", "c_acctbal"),
     "x17_dedup_exact" -> Seq("h", "keep_id", "n"),
-    "x18_dedup_minhash" -> Seq("a", "b"),
+    "x18_dedup_minhash" -> Seq("a", "b", "est_jaccard"),
     "x19_dedup_simhash" -> Seq("doc_id", "simhash"),
     "x20_dedup_ngram" -> Seq("a", "b", "jaccard"),
     "x21_dedup_embedding" -> Seq("a", "b", "cos"),
