@@ -178,23 +178,71 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap
-    * the left side; the unbounded scale path is embeddingNearDupLsh).
-    * Norms are computed once per vector BEFORE the pair join — the join then
-    * evaluates a single dot product per pair (cosine = dot/(na*nb), the same
-    * composition the oracle uses), ~3× less work than naive cosine(a,b). */
+    * the probe side; the unbounded scale path is embeddingNearDupLsh).
+    *
+    * Implemented with `mapPartitions` + an explicit broadcast of the probe
+    * vectors — the documented tier-(d) case (SURVEY.md §2.10): brute-force
+    * pair scoring is genuinely per-partition imperative compute, and the
+    * row-at-a-time BroadcastNestedLoopJoin alternative measured ~1.4µs/pair
+    * of pure join overhead (14× the arithmetic). Shape at scale: candidates
+    * scan their partition once, probes ride a broadcast variable, no shuffle
+    * until the final (tiny) result.
+    *
+    * Determinism contract: widening, sequential dot order, and HALF_UP
+    * rounding replicate exactly what the declarative form (and the DuckDB
+    * oracle) compute, so results hash-match. */
   def embeddingNearDupPairs(emb: DataFrame, maxProbeId: Long,
                             threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      VectorFunctions.asDouble(col("embedding")).as("v"))
-    val l = e.where(col("vec_id") < maxProbeId)
-      .select(col("vec_id").as("a"), col("v").as("va"),
-        VectorFunctions.norm(col("v")).as("na"))
-    val r = e.select(col("vec_id").as("b"), col("v").as("vb"),
-      VectorFunctions.norm(col("v")).as("nb"))
-    broadcast(l).join(r, col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-          .as("cos"))
-      .where(col("cos") >= threshold)
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.{Encoders, Row}
+    val probes: Array[(Long, Array[Double], Double)] = emb
+      .where(col("vec_id") < maxProbeId)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, math.sqrt(dotArr(v, v)))
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(probes)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaDouble)
+    // repartition spreads the candidate scan across cores (the probe side is
+    // broadcast, so this shuffle is just the candidate rows, once)
+    emb.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        val ps = bc.value
+        rows.flatMap { r =>
+          val b = r.getLong(0)
+          val vb = r.getSeq[Double](1).toArray
+          val nb = math.sqrt(dotArr(vb, vb))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < ps.length && ps(i)._1 < b) {
+            val p = ps(i)
+            val cos = round4(dotArr(p._2, vb) / (p._3 * nb))
+            if (cos >= threshold) out += ((p._1, b, cos))
+            i += 1
+          }
+          out
+        }
+      }(enc)
+      .toDF("a", "b", "cos")
   }
+
+  /** Sequential left-to-right dot — the exact summation order of
+    * [[graft.functions.DotProduct]] and DuckDB's list_dot_product. */
+  private def dotArr(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  /** Spark's `round(_, 4)` on doubles: BigDecimal HALF_UP. */
+  private def round4(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 }
