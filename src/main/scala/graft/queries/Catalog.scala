@@ -508,6 +508,44 @@ object Catalog {
            |  round(quantile_cont(value, 0.99), 4) AS p99
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Full-outer join: per-customer order counts unioned with order keys that
+    * have no customer row (and vice versa). */
+  val x35 = Q("x35_full_outer",
+    (s, d) => {
+      val oc = t(s, d, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"))
+      t(s, d, "customer").join(oc, col("c_custkey") === col("k"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("k")).as("k"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          col("c_custkey").isNotNull.as("known_customer"))
+        .orderBy("k")
+    },
+    Some("""WITH oc AS (SELECT o_custkey AS k, COUNT(*) AS n
+           |  FROM orders GROUP BY 1)
+           |SELECT COALESCE(c.c_custkey, oc.k) AS k,
+           |  COALESCE(oc.n, 0) AS n_orders,
+           |  (c.c_custkey IS NOT NULL) AS known_customer
+           |FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.k
+           |ORDER BY k""".stripMargin))
+
+  /** Offset window (lag): µs gap between a user's consecutive events.
+    * Timestamps leave as epoch-µs arithmetic, never raw. */
+  val x36 = Q("x36_window_lag",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .select("user_id", "event_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+           |    OVER (PARTITION BY user_id
+           |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -523,7 +561,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
-    x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
+    x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

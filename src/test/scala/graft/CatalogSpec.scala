@@ -44,7 +44,9 @@ class CatalogSpec extends AnyFunSuite {
     "x31_rollup_agg" -> Seq("event_type", "d", "n"),
     "x32_asof_join" -> Seq("event_id", "prior_error_us"),
     "x33_percentiles" -> Seq("event_type", "p50", "p90", "p99"),
-    "x34_dedup_embedding_lsh" -> Seq("a", "b", "cos"))
+    "x34_dedup_embedding_lsh" -> Seq("a", "b", "cos"),
+    "x35_full_outer" -> Seq("k", "n_orders", "known_customer"),
+    "x36_window_lag" -> Seq("user_id", "event_id", "gap_us"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
