@@ -102,6 +102,38 @@ object TokenHasher {
     }
     acc
   }
+
+  /** Distinct xxhash64'd 3-gram token shingles, one pass. Hash values are
+    * EXACTLY Spark's `xxhash64(concat_ws(' ', t1, t2, t3))` (same XxHash64
+    * kernel, same seed 42), so this interchanges freely with the declarative
+    * shingle pipeline. Per-doc distinct happens here (hash set), removing
+    * the need for a distinct shuffle downstream. */
+  def shingleHashes(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    foreachToken(s) { (from, until) => starts.add(from); ends.add(until) }
+    val k = starts.size()
+    if (k < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + 2 < k) {
+      sb.setLength(0)
+      sb.append(s, starts.get(i), ends.get(i)).append(' ')
+        .append(s, starts.get(i + 1), ends.get(i + 1)).append(' ')
+        .append(s, starts.get(i + 2), ends.get(i + 2))
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(sb.toString),
+        org.apache.spark.sql.types.StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Column-facing wrappers for the signature expressions. */
@@ -112,6 +144,7 @@ object TextHashFunctions {
   def fingerprint(c: Column): Column = B.column(Fingerprint(B.expression(c)))
   def jsonLong(c: Column, key: String): Column =
     B.column(JsonLongField(B.expression(c), key))
+  def shingleSet(c: Column): Column = B.column(ShingleSet(B.expression(c)))
 }
 
 /** Base for the string→signature expressions: codegen emits a single static
@@ -169,6 +202,18 @@ case class SimHash(child: Expression) extends TextHashExpression {
   override def nullSafeEval(input: Any): Any =
     TokenHasher.simhash(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Distinct xxhash64'd 3-gram shingle set as array<long> (never null for a
+  * non-null input; empty array for docs shorter than 3 tokens). */
+case class ShingleSet(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+  protected def kernel: String = "shingleHashes"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
 }
 

@@ -126,16 +126,16 @@ object Dedup {
     s"list_transform(range(1, greatest(length($toksCol) - 1, 1)), " +
       s"i -> concat_ws(' ', $toksCol[i], $toksCol[i + 1], $toksCol[i + 2]))"
 
-  /** Distinct (doc_id, shingle-hash) pairs. Shingles are xxhash64'd before
-    * the self-join: the join/shuffle moves 8-byte keys instead of ~30-char
-    * strings (≈2× at bench scale; at 100 TB the difference is the shuffle).
-    * A hash collision could perturb a Jaccard count, but over ~10^5 distinct
-    * shingles in a 2^64 space the probability is ~1e-10. */
+  /** Distinct (doc_id, shingle-hash) pairs via the one-pass
+    * [[graft.functions.ShingleSet]] kernel (hash values identical to
+    * `xxhash64(concat_ws(' ', ...))`): per-doc dedup happens inside the
+    * kernel's hash set, so no distinct shuffle. Shuffles move 8-byte hash
+    * keys, not ~30-char strings; a hash collision could perturb a Jaccard
+    * count, but over ~10^5 distinct shingles in 2^64 space P ≈ 1e-10. */
   def shingles(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("toks", expr(Portable.tokens(SparkD, textCol)))
-      .select(col("doc_id"), explode(expr(shingleExprSpark("toks"))).as("sh0"))
-      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
-      .distinct()
+    docs.select(col("doc_id"),
+        graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** Near-dup pairs by 3-gram Jaccard ≥ threshold. Inverted-index join: only
     * docs sharing a shingle are ever compared. Jaccard is computed on exact
