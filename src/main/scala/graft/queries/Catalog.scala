@@ -546,6 +546,30 @@ object Catalog {
            |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
            |FROM events ORDER BY user_id, event_id""".stripMargin))
 
+  /** CUBE over (event_type, day): all four grouping levels. */
+  val x37 = Q("x37_cube_agg",
+    (s, d) => t(s, d, "events")
+      .withColumn("d", to_date(col("ts")))
+      .cube("event_type", "d")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first),
+    Some("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+           |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))
+           |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin))
+
+  /** E10 multiset difference (EXCEPT ALL): keeps multiplicity. Duplicate
+    * user_ids are identical whole rows, so ORDER BY user_id is hash-total. */
+  val x38 = Q("x38_except_all",
+    (s, d) => t(s, d, "events").where(col("event_type") === "purchase")
+      .select("user_id")
+      .exceptAll(t(s, d, "events").where(col("event_type") === "error")
+        .select("user_id"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+           |EXCEPT ALL
+           |SELECT user_id FROM events WHERE event_type = 'error'
+           |ORDER BY user_id""".stripMargin))
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -561,7 +585,8 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
-    x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36)
+    x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
+    x37, x38)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -46,7 +46,9 @@ class CatalogSpec extends AnyFunSuite {
     "x33_percentiles" -> Seq("event_type", "p50", "p90", "p99"),
     "x34_dedup_embedding_lsh" -> Seq("a", "b", "cos"),
     "x35_full_outer" -> Seq("k", "n_orders", "known_customer"),
-    "x36_window_lag" -> Seq("user_id", "event_id", "gap_us"))
+    "x36_window_lag" -> Seq("user_id", "event_id", "gap_us"),
+    "x37_cube_agg" -> Seq("event_type", "d", "n"),
+    "x38_except_all" -> Seq("user_id"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
