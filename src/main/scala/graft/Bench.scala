@@ -26,7 +26,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results: Seq[(String, Double)] = Catalog.benchNames.map { name =>
+    // optional args: query names to bench (local iteration aid; the driver
+    // always runs the full set)
+    val names =
+      if (args.nonEmpty) Catalog.benchNames.filter(args.toSet) else Catalog.benchNames
+    val results: Seq[(String, Double)] = names.map { name =>
       try {
         runOnce(name) // warm-up: codegen + parquet footer/file listing
         name -> math.min(runOnce(name), runOnce(name))

@@ -51,33 +51,75 @@ case class JsonLongField(child: Expression, key: String) extends UnaryExpression
 
 object JsonLongField {
 
-  /** Single-scan extraction of `"key": <int>` from a flat JSON object. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Single-scan extraction of the integer value of `key` from a flat JSON
+    * object. The scanner tracks string/escape state, so the key only matches
+    * at a real key position — never inside a quoted value like
+    * `{"a": "... \"k\": 5 ..."}` — and a quoted integer value (`{"k":"12"}`)
+    * parses like the oracle's `CAST(json_extract_string(...) AS BIGINT)`.
+    * Returns null when the key is absent, the value is not a (possibly
+    * quoted) integer, or the integer exceeds 18 digits (no silent Long
+    * wrap; the oracle would raise there, we degrade to null like TRY_CAST).
+    * First occurrence of the key wins. */
   def extract(json: UTF8String, key: String): java.lang.Long = {
     val s = json.toString
-    val needle = "\"" + key + "\""
-    var from = 0
-    while (true) {
-      val i = s.indexOf(needle, from)
-      if (i < 0) return null
-      var j = i + needle.length
-      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
-      if (j < s.length && s.charAt(j) == ':') {
-        j += 1
-        while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
-        var neg = false
-        if (j < s.length && s.charAt(j) == '-') { neg = true; j += 1 }
-        var v = 0L
-        var digits = 0
-        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
-          v = v * 10 + (s.charAt(j) - '0'); digits += 1; j += 1
+    val n = s.length
+    var i = 0
+    var expectKey = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '{' || c == ',') { expectKey = true; i += 1 }
+      else if (c == ':') { expectKey = false; i += 1 }
+      else if (c == '"') {
+        // scan the whole string token, escape-aware
+        var j = i + 1
+        var esc = false
+        var hasEsc = false
+        var end = -1
+        while (j < n && end < 0) {
+          val ch = s.charAt(j)
+          if (esc) esc = false
+          else if (ch == '\\') { esc = true; hasEsc = true }
+          else if (ch == '"') end = j
+          j += 1
         }
-        // must terminate the scalar cleanly (",", "}" or whitespace)
-        val term = j >= s.length || s.charAt(j) == ',' || s.charAt(j) == '}' ||
-          s.charAt(j) == ' ' || s.charAt(j) == '\t'
-        if (digits > 0 && term) return java.lang.Long.valueOf(if (neg) -v else v)
-        return null
+        if (end < 0) return null // unterminated string: malformed
+        val isKey = expectKey && !hasEsc && end - (i + 1) == key.length &&
+          s.regionMatches(i + 1, key, 0, key.length)
+        if (isKey) {
+          var p = end + 1
+          while (p < n && isWs(s.charAt(p))) p += 1
+          if (p >= n || s.charAt(p) != ':') return null // malformed
+          p += 1
+          while (p < n && isWs(s.charAt(p))) p += 1
+          val quoted = p < n && s.charAt(p) == '"'
+          if (quoted) {
+            p += 1
+            while (p < n && isWs(s.charAt(p))) p += 1 // CAST trims
+          }
+          var neg = false
+          if (p < n && s.charAt(p) == '-') { neg = true; p += 1 }
+          var v = 0L
+          var digits = 0
+          while (p < n && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
+            v = v * 10 + (s.charAt(p) - '0'); digits += 1; p += 1
+          }
+          if (digits == 0 || digits > 18) return null
+          if (quoted) {
+            while (p < n && isWs(s.charAt(p))) p += 1
+            if (p >= n || s.charAt(p) != '"') return null
+          } else {
+            val term = p >= n || s.charAt(p) == ',' || s.charAt(p) == '}' ||
+              isWs(s.charAt(p))
+            if (!term) return null
+          }
+          return java.lang.Long.valueOf(if (neg) -v else v)
+        }
+        i = end + 1 // not our key (or a value string): skip the token
       }
-      from = i + 1 // matched text wasn't a key position; keep scanning
+      else i += 1
     }
     null
   }

@@ -76,38 +76,77 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.TextHashFunctions.simhash(col(textCol)).as("simhash"))
 
+  /** One row per doc with the packed 16-minhash signature AND every band key
+    * derived from it — a single signature-kernel scan feeds both candidate
+    * generation and verification (no second pass over the corpus).
+    *
+    * Band keys are `xxhash64` of the band's 8 minhashes (8-byte join keys)
+    * rather than the oracle's concat-string keys: a hash collision across
+    * distinct band tuples could only ADD a candidate pair, and any added pair
+    * that survives verification (est ≥ 0.9 ⇒ ≥15/16 minhashes agree ⇒ some
+    * band agrees exactly) is a true oracle row anyway — so the output set is
+    * identical while the shuffle/sort runs on fixed-width longs instead of
+    * ~60-char strings. */
+  def minhashKeyed(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
+    val keyCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
+      xxhash64(parts: _*).as(s"k$b")
+    }
+    sig.select(col("doc_id") +: col("sig") +: keyCols: _*)
+  }
+
   /** Full MinHash near-dup detection: LSH candidates verified by signature
-    * agreement (estimated Jaccard = fraction of equal minhashes). The
-    * verification join happens BEFORE the candidate-dedup shuffle, so the
-    * expensive distinct+sort runs on the small verified set, not the raw
-    * candidate explosion. `minEstJaccard` is compared on the rounded
-    * estimate (multiples of 1/16 — exactly representable). */
+    * agreement (estimated Jaccard = fraction of equal minhashes).
+    * `minEstJaccard` is compared on the rounded estimate (multiples of
+    * 1/16 — exactly representable).
+    *
+    * Plan shape, designed for the 100 TB posture:
+    *  - ONE signature scan (minhashKeyed); each exploded band row carries the
+    *    packed signature plus the earlier bands' keys, so verification needs
+    *    no join back to a signature table — the round-1 version broadcast the
+    *    full-corpus signature table twice, a guaranteed driver OOM at scale.
+    *    Extra shuffle weight is ~128 B/band-row; the join stays a plain
+    *    shuffled join on (band, bkey) at any corpus size (AQE handles skewed
+    *    buckets).
+    *  - Each surviving pair is emitted EXACTLY once without a distinct: a
+    *    pair matching in several bands is kept only at its first matching
+    *    band (later bands require an earlier band key to differ), so the
+    *    distinct shuffle over the verified set disappears. The result set is
+    *    identical to the oracle's SELECT DISTINCT because duplicate pair rows
+    *    always carry the same est_jaccard. */
   def minhashNearDupPairs(docs: DataFrame, minEstJaccard: Double,
                           textCol: String = "text"): DataFrame = {
-    val sig = minhashSignatures(docs, textCol)
-    val bands = minhashBands(sig)
-    val cand = bands.as("l")
-      .join(bands.as("r"), col("l.band") === col("r.band") &&
-        col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-    // Verification keeps signatures as PACKED arrays (one 16-long column,
-    // compared by the codegen ArrayEqCount kernel) instead of 16 scalar
-    // columns per side — slimmer pair rows, one primitive loop per pair.
-    // The signature table is tiny next to the candidate stream, so it is
-    // broadcast to keep verification map-side; past broadcast size
-    // (~100M docs) drop the hint and let AQE plan the join.
-    val sigArr = docs.select(col("doc_id"),
-      graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
-    val sa = broadcast(sigArr.toDF("a", "sig_a"))
-    val sb = broadcast(sigArr.toDF("b", "sig_b"))
+    val keyed = minhashKeyed(docs, textCol)
+    // earlier-band keys ride along only where the first-match filter needs
+    // them (bands 0..Bands-2)
+    val earlier = 0 until (Bands - 1)
+    val bandRows = keyed.select(
+      col("doc_id") +: col("sig") +: earlier.map(b => col(s"k$b")) :+
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"): _*)
+      .select(col("doc_id") +: col("sig") +: earlier.map(b => col(s"k$b")) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+    val l = bandRows.select(col("band") +: col("bkey") +:
+      col("doc_id").as("a") +: col("sig").as("sig_a") +:
+      earlier.map(b => col(s"k$b").as(s"ka$b")): _*)
+    val r = bandRows.select(col("band") +: col("bkey") +:
+      col("doc_id").as("b") +: col("sig").as("sig_b") +:
+      earlier.map(b => col(s"k$b").as(s"kb$b")): _*)
+    val firstMatch = (0 until Bands).map { b =>
+      (0 until b).map(i => col(s"ka$i") =!= col(s"kb$i"))
+        .foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
     import org.apache.spark.sql.{GraftSqlBridge => B}
     val agree = B.column(graft.functions.ArrayEqCount(
       B.expression(col("sig_a")), B.expression(col("sig_b"))))
-    cand.join(sa, "a").join(sb, "b")
+    l.join(r, Seq("band", "bkey"))
+      .where(col("a") < col("b") && firstMatch)
       .select(col("a"), col("b"),
         round(agree / lit(16.0), 4).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
-      .distinct()
   }
 
   // ---------------------------------------------------------- n-gram Jaccard
@@ -137,40 +176,92 @@ object Dedup {
         graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
 
-  /** Near-dup pairs by 3-gram Jaccard ≥ threshold. Inverted-index join: only
-    * docs sharing a shingle are ever compared. Jaccard is computed on exact
-    * distinct-shingle counts and rounded before thresholding so the oracle
-    * can't disagree at the boundary. */
+  /** Near-dup pairs by 3-gram Jaccard ≥ threshold, via prefix-filtered
+    * inverted-index join (the PPJoin family: Chaudhuri et al. ICDE'06,
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    *
+    * Round 1 joined the FULL inverted index with itself — a single hot
+    * shingle (boilerplate text) makes that self-join quadratic in its posting
+    * list, the classic skew-killer on web-scale corpora. Now only each doc's
+    * PREFIX — its `n - ceil(t·n) + 1` rarest shingles under the global
+    * (document-frequency asc, hash asc) order — enters the join.
+    *
+    * Completeness proof: if J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ t·max(na,nb),
+    * so the overlap is ≥ oA = ceil(t·na) and ≥ oB = ceil(t·nb). Let w be the
+    * first common shingle in the global order. If w were outside A's prefix,
+    * every common shingle would sit among A's last oA - 1 positions —
+    * contradicting overlap ≥ oA; so w is in A's prefix, and symmetrically in
+    * B's. Hence every qualifying pair shares a PREFIX shingle and survives
+    * candidate generation. Ordering by ascending document frequency makes
+    * hot shingles land OUTSIDE prefixes, so no posting list in the join can
+    * explode. The threshold is slackened by 1e-4 so pairs whose round(·,4)
+    * lands exactly on t are never pruned early (the oracle compares rounded
+    * values).
+    *
+    * Candidates additionally pass the size filter t·max(na,nb) ≤ min(na,nb)
+    * (J ≥ t forces it), then are verified EXACTLY: intersection of the
+    * packed per-doc shingle sets (one-pass ShingleSet kernel, no distinct
+    * shuffle), so the output is identical to the unfiltered all-pairs
+    * computation the oracle runs. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, textCol)
-    val sizes = sh.groupBy("doc_id").agg(count("*").as("nsh"))
-    val shared = sh.as("l")
-      .join(sh.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-      .agg(count("*").as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("nsh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("nsh", "nb"), "b")
+    import org.apache.spark.sql.expressions.Window
+    val tEff = threshold - 1e-4
+    val packed = docs.select(col("doc_id"),
+        graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
+      .withColumn("nsh", size(col("shs")))
+      .where(col("nsh") > 0)
+    val sh = packed.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("nsh") - ceil(col("nsh") * lit(tEff)) + 1)
+      .select(col("doc_id"), col("nsh"), col("sh"))
+    val cand = prefix.as("l").join(prefix.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id") &&
+          greatest(col("l.nsh"), col("r.nsh")) * lit(tEff) <=
+            least(col("l.nsh"), col("r.nsh")))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val pa = packed.select(col("doc_id").as("a"), col("shs").as("shs_a"),
+      col("nsh").as("na"))
+    val pb = packed.select(col("doc_id").as("b"), col("shs").as("shs_b"),
+      col("nsh").as("nb"))
+    cand.join(pa, "a").join(pb, "b")
+      .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
       .select(col("a"), col("b"),
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-dup pairs at scale: candidates limited to pairs
-    * sharing a hyperplane-LSH bucket (Similarity.bucketCol), so the self-join
-    * shuffles each vector ONCE on its bucket id instead of building all
-    * pairs. Recall for a pair at angle θ is (1-θ/π)^numPlanes — tuned via
-    * Similarity.NumPlanes / multi-probe at real scale. */
+    * sharing at least one hyperplane-LSH band key (banded OR-of-ANDs, see
+    * [[Similarity]]). Each vector is shuffled once per band on its key; a
+    * pair matching in several bands is emitted only at its first matching
+    * band (no distinct pass), mirroring minhashNearDupPairs. Recall for a
+    * pair at angle θ is 1-(1-p^r)^b with p = 1-θ/π — tuned via
+    * Similarity.Bands / RowsPerBand at real scale. */
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = Similarity.withBuckets(emb).select(col("vec_id"),
-      VectorFunctions.asDouble(col("embedding")).as("v"), col("bucket"))
+    import graft.operators.{Similarity => S}
+    val earlier = 0 until (S.Bands - 1)
+    val keyed = S.withBandKeys(emb)
+      .select(col("vec_id") +: (0 until S.Bands).map(b => col(s"k$b")) :+
+        VectorFunctions.asDouble(col("embedding")).as("v"): _*)
       .withColumn("nrm", VectorFunctions.norm(col("v")))
-    val l = e.select(col("vec_id").as("a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val r = e.select(col("vec_id").as("b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+    val rows = S.bandRows(keyed, earlier.map(b => s"k$b") ++ Seq("v", "nrm"))
+    val l = rows.select(col("band") +: col("key") +:
+      col("vec_id").as("a") +: col("v").as("va") +: col("nrm").as("na") +:
+      earlier.map(b => col(s"k$b").as(s"ka$b")): _*)
+    val r = rows.select(col("band") +: col("key") +:
+      col("vec_id").as("b") +: col("v").as("vb") +: col("nrm").as("nb") +:
+      earlier.map(b => col(s"k$b").as(s"kb$b")): _*)
+    val firstMatch = (0 until S.Bands).map { b =>
+      (0 until b).map(i => col(s"ka$i") =!= col(s"kb$i"))
+        .foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
+    l.join(r, Seq("band", "key"))
+      .where(col("a") < col("b") && firstMatch)
       .select(col("a"), col("b"),
         round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cos"))
@@ -191,14 +282,28 @@ object Dedup {
     * Determinism contract: widening, sequential dot order, and HALF_UP
     * rounding replicate exactly what the declarative form (and the DuckDB
     * oracle) compute, so results hash-match. */
+  /** Hard ceiling on the collected probe set (rows). The probe side lives on
+    * the driver and rides an executor broadcast; an unbounded probe set is a
+    * driver OOM, so exceeding the cap fails LOUDLY instead of degrading. */
+  val MaxProbeRows: Int = 100000
+
   def embeddingNearDupPairs(emb: DataFrame, maxProbeId: Long,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxProbeRows: Int = MaxProbeRows): DataFrame = {
     val spark = emb.sparkSession
     import org.apache.spark.sql.{Encoders, Row}
-    val probes: Array[(Long, Array[Double], Double)] = emb
+    val collected = emb
       .where(col("vec_id") < maxProbeId)
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")))
+      .limit(maxProbeRows + 1)
       .collect()
+    if (collected.length > maxProbeRows)
+      throw new IllegalStateException(
+        s"embeddingNearDupPairs: probe set exceeds $maxProbeRows rows " +
+          s"(vec_id < $maxProbeId). This operator brute-forces a BOUNDED " +
+          "probe set on the driver; for an unbounded corpus use " +
+          "embeddingNearDupLsh (banded LSH, fully distributed).")
+    val probes: Array[(Long, Array[Double], Double)] = collected
       .map { r =>
         val v = r.getSeq[Double](1).toArray
         (r.getLong(0), v, math.sqrt(dotArr(v, v)))

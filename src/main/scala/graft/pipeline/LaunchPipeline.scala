@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -34,7 +33,11 @@ object LaunchPipeline {
     launchEvents(raw).as[LaunchEvent]
   }
 
-  /** Zone layout rooted at a base dir (stand-in for `s3://datalake`). */
+  /** Zone layout rooted at a base URI. Any Hadoop filesystem works — a bare
+    * local path, `file://`, `s3a://bucket/prefix` (the reference's MinIO
+    * layout, docker-compose.yaml:338-358), or any scheme registered via
+    * `fs.<scheme>.impl`: every reader/writer below goes through the
+    * Hadoop FS layer, so object-store support is configuration, not code. */
   final case class Zones(base: String) {
     def raw(date: LocalDate): String = s"$base/raw/launch/$date.json"
     val processed: String = s"$base/processed/launch"
@@ -81,15 +84,23 @@ object LaunchPipeline {
   /** Raw-zone landing with the reference's at-most-once semantics
     * (dags/rocket_launch_etl.py:53-63: `load_string` guarded by a key-exists
     * check). Returns true if written, false if the key already existed.
+    * Goes through the Hadoop FS layer so the raw zone can live on any
+    * filesystem URI the `Zones` base names (local, s3a, custom scheme).
     */
-  def putRaw(zones: Zones, date: LocalDate, body: String): Boolean = {
-    val p: Path = Paths.get(zones.raw(date))
-    Files.createDirectories(p.getParent)
+  def putRaw(zones: Zones, date: LocalDate, body: String,
+             conf: org.apache.hadoop.conf.Configuration =
+               new org.apache.hadoop.conf.Configuration()): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(zones.raw(date))
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) return false
     try {
-      Files.write(p, body.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      val out = fs.create(p, false) // no overwrite: at-most-once under races
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 
   /** Entry point A (SURVEY.md §3.1): fetch one day's launches, land raw. */
@@ -186,5 +197,24 @@ object LaunchPipeline {
     ingest(zones, runDate, fetch)
     transform(spark, zones, runDate)
     publish(spark, zones, runDate)
+  }
+
+  /** Backfill: run every day in [start, endExclusive) — the engine-level
+    * analog of an Airflow date-range backfill (the reference gets this from
+    * the scheduler: interval semantics per
+    * dags/student/student_rocket_launch_etl.py:43-47, catchup config
+    * dags/rocket_launch_etl.py:145). Days are INDEPENDENT: each lands its
+    * own raw key (at-most-once), rewrites only its own `net=` partitions
+    * (dynamic overwrite), and re-running any subset is idempotent — so a
+    * scheduler may also run days concurrently; this sequential driver is the
+    * deterministic default. Returns the dates run. */
+  def runRange(spark: SparkSession, zones: Zones, start: LocalDate,
+               endExclusive: LocalDate, fetch: PageFetcher): Seq[LocalDate] = {
+    require(!endExclusive.isBefore(start),
+      s"runRange: endExclusive $endExclusive precedes start $start")
+    val days = Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(_.isBefore(endExclusive)).toSeq
+    days.foreach(run(spark, zones, _, fetch))
+    days
   }
 }

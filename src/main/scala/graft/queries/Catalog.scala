@@ -104,7 +104,8 @@ object Catalog {
   val q08 = Q("q08_roundtrip",
     (s, d) => {
       val day = "2024-01-02"
-      val out = s"${sys.props("java.io.tmpdir")}/graft_q08_${math.abs(d.hashCode)}"
+      // per-invocation unique dir: concurrent harness runs must not collide
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q08_${java.util.UUID.randomUUID}"
       val part = t(s, d, "events")
         .withColumn("dt", to_date(col("ts")))
         .where(col("dt") === lit(java.sql.Date.valueOf(day)))
@@ -315,39 +316,54 @@ object Catalog {
            |  WHERE l.vec_id < 500) p
            |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin))
 
-  /** E7 LSH-bucketed ANN: top-3 neighbors for each query vec_id<5, compared
-    * only within hyperplane sign buckets. */
-  val x22 = Q("x22_sim_lsh",
-    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3)
-      .orderBy("qid", "rn"),
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            |  FROM embeddings),
-            |b AS (SELECT vec_id, v, ${Similarity.duckBucket("v")} AS bucket,
-            |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
-            |scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
-            |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
-            |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-            |  WHERE q.vec_id < 5),
-            |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
-            |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored)
-            |SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= 3
-            |ORDER BY qid, rn""".stripMargin))
+  private def duckBandKeys: String =
+    (0 until Similarity.Bands)
+      .map(b => s"${Similarity.duckBandKey("v", b)} AS k$b").mkString(",\n  ")
 
-  /** E7/E8 near-dup at scale: pairs within the same LSH bucket with
-    * cos ≥ 0.3 — the shuffle-once variant of x21 (which brute-forces a
+  /** E7 banded-LSH ANN: top-3 neighbors for each query vec_id<5, candidates =
+    * vectors matching any of the query's band keys within Hamming distance 1
+    * (multi-probe). */
+  val x22 = Q("x22_sim_lsh",
+    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3, probe = 1)
+      .orderBy("qid", "rn"),
+    Some {
+      val anyBandProbe = (0 until Similarity.Bands)
+        .map(b => s"bit_count(xor(q.k$b, c.k$b)) <= 1").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |  $duckBandKeys,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+         |  FROM b q JOIN b c ON c.vec_id <> q.vec_id AND ($anyBandProbe)
+         |  WHERE q.vec_id < 5),
+         |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
+         |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored)
+         |SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin
+    })
+
+  /** E7/E8 near-dup at scale: pairs sharing any LSH band key with cos ≥ 0.3 —
+    * the banded shuffle-per-band variant of x21 (which brute-forces a
     * bounded probe set). */
   val x34 = Q("x34_dedup_embedding_lsh",
     (s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), 0.3)
       .orderBy("a", "b"),
-    Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            |  FROM embeddings),
-            |e AS (SELECT vec_id, v, ${Similarity.duckBucket("v")} AS bucket,
-            |  sqrt(list_dot_product(v, v)) AS nrm FROM e0)
-            |SELECT a, b, cos FROM (
-            |  SELECT l.vec_id AS a, r.vec_id AS b,
-            |    round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 4) AS cos
-            |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) p
-            |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin))
+    Some {
+      val anyBand = (0 until Similarity.Bands)
+        .map(b => s"l.k$b = r.k$b").mkString(" OR ")
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, v,
+         |  $duckBandKeys,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM e0)
+         |SELECT a, b, cos FROM (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 4) AS cos
+         |  FROM e l JOIN e r ON l.vec_id < r.vec_id AND ($anyBand)) p
+         |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin
+    })
 
   // --------------------------------------------------- extended: text tier
 

@@ -203,18 +203,57 @@ object Transport {
   }
 }
 
-/** Real transport: java.net.http with a sane timeout. */
+/** Thrown for a non-2xx response; carries the status so the retry policy can
+  * distinguish transient (5xx/429) from permanent (other 4xx) failures. */
+final class HttpStatusException(val status: Int, url: String)
+    extends java.io.IOException(s"HTTP $status for $url")
+
+/** Bounded retry/backoff around any transport — the engine-level analog of
+  * the task retries Airflow gives the reference for free (operator config
+  * around dags/rocket_launch_etl.py:142-164). Retries connection errors and
+  * transient statuses (5xx, 429) with exponential backoff; permanent 4xx
+  * failures propagate immediately. `sleep` is injectable so specs don't
+  * wait. */
+final case class RetryingTransport(inner: Transport, maxAttempts: Int = 3,
+                                   initialBackoffMs: Long = 500,
+                                   sleep: Long => Unit = Thread.sleep)
+    extends Transport {
+  private def transient(e: java.io.IOException): Boolean = e match {
+    case s: HttpStatusException => s.status >= 500 || s.status == 429
+    case _ => true // connect/timeout/reset
+  }
+  override def get(url: String): String = {
+    var attempt = 1
+    while (true) {
+      try return inner.get(url)
+      catch {
+        case e: java.io.IOException if attempt < maxAttempts && transient(e) =>
+          sleep(initialBackoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Real transport: java.net.http with a sane timeout and bounded retry. */
 object HttpTransport extends Transport {
   @transient private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(30)).build()
-  override def get(url: String): String = {
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .timeout(java.time.Duration.ofSeconds(60)).GET().build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
-    resp.body()
+
+  private object Raw extends Transport {
+    override def get(url: String): String = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new HttpStatusException(resp.statusCode(), url)
+      resp.body()
+    }
   }
+
+  @transient private lazy val retrying = RetryingTransport(Raw)
+  override def get(url: String): String = retrying.get(url)
 }
 
 /** In-JVM fake for tests (local mode only): exact-URL → body registry plus a

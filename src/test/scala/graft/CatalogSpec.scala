@@ -66,4 +66,21 @@ class CatalogSpec extends AnyFunSuite {
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("x28 approx distinct is within HLL tolerance of the exact per-day counts") {
+    // E9 has no hash oracle by design (engine-specific sketch); this gates
+    // plausibility instead: every day's approx_count_distinct must sit
+    // within a generous multiple of the default rsd (0.05) of q05's exact
+    // COUNT(DISTINCT user_id).
+    val exact = Catalog.queries("q05_daily_distinct")(spark, sf0001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = Catalog.queries("x28_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((d, a) <- approx) {
+      val e = exact(d).toDouble
+      assert(math.abs(a - e) / e <= 0.15,
+        s"day $d: approx $a vs exact $e exceeds 15% tolerance")
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.http.FakeTransport
+import graft.sources.http.{FakeTransport, HttpStatusException, RetryingTransport, Transport}
 
 /** The DSv2 HTTP source: filter pushdown to query params, one partition per
   * page, nested-null flattening. */
@@ -74,5 +74,44 @@ class HttpLaunchSourceSpec extends AnyFunSuite {
     val df = spark.read.format(fmt)
       .option("url", base).option("transport", "fake").load()
     assert(df.count() == 0)
+  }
+
+  test("retrying transport survives transient failures with backoff") {
+    var calls = 0
+    val flaky = new Transport {
+      override def get(url: String): String = {
+        calls += 1
+        if (calls <= 2) throw new HttpStatusException(503, url)
+        "ok"
+      }
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t = RetryingTransport(flaky, maxAttempts = 3, initialBackoffMs = 100,
+      sleep = sleeps += _)
+    assert(t.get("u") == "ok")
+    assert(calls == 3)
+    assert(sleeps.toSeq == Seq(100L, 200L)) // exponential backoff
+  }
+
+  test("retrying transport gives up after maxAttempts and skips permanent 4xx") {
+    var calls = 0
+    val alwaysDown = new Transport {
+      override def get(url: String): String = {
+        calls += 1; throw new HttpStatusException(500, url)
+      }
+    }
+    val t = RetryingTransport(alwaysDown, maxAttempts = 3, sleep = _ => ())
+    intercept[HttpStatusException] { t.get("u") }
+    assert(calls == 3)
+
+    var calls4 = 0
+    val notFound = new Transport {
+      override def get(url: String): String = {
+        calls4 += 1; throw new HttpStatusException(404, url)
+      }
+    }
+    val t4 = RetryingTransport(notFound, maxAttempts = 3, sleep = _ => ())
+    intercept[HttpStatusException] { t4.get("u") }
+    assert(calls4 == 1) // permanent failure: no retry
   }
 }

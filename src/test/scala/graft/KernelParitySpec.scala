@@ -101,6 +101,41 @@ class KernelParitySpec extends AnyFunSuite {
     assert(got == Seq(Some(87L), Some(-3L), None, None, Some(7L), None, Some(12L)))
   }
 
+  test("HyperplaneBandKeys kernel ≡ declarative plane-dot band keys") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf0001, "embeddings")
+    val kernel = Similarity.withBandKeys(emb)
+      .select(col("vec_id") +:
+        (0 until Similarity.Bands).map(b => col(s"k$b")): _*)
+    val declarative = emb.select(col("vec_id") +:
+      (0 until Similarity.Bands).map(b =>
+        Similarity.bandKeyCol(col("embedding"), b).as(s"k$b")): _*)
+    assert(kernel.except(declarative).count() == 0)
+    assert(declarative.except(kernel).count() == 0)
+  }
+
+  test("JsonLongField is quote-aware and overflow-safe") {
+    import spark.implicits._
+    val df = Seq(
+      // needle inside a quoted VALUE must not match; the real key wins
+      """{"a": "... \"k\": 5 ...", "k": 9}""",
+      // key only occurs inside a string value → absent
+      """{"a": "\"k\": 5"}""",
+      // quoted integer parses like CAST(json_extract_string(...) AS BIGINT)
+      """{"k": "12"}""",
+      """{"k": " -7 "}""",
+      // quoted non-integer → null
+      """{"k": "12x"}""",
+      // >18 digits: no silent Long wrap
+      """{"k": 99999999999999999999}""",
+      """{"k": 999999999999999999}""")
+      .toDF("props")
+    val got = df.select(TextHashFunctions.jsonLong(col("props"), "k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(Some(9L), None, Some(12L), Some(-7L), None, None,
+      Some(999999999999999999L)))
+  }
+
   test("kernels handle edge inputs like the declarative forms") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "   "), (3L, "a"), (4L, "  x  y  "))

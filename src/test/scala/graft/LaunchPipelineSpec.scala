@@ -83,6 +83,46 @@ class LaunchPipelineSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("runRange backfills independent days and re-runs idempotently") {
+    val z = freshZones()
+    def bodyFor(d: LocalDate): String =
+      fixtureA1.replaceAll("2024-12-01", d.toString)
+    val fetch: LP.PageFetcher = (start, _, _) => bodyFor(start)
+    val start = day
+    val end = day.plusDays(3)
+    val ran = LP.runRange(spark, z, start, end, fetch)
+    assert(ran == Seq(day, day.plusDays(1), day.plusDays(2)))
+    val processed = spark.read.parquet(z.processed)
+    assert(processed.count() == 6) // 2 rows × 3 days
+    assert(processed.select("net").distinct().count() == 3)
+    // re-running the same range neither duplicates rows nor re-lands raw
+    LP.runRange(spark, z, start, end, fetch)
+    assert(spark.read.parquet(z.processed).count() == 6)
+    assert(spark.read.parquet(z.reports).count() == 6)
+    // empty range is a no-op, inverted range fails loudly
+    assert(LP.runRange(spark, z, start, start, fetch).isEmpty)
+    intercept[IllegalArgumentException] {
+      LP.runRange(spark, z, end, start, fetch)
+    }
+  }
+
+  test("zones accept any Hadoop FS URI: pipeline runs on a custom scheme") {
+    // a scheme that resolves to RawLocalFileSystem proves the pathing goes
+    // through the Hadoop FS layer (the s3a:// seam) without needing live S3
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val dir = Files.createTempDirectory("graft_lp_uri").toString
+    val z = LP.Zones(s"graftfs://$dir")
+    assert(LP.putRaw(z, day, fixtureA1, hc))
+    assert(!LP.putRaw(z, day, """{"count":0,"results":[]}""", hc)) // at-most-once
+    // the bytes really landed on the backing store
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/raw/launch/$day.json"))
+      == fixtureA1)
+    LP.transform(spark, z, day)
+    LP.publish(spark, z, day)
+    assert(spark.read.parquet(z.reports).count() == 2)
+  }
+
   test("ingest follows pagination; reference would drop page 2 (C1 fix)") {
     val page1 =
       """{"count": 2, "next": "https://api/launches/?offset=1", "previous": null,

@@ -114,15 +114,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top(1).getLong(0) == 1L && top(1).getDouble(1) > 0.999)
   }
 
-  test("lsh buckets: identical vectors share a bucket, opposite vectors don't") {
+  test("embeddingNearDupPairs fails loudly past the probe cap") {
+    val emb = (0L until 5L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Dedup.embeddingNearDupPairs(emb, maxProbeId = 5L, threshold = 0.0,
+        maxProbeRows = 3)
+    }
+    assert(e.getMessage.contains("probe set exceeds"))
+    // within the cap the operator works as before
+    assert(Dedup.embeddingNearDupPairs(emb, 2L, 0.0, maxProbeRows = 3)
+      .count() > 0)
+  }
+
+  test("lsh band keys: identical vectors share every band key, opposite vectors none") {
     val emb = Seq(
       (0L, Array.fill(64)(1f)),
       (1L, Array.fill(64)(1f)),
       (2L, Array.fill(64)(-1f))).toDF("vec_id", "embedding")
-    val b = Similarity.withBuckets(emb).select("vec_id", "bucket")
-      .orderBy("vec_id").collect().map(_.getLong(1))
-    assert(b(0) == b(1))
-    assert(b(0) != b(2))
+    val keys = Similarity.withBandKeys(emb)
+      .select(col("vec_id") +: (0 until Similarity.Bands).map(b => col(s"k$b")): _*)
+      .orderBy("vec_id").collect()
+      .map(r => (1 to Similarity.Bands).map(r.getLong))
+    assert(keys(0) == keys(1))
+    // opposite sign pattern on every plane ⇒ complementary key in every band
+    (0 until Similarity.Bands).foreach(b => assert(keys(0)(b) != keys(2)(b)))
   }
 
   test("language id picks the profile language; und for no hits") {
