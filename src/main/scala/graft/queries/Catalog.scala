@@ -586,6 +586,200 @@ object Catalog {
            |SELECT user_id FROM events WHERE event_type = 'error'
            |ORDER BY user_id""".stripMargin))
 
+  // ------------------------------------ extended round 2: wider surface
+  // (bench=false: the headline bench set stays the round-1-comparable set;
+  // these are correctness/coverage surface, all floor-bound at sf0.1)
+
+  /** TF-IDF top-3 terms for the first 5 docs: per-doc term frequency ×
+    * ln(N/df) over the FULL corpus — the canonical composite of tokenize +
+    * two aggregations + join + ranking window. Ranking is on the ROUNDED
+    * score (tie-broken by token) so cross-engine libm ulps cannot flip
+    * ranks. */
+  val x39 = Q("x39_tfidf",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(expr(Portable.tokens(SparkD, "text"))).as("token"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val tf = toks.where(col("doc_id") < 5)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
+      Relational.topKPerGroup(scored, Seq("doc_id"),
+        Seq(col("tfidf").desc, col("token")), 3)
+        .select("doc_id", "rn", "token", "tfidf")
+        .orderBy("doc_id", "rn")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+            |  unnest(${Portable.tokens(DuckD, "text")}) AS token FROM documents),
+            |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+            |  FROM toks GROUP BY 1),
+            |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+            |  WHERE doc_id < 5 GROUP BY 1, 2),
+            |scored AS (SELECT tf.doc_id, tf.token,
+            |    round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+            |  FROM tf JOIN dfreq ON tf.token = dfreq.token, n),
+            |ranked AS (SELECT doc_id, token, tfidf, row_number() OVER (
+            |  PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored)
+            |SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3
+            |ORDER BY doc_id, rn""".stripMargin),
+    bench = false)
+
+  /** Deterministic train/valid/test split by content fingerprint — the
+    * standard reproducible holdout for a training corpus: split follows the
+    * DOCUMENT (rolling-hash fingerprint mod 100), not row order, so any
+    * engine/partitioning assigns identically. */
+  val x40 = Q("x40_hash_split",
+    (s, d) => t(s, d, "documents")
+      .select((graft.functions.TextHashFunctions.fingerprint(col("text")) % 100)
+        .as("h"))
+      .select(when(col("h") < 80, "train").when(col("h") < 90, "valid")
+        .otherwise("test").as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .orderBy("split"),
+    Some(s"""WITH h AS (SELECT doc_id,
+            |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
+            |  FROM documents),
+            |f AS (SELECT ${Portable.fingerprint(DuckD, "hs")} % 100 AS hh FROM h)
+            |SELECT CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'valid'
+            |  ELSE 'test' END AS split, COUNT(*) AS n
+            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
+  /** Edit-distance near-dup pairs on a bounded window (doc_id < 100):
+    * levenshtein ≤ 0.6·max(len), compared in exact integer arithmetic
+    * (10·lev ≤ 6·max) so the boundary is engine-independent. The all-pairs
+    * form is deliberate — this is the expensive exact verifier one runs on
+    * a SMALL candidate set (the scale path generates candidates with
+    * x18/x20-style LSH first). */
+  val x41 = Q("x41_lev_neardup",
+    (s, d) => {
+      val w = t(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val l = w.toDF("a", "ta")
+      val r = w.toDF("b", "tb")
+      l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("bigint").as("lev"),
+          greatest(length(col("ta")), length(col("tb"))).as("mx"))
+        .where(lit(10) * col("lev") <= lit(6) * col("mx"))
+        .select("a", "b", "lev")
+        .orderBy("a", "b")
+    },
+    Some("""SELECT a.doc_id AS a, b.doc_id AS b,
+           |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+           |FROM documents a, documents b
+           |WHERE a.doc_id < 100 AND b.doc_id < 100 AND a.doc_id < b.doc_id
+           |  AND 10 * levenshtein(a.text, b.text)
+           |      <= 6 * greatest(length(a.text), length(b.text))
+           |ORDER BY a, b""".stripMargin),
+    bench = false)
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: events per (day × event_type) as one column per type, with the
+    * value list pinned (never inferred — an inference scan is an extra pass
+    * and nondeterministic column order at scale). */
+  val x42 = Q("x42_pivot",
+    (s, d) => t(s, d, "events")
+      .withColumn("d", to_date(col("ts")))
+      .groupBy("d").pivot("event_type", eventTypes).agg(count(lit(1)))
+      .select(col("d") +: eventTypes.map(tp =>
+        coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy("d"),
+    Some {
+      val cols = eventTypes.map(tp =>
+        s"COUNT(CASE WHEN event_type = '$tp' THEN 1 END) AS $tp").mkString(",\n  ")
+      s"""SELECT CAST(ts AS DATE) AS d,
+         |  $cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    bench = false)
+
+  /** Explicit GROUPING SETS (beyond the ROLLUP/CUBE shorthands of x31/x37),
+    * via pure spark.sql over the registered corpus views. */
+  val x43 = Q("x43_grouping_sets",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+              |FROM events
+              |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+              |                        (event_type), ())
+              |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+           |FROM events
+           |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+           |                        (event_type), ())
+           |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin),
+    bench = false)
+
+  /** Correlated EXISTS subquery (planned by Catalyst as a left-semi join —
+    * the subquery surface q10's NOT IN complement). */
+  val x44 = Q("x44_exists_subquery",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+           |ORDER BY c_custkey""".stripMargin),
+    bench = false)
+
+  /** Sliding window frame: 3-event moving sum of `value` per user. The sum
+    * runs in DECIMAL so frame-order float effects cannot exist; the cast to
+    * double of an exact decimal is engine-independent. */
+  val x45 = Q("x45_window_frame",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double"), 4).as("mv3"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS mv3
+           |FROM events ORDER BY user_id, event_id""".stripMargin),
+    bench = false)
+
+  /** Batch sessionization: sessions = gaps > 30 min between a user's
+    * consecutive events (the batch analog of the streaming sessionizer in
+    * graft.streaming.EventStreams). */
+  val x46 = Q("x46_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id").agg(sum("new_s").as("n_sessions"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, SUM(CASE WHEN prev IS NULL
+           |    OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+           |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+           |  FROM events) t
+           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -602,7 +796,7 @@ object Catalog {
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
-    x37, x38)
+    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -48,7 +48,15 @@ class CatalogSpec extends AnyFunSuite {
     "x35_full_outer" -> Seq("k", "n_orders", "known_customer"),
     "x36_window_lag" -> Seq("user_id", "event_id", "gap_us"),
     "x37_cube_agg" -> Seq("event_type", "d", "n"),
-    "x38_except_all" -> Seq("user_id"))
+    "x38_except_all" -> Seq("user_id"),
+    "x39_tfidf" -> Seq("doc_id", "rn", "token", "tfidf"),
+    "x40_hash_split" -> Seq("split", "n"),
+    "x41_lev_neardup" -> Seq("a", "b", "lev"),
+    "x42_pivot" -> Seq("d", "click", "error", "purchase", "signup", "view"),
+    "x43_grouping_sets" -> Seq("event_type", "d", "n"),
+    "x44_exists_subquery" -> Seq("c_custkey"),
+    "x45_window_frame" -> Seq("user_id", "event_id", "mv3"),
+    "x46_sessionize" -> Seq("user_id", "n_sessions"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
