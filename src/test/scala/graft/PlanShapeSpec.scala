@@ -66,4 +66,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
       s"expected window exec in:\n$plan")
   }
+
+  test("x18 minhash plan carries NO broadcast hint and no pair-level distinct (scale posture)") {
+    // round 1 FORCED a broadcast of the full-corpus signature table twice
+    // (driver OOM at scale) and ended with a distinct over all verified
+    // pairs; the rewrite carries signatures through the band join and emits
+    // each pair once. At sf0.001 the optimizer may still pick a size-based
+    // broadcast (correct — it won't at scale), so the guard is on the HINT,
+    // which would force one at any size.
+    val df = Catalog.queries("x18_dedup_minhash")(spark, sf0001)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("broadcast"),
+      s"forced broadcast crept back into x18:\n$logical")
+    // no Aggregate over the verified pair stream (the union branches are a
+    // group-explode and the band join; dedup is by first-matching-band)
+    assert(!logical.contains("Deduplicate"),
+      s"pair-level distinct crept back into x18:\n$logical")
+  }
+
+  test("x22 ANN broadcasts ONLY the bounded probe side") {
+    val plan = planOf(Catalog.queries("x22_sim_lsh")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast of the probe side in:\n$plan")
+    // the candidate corpus must NOT be broadcast: the only broadcast exchange
+    // feeds from the filtered (vec_id < maxQueryId) probe subtree
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts == 1, s"expected exactly one broadcast exchange in:\n$plan")
+  }
+
+  test("x20 ngram verification runs on packed sets, candidates from prefix join") {
+    val plan = planOf(Catalog.queries("x20_dedup_ngram")(spark, sf0001))
+    assert(plan.contains("array_intersect"),
+      s"expected packed-set verification in:\n$plan")
+    assert(plan.contains("graft_shingle_set"),
+      s"expected the one-pass shingle kernel in:\n$plan")
+  }
 }

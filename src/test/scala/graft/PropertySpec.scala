@@ -119,6 +119,69 @@ class PropertySpec extends AnyFunSuite {
     assert(g.toSeq == e.toSeq, s"docs=${docs.mkString(" | ")}")
   }
 
+  private def round4(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("ngram prefix filtering loses no pair vs brute-force Jaccard (completeness)") {
+    // small vocab forces heavy shingle sharing — the regime where a buggy
+    // prefix filter would drop qualifying pairs
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val smallDocGen: Gen[String] =
+      Gen.listOfN(10, Gen.oneOf(vocab)).map(_.mkString(" "))
+    for (threshold <- Seq(0.5, 0.8)) {
+      val texts = samples(smallDocGen, 30).distinct
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.ngramJaccardPairs(docs, threshold)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // independent brute force on the driver over the same shingle sets
+      val sets = graft.operators.Dedup.shingles(docs, "text")
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        j = round4(inter.toDouble / (sets(a).size + sets(b).size - inter))
+        if j >= threshold
+      } yield (a, b)).toSet
+      assert(got == expected,
+        s"t=$threshold missing=${expected -- got} spurious=${got -- expected}")
+    }
+  }
+
+  test("signature-grouped minhash pairs ≡ ungrouped candidate+verify (brute force)") {
+    // duplicated texts force non-trivial signature groups (the grouped path's
+    // intra-group shortcut) alongside cross-group band matches
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val smallDocGen: Gen[String] =
+      Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val base = samples(smallDocGen, 25)
+    val texts = base ++ base.take(8) // exact dups → shared signatures
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val threshold = 0.75
+    val got = graft.operators.Dedup.minhashNearDupPairs(docs, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // driver-side reference: all pairs, candidates = any band fully equal,
+    // est = rounded fraction of agreeing minhashes
+    val sigs = docs.select(col("doc_id"),
+        TextHashFunctions.minhashSig(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val rpb = graft.operators.Dedup.RowsPerBand
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      sa = sigs(a); sb = sigs(b)
+      bandMatch = (0 until graft.operators.Dedup.Bands).exists(band =>
+        (0 until rpb).forall(j => sa(band * rpb + j) == sb(band * rpb + j)))
+      if bandMatch
+      est = round4(sa.zip(sb).count { case (x, y) => x == y } / 16.0)
+      if est >= threshold
+    } yield (a, b, est)).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
   test("timestamp→date cast round-trips through parquet write/read") {
     val ev = Tables.events(spark, sf0001).withColumn("d", to_date(col("ts")))
     val dir = Files.createTempDirectory("graft_prop_cast").toString
