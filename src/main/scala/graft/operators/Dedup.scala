@@ -247,6 +247,10 @@ object Dedup {
       .withColumn("nsh", size(col("shs")))
       .where(col("nsh") > 0)
     val sh = packed.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
+    // df comes from a plain count agg (never a posting LIST — a boilerplate
+    // shingle shared by 10% of a web corpus would make one giant row);
+    // the join distributes each shingle's df to its docs, the window picks
+    // each doc's prefix. All three shuffles move slim fixed-width rows.
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val prefix = sh.join(dfreq, "sh")
