@@ -180,6 +180,24 @@ object LaunchPipeline {
     spark.catalog.recoverPartitions(table)
   }
 
+  /** Schema-drift gate for the serving table (closing a gap SURVEY §1.3
+    * notes in the reference: the Hive DDL is schema-on-read and NOTHING
+    * validates it against the files — DDL and parquet can silently diverge).
+    * Compares the catalog schema with the parquet footer schema at the
+    * reports location and fails loudly on any name/type mismatch
+    * (nullability excluded: parquet stats refine it legitimately). */
+  def validateServingSchema(spark: SparkSession, zones: Zones,
+                            table: String = "launch_events"): Unit = {
+    def shape(s: org.apache.spark.sql.types.StructType): Set[(String, String)] =
+      s.fields.map(f => (f.name, f.dataType.simpleString)).toSet
+    val catalog = shape(spark.table(table).schema)
+    val files = shape(spark.read.parquet(zones.reports).schema)
+    if (catalog != files)
+      throw new IllegalStateException(
+        s"schema drift between catalog table $table and ${zones.reports}: " +
+          s"catalog-only=${catalog -- files}, files-only=${files -- catalog}")
+  }
+
   /** C13: the reference's one analytical query
     * (src/sql/query/daily_launch_events.sql:1-5) — events per day,
     * deduplicated by id. Plans as partial/final HashAggregate with a distinct

@@ -780,6 +780,32 @@ object Catalog {
            |GROUP BY user_id ORDER BY user_id""".stripMargin),
     bench = false)
 
+  /** Cross-document boilerplate detection: the 3-gram shingles appearing in
+    * the most documents (df ≥ 2) — the first diagnostic one runs before
+    * near-dup removal on a web corpus (boilerplate drives both false
+    * near-dups and the x20 hot-shingle skew this engine prefix-filters).
+    * String shingles here (not hashes): the report is human-facing. */
+  val x47 = Q("x47_boilerplate_ngrams",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"))
+      toks.select(col("doc_id"),
+          explode(expr(Dedup.shingleExprSpark("toks"))).as("sh"))
+        .distinct()
+        .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("sh")).limit(20)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |sh0 AS (SELECT doc_id, unnest(${Dedup.shingleExprDuck("toks")}) AS sh
+            |  FROM t0),
+            |sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
+            |SELECT sh, COUNT(*) AS n_docs FROM sh
+            |GROUP BY sh HAVING COUNT(*) >= 2
+            |ORDER BY n_docs DESC, sh LIMIT 20""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -796,7 +822,7 @@ object Catalog {
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
-    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46)
+    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -56,7 +56,8 @@ class CatalogSpec extends AnyFunSuite {
     "x43_grouping_sets" -> Seq("event_type", "d", "n"),
     "x44_exists_subquery" -> Seq("c_custkey"),
     "x45_window_frame" -> Seq("user_id", "event_id", "mv3"),
-    "x46_sessionize" -> Seq("user_id", "n_sessions"))
+    "x46_sessionize" -> Seq("user_id", "n_sessions"),
+    "x47_boilerplate_ngrams" -> Seq("sh", "n_docs"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -42,6 +42,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization ≡ batch x46 per-user session counts on the corpus") {
+    // batch b1 = the whole sf0.001 events table; then two far-future
+    // sentinel batches: the first advances the watermark past every real
+    // session's timeout, the second makes the timeouts fire
+    // (maxFilesPerTrigger=1 ⇒ one file per micro-batch, watermark advances
+    // between them). Sentinel user -1 is excluded from the comparison (its
+    // own session never closes).
+    val dir = Files.createTempDirectory("graft_sess_parity").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/b1"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/b1/events.parquet"))
+    def sentinel(file: String, ns: Long): Unit =
+      Seq((9000001L, ns, -1L, "x", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$file")
+    sentinel("b2", 1900000000000000000L) // ≈2030, ns precision
+    sentinel("b3", 1990000000000000000L)
+    val src = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.sessionize(src.as[Event],
+        gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .where(col("user_id") >= 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      val batch = graft.queries.Catalog
+        .queries("x46_sessionize")(spark, sf0001)
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("sessionization closes a session after the event-time gap") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_sessions").toString

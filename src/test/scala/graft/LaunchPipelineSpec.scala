@@ -123,6 +123,30 @@ class LaunchPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(z.reports).count() == 2)
   }
 
+  test("serving-schema drift is detected (C8 gap the reference leaves open)") {
+    val z = freshZones()
+    val table = s"launch_events_drift_${math.abs(z.base.hashCode)}"
+    LP.putRaw(z, day, fixtureA1)
+    LP.transform(spark, z, day)
+    LP.publish(spark, z, day)
+    LP.registerTable(spark, z, table)
+    LP.validateServingSchema(spark, z, table) // in-sync: passes
+    // a drifted catalog declaration over the SAME files must fail loudly
+    val drifted = s"${table}_v2"
+    spark.sql(
+      s"""CREATE TABLE $drifted
+         |  (id STRING, url STRING, name STRING, status STRING,
+         |   image_url STRING, license STRING, extra_col INT, net DATE)
+         |USING PARQUET PARTITIONED BY (net)
+         |LOCATION '${z.reports}'""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      LP.validateServingSchema(spark, z, drifted)
+    }
+    assert(e.getMessage.contains("extra_col"))
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE $drifted")
+  }
+
   test("ingest follows pagination; reference would drop page 2 (C1 fix)") {
     val page1 =
       """{"count": 2, "next": "https://api/launches/?offset=1", "previous": null,
