@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Fingerprint, JsonLongField, MinHashSig, SimHash}
+import graft.functions.{ArrayEqCount, DotProduct, Fingerprint, HyperplaneBandKeys, JsonLongField, MinHashSig, ShingleSet, SimHash}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so every
   * operator is reachable from pure `spark.sql(...)` as well as the Column
@@ -36,5 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_json_long", "graft_json_long(json, 'key') - single-scan integer field extraction"),
       (args: Seq[Expression]) => JsonLongField(args(0),
         args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
+    e.injectFunction((FunctionIdentifier("graft_shingle_set"),
+      info("graft_shingle_set", "graft_shingle_set(text) - distinct xxhash64'd 3-gram token shingles"),
+      (args: Seq[Expression]) => ShingleSet(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_array_eq_count"),
+      info("graft_array_eq_count", "graft_array_eq_count(a, b) - positions where two array<bigint> agree"),
+      (args: Seq[Expression]) => ArrayEqCount(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("graft_band_keys"),
+      info("graft_band_keys", "graft_band_keys(v, bands, rowsPerBand, dim) - hyperplane-LSH band keys over array<double>"),
+      (args: Seq[Expression]) => HyperplaneBandKeys(args(0),
+        intArg(args(1)), intArg(args(2)), intArg(args(3)))))
   }
+
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
 }

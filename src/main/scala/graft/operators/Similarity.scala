@@ -96,6 +96,47 @@ object Similarity {
       .select(col("vec_id") +: carry.map(col) :+
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
 
+  /** IVF-flat ANN: coarse-quantize every vector to its nearest centroid
+    * cell, probe the query's `nprobe` nearest cells, rank candidates by
+    * exact cosine. The LSH alternative with data-adaptive cells — at 100 TB
+    * the cell assignment is one broadcast of the (small) centroid table +
+    * one window over per-vector centroid scores, and the candidate join
+    * shuffles each vector once on its cell id; cells ≈ √n keeps both sides
+    * balanced.
+    *
+    * Centroids here are the first `numCentroids` vectors (deterministic
+    * "training" — k-means would converge engine-specifically, and the oracle
+    * must reproduce the cells bit-for-bit; the SHAPE of the plan is what
+    * scales, the centroid quality is a data question). Assignment is argmax
+    * of the exact dot (ties → lowest centroid id), identical arithmetic in
+    * both engines. */
+  def ivfTopK(emb: DataFrame, numCentroids: Int = 8, maxQueryId: Long = 5,
+              k: Int = 3, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scoredCells = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        V.dot(col("embedding"), col("cv")).as("cdot"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid"))
+    val ranked = scoredCells.withColumn("crn", row_number().over(w))
+    val cells = ranked.where(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val probes = ranked.where(col("vec_id") < maxQueryId && col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("cid").as("cell"))
+    // a vector lives in exactly one cell and the probed cells are distinct,
+    // so each (query, candidate) pair arises once — no dedup needed
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        V.cosine4(col("qv"), col("embedding")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("qid"),
+      Seq(col("cos").desc, col("vec_id")), k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
+
   /** ANN: top-k per query among candidates sharing any band key with the
     * query, within Hamming distance ≤ `probe` (0 = exact bucket only; 1 adds
     * the r single-bit perturbations per band — multi-probe recall without

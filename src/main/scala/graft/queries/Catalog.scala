@@ -806,6 +806,79 @@ object Catalog {
             |ORDER BY n_docs DESC, sh LIMIT 20""".stripMargin),
     bench = false)
 
+  /** E7 IVF-flat ANN (the north star's named alternative to LSH): coarse
+    * cells from deterministic centroids, nprobe=2, exact re-rank. */
+  val x48 = Q("x48_ann_ivf",
+    (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
+        numCentroids = 8, maxQueryId = 5, k = 3, nprobe = 2)
+      .orderBy("qid", "rn"),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+           |sc AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+           |    list_dot_product(e.v, c.cv) AS cdot,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS crn
+           |  FROM e, c),
+           |cells AS (SELECT vec_id, v, nrm, cid AS cell FROM sc WHERE crn = 1),
+           |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS cell
+           |  FROM sc WHERE vec_id < 5 AND crn <= 2),
+           |scored AS (SELECT p.qid, cl.vec_id,
+           |    round(list_dot_product(p.qv, cl.v) / (p.qnrm * cl.nrm), 4) AS cos
+           |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+           |    AND cl.vec_id <> p.qid),
+           |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
+           |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored)
+           |SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= 3
+           |ORDER BY qid, rn""".stripMargin),
+    bench = false)
+
+  /** End-to-end curation composite — the operators a training-data pipeline
+    * chains before tokenization, composed: exact dedup (keep lowest id per
+    * content hash) ∘ language ID ∘ quality gate, summarized per predicted
+    * language. Quality totals go through DECIMAL so the aggregation order
+    * cannot perturb the hash. */
+  val x49 = Q("x49_curation",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
+      val lang = TextAnalysis.languageId(docs).select("doc_id", "lang_pred")
+      val qual = TextAnalysis.quality(docs).select("doc_id", "quality")
+      keep.join(lang, "doc_id").join(qual, "doc_id")
+        .where(col("quality") >= 0.5)
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("quality").cast("decimal(18,6)")).cast("double")
+            .as("total_quality"))
+        .orderBy("lang_pred")
+    },
+    Some(s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+            |  GROUP BY md5(text)),
+            |t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |c AS (SELECT doc_id,
+            |  CAST(length(toks) AS BIGINT) AS n_tokens,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "en")} AS en_hits,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "de")} AS de_hits,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "fr")} AS fr_hits,
+            |  ${TextAnalysis.langCount(DuckD, "toks", "es")} AS es_hits
+            |  FROM t0),
+            |lang AS (SELECT doc_id,
+            |  ${TextAnalysis.langPick("en_hits", "de_hits", "fr_hits", "es_hits")}
+            |    AS lang_pred FROM c),
+            |qual AS (SELECT doc_id,
+            |  ${TextAnalysis.qualityScore("n_tokens", "en_hits")} AS quality
+            |  FROM c WHERE n_tokens > 0),
+            |kept AS (SELECT k.doc_id, l.lang_pred, q.quality
+            |  FROM keep k JOIN lang l ON k.doc_id = l.doc_id
+            |  JOIN qual q ON k.doc_id = q.doc_id
+            |  WHERE q.quality >= 0.5)
+            |SELECT lang_pred, COUNT(*) AS n_kept,
+            |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
+            |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -822,7 +895,7 @@ object Catalog {
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
-    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
+    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -57,7 +57,9 @@ class CatalogSpec extends AnyFunSuite {
     "x44_exists_subquery" -> Seq("c_custkey"),
     "x45_window_frame" -> Seq("user_id", "event_id", "mv3"),
     "x46_sessionize" -> Seq("user_id", "n_sessions"),
-    "x47_boilerplate_ngrams" -> Seq("sh", "n_docs"))
+    "x47_boilerplate_ngrams" -> Seq("sh", "n_docs"),
+    "x48_ann_ivf" -> Seq("qid", "rn", "vec_id", "cos"),
+    "x49_curation" -> Seq("lang_pred", "n_kept", "total_quality"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -101,6 +101,17 @@ class KernelParitySpec extends AnyFunSuite {
     assert(got == Seq(Some(87L), Some(-3L), None, None, Some(7L), None, Some(12L)))
   }
 
+  test("round-2 kernels are reachable from pure SQL (GraftExtensions)") {
+    val r = spark.sql(
+      """SELECT size(graft_shingle_set('a b c d')) AS ns,
+        |  graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq,
+        |  size(graft_band_keys(CAST(array(1.0, -1.0) AS ARRAY<DOUBLE>),
+        |                       4, 8, 64)) AS nb""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2)  // shingles: "a b c", "b c d"
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 4)
+  }
+
   test("HyperplaneBandKeys kernel ≡ declarative plane-dot band keys") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf0001, "embeddings")
