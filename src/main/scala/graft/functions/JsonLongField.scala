@@ -54,24 +54,30 @@ object JsonLongField {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r'
 
-  /** Single-scan extraction of the integer value of `key` from a flat JSON
-    * object. The scanner tracks string/escape state, so the key only matches
-    * at a real key position — never inside a quoted value like
-    * `{"a": "... \"k\": 5 ..."}` — and a quoted integer value (`{"k":"12"}`)
+  /** Single-scan extraction of the integer value of root-level `key` from a
+    * JSON object. The scanner tracks string/escape state AND nesting depth,
+    * so the key only matches at a ROOT key position — never inside a quoted
+    * value like `{"a": "... \"k\": 5 ..."}` and never inside a nested object
+    * or array (`{"a": {"k": 5}}` → null, matching `get_json_object`'s
+    * `'$.k'` path semantics) — and a quoted integer value (`{"k":"12"}`)
     * parses like the oracle's `CAST(json_extract_string(...) AS BIGINT)`.
     * Returns null when the key is absent, the value is not a (possibly
     * quoted) integer, or the integer exceeds 18 digits (no silent Long
-    * wrap; the oracle would raise there, we degrade to null like TRY_CAST).
-    * First occurrence of the key wins. */
+    * wrap; TRY_CAST semantics). First occurrence of the key wins. */
   def extract(json: UTF8String, key: String): java.lang.Long = {
     val s = json.toString
     val n = s.length
     var i = 0
     var expectKey = false
+    var depth = 0 // braces + brackets; root keys live at depth 1
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '{' || c == ',') { expectKey = true; i += 1 }
-      else if (c == ':') { expectKey = false; i += 1 }
+      if (c == '{' || c == '[') {
+        depth += 1; if (c == '{' && depth == 1) expectKey = true; i += 1
+      }
+      else if (c == '}' || c == ']') { depth -= 1; i += 1 }
+      else if (c == ',') { if (depth == 1) expectKey = true; i += 1 }
+      else if (c == ':') { if (depth == 1) expectKey = false; i += 1 }
       else if (c == '"') {
         // scan the whole string token, escape-aware
         var j = i + 1
@@ -86,7 +92,8 @@ object JsonLongField {
           j += 1
         }
         if (end < 0) return null // unterminated string: malformed
-        val isKey = expectKey && !hasEsc && end - (i + 1) == key.length &&
+        val isKey = depth == 1 && expectKey && !hasEsc &&
+          end - (i + 1) == key.length &&
           s.regionMatches(i + 1, key, 0, key.length)
         if (isKey) {
           var p = end + 1
@@ -101,6 +108,8 @@ object JsonLongField {
           }
           var neg = false
           if (p < n && s.charAt(p) == '-') { neg = true; p += 1 }
+          // a leading '+' is CAST-able but only valid JSON inside a string
+          else if (quoted && p < n && s.charAt(p) == '+') p += 1
           var v = 0L
           var digits = 0
           while (p < n && s.charAt(p) >= '0' && s.charAt(p) <= '9') {

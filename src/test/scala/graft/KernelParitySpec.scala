@@ -125,6 +125,51 @@ class KernelParitySpec extends AnyFunSuite {
     assert(declarative.except(kernel).count() == 0)
   }
 
+  test("JsonFastPath rule rewrites try_cast(get_json_object) to the kernel") {
+    import spark.implicits._
+    // a file-backed relation: a local Seq would be constant-folded whole
+    val ev = Tables.events(spark, sf0001)
+    val q = ev.selectExpr("try_cast(get_json_object(props, '$.k') AS BIGINT) AS k")
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_json_long"),
+      s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+    // rewritten results ≡ the kernel called directly
+    val direct = ev.select(TextHashFunctions.jsonLong(col("props"), "k").as("k"))
+    assert(q.except(direct).count() == 0 && direct.except(q).count() == 0)
+    // nested paths are left alone
+    val deep = ev.selectExpr("try_cast(get_json_object(props, '$.a.k') AS BIGINT) AS k")
+    assert(!deep.queryExecution.optimizedPlan.toString.contains("graft_json_long"))
+  }
+
+  test("JsonLongField matches get_json_object root-path semantics on nasty shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"a": {"k": 5}}""",            // nested object: root $.k absent
+      """{"a": [{"k": 5}], "k": 3}""",  // key inside array ignored, root wins
+      """{"k": [1, 2]}""",              // array value → null
+      """{"k": {"x": 1}}""",            // object value → null
+      """{"k": "+7"}""",                // quoted plus-signed int
+      """{"b": "x,\"k\": 9,", "k": 6}""", // comma+needle inside string value
+      """{"k": 1, "k": 2}""")           // duplicate key: first wins
+      .toDF("props")
+    val fast = docs.select(
+      TextHashFunctions.jsonLong(col("props"), "k").as("k")).collect()
+    // the reference must evaluate the REAL get_json_object — exclude our own
+    // rewrite rule so the comparison isn't kernel-vs-kernel
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.JsonFastPath")
+    val ref =
+      try {
+        val refDf = docs.selectExpr(
+          "try_cast(get_json_object(props, '$.k') AS BIGINT) AS k")
+        assert(!refDf.queryExecution.optimizedPlan.toString
+          .contains("graft_json_long"), "rule exclusion did not take effect")
+        refDf.collect()
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    def opt(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    assert(fast.map(opt).toSeq == ref.map(opt).toSeq,
+      s"fast=${fast.map(opt).toSeq} ref=${ref.map(opt).toSeq}")
+  }
+
   test("JsonLongField is quote-aware and overflow-safe") {
     import spark.implicits._
     val df = Seq(

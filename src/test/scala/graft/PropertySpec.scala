@@ -111,11 +111,15 @@ class PropertySpec extends AnyFunSuite {
     val got = df.select(TextHashFunctions.jsonLong(col("props"), "k").as("k"))
     // try_cast: the lenient form — ANSI cast would throw on non-integer
     // values, while JsonLongField (like the DuckDB oracle on real data)
-    // yields null
-    val ref = df.select(
-      expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+    // yields null. Exclude the JsonFastPath rewrite so the reference is the
+    // real get_json_object, not our own kernel.
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.JsonFastPath")
+    val e =
+      try df.select(
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     val g = got.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    val e = ref.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(g.toSeq == e.toSeq, s"docs=${docs.mkString(" | ")}")
   }
 
