@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Catalog
+
+/** Whole-catalog physical-plan audit: every declared query's executed plan is
+  * scanned for the anti-patterns that kill 100 TB runs. Queries that
+  * legitimately need an exempted shape declare it here WITH the reason, so a
+  * regression that silently introduces one fails loudly.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  /** Queries allowed a nested-loop/cartesian join, with why. */
+  val nljAllowed: Map[String, String] = Map(
+    "x41_lev_neardup" -> "bounded all-pairs verifier (doc_id < 100 both sides, documented)",
+    "q14_cosine_topk" -> "crossJoin with a broadcast single-row query vector",
+    "x39_tfidf" -> "crossJoin with a broadcast 1-row corpus-count aggregate",
+    "x48_ann_ivf" -> "crossJoin with the broadcast 8-row centroid table")
+
+  for (q <- Catalog.all if q.name != "q08_roundtrip") {
+    test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
+      val plan = q.build(spark, sf0001).queryExecution.executedPlan.toString
+      val hasNlj = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (hasNlj)
+        assert(nljAllowed.contains(q.name),
+          s"undeclared nested-loop join in ${q.name}:\n$plan")
+      // nothing should fall back to opaque RDD scans (operators must stay
+      // inside the SQL engine where Catalyst can see them)
+      assert(!plan.contains("ExistingRDD") || q.name == "x21_dedup_embedding",
+        s"unexpected RDD fallback in ${q.name}:\n$plan")
+    }
+  }
+}
