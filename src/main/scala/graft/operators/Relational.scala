@@ -52,6 +52,36 @@ object Relational {
       .agg(sum("__partial").as(outName))
   }
 
+  /** Bucketized range join: pairs with equal keys and
+    * `rightTs ∈ [leftTs + lowerUs, leftTs + upperUs]` (µs, inclusive).
+    *
+    * Spark plans a raw inequality join as a nested loop — quadratic. The
+    * scale shape is time binning: bin width = window length, each LEFT row
+    * lands in the (≤2, distinct) bins its window overlaps, the right side is
+    * keyed by its single bin, and the join becomes an EQUI-join on
+    * (keys, bin) with the exact interval predicate re-applied. Each side
+    * shuffles once; each qualifying pair arises exactly once (the right
+    * row's one bin is in the left row's distinct bin set at most once).
+    *
+    * Callers project/rename non-key payload columns beforehand so the two
+    * sides don't collide (same contract as asOfJoin). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String,
+                lowerUs: Long, upperUs: Long): DataFrame = {
+    require(upperUs >= lowerUs, s"range join window [$lowerUs, $upperUs] is empty")
+    val width = upperUs - lowerUs + 1
+    val l = left.withColumn("__lt", unix_micros(col(leftTs)))
+      .withColumn("__bin", explode(array_distinct(array(
+        expr(s"(__lt + ${lowerUs}L) div ${width}L"),
+        expr(s"(__lt + ${upperUs}L) div ${width}L")))))
+    val r = right.withColumn("__rt", unix_micros(col(rightTs)))
+      .withColumn("__bin", expr(s"__rt div ${width}L"))
+    l.join(r, keys :+ "__bin")
+      .where(col("__rt").between(col("__lt") + lit(lowerUs),
+        col("__lt") + lit(upperUs)))
+      .drop("__lt", "__rt", "__bin")
+  }
+
   /** As-of join: for every left row, the most recent right row with the same
     * keys and `rightTs <= leftTs` (ties count as prior). Emits the left
     * columns plus `asof_ts` (matched right timestamp, null when no prior row)

@@ -879,6 +879,31 @@ object Catalog {
             |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** Range (interval) join via time binning: errors within the hour BEFORE
+    * each purchase, per user — the equi-join-on-bins shape that replaces the
+    * nested-loop plan Spark would pick for a raw inequality join. */
+  val x50 = Q("x50_range_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val e = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"))
+      Relational.rangeJoin(p, e, Seq("user_id"), "ts", "err_ts",
+          lowerUs = -3600000000L, upperUs = 0L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_prior_errors"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events WHERE event_type = 'purchase'),
+           |e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events WHERE event_type = 'error')
+           |SELECT p.event_id, COUNT(*) AS n_prior_errors
+           |FROM p JOIN e ON p.user_id = e.user_id
+           |  AND e.us BETWEEN p.us - 3600000000 AND p.us
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -895,7 +920,7 @@ object Catalog {
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
-    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
+    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

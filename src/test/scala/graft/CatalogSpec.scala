@@ -59,7 +59,8 @@ class CatalogSpec extends AnyFunSuite {
     "x46_sessionize" -> Seq("user_id", "n_sessions"),
     "x47_boilerplate_ngrams" -> Seq("sh", "n_docs"),
     "x48_ann_ivf" -> Seq("qid", "rn", "vec_id", "cos"),
-    "x49_curation" -> Seq("lang_pred", "n_kept", "total_quality"))
+    "x49_curation" -> Seq("lang_pred", "n_kept", "total_quality"),
+    "x50_range_join" -> Seq("event_id", "n_prior_errors"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
