@@ -186,6 +186,35 @@ class PropertySpec extends AnyFunSuite {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("bucketized range join ≡ naive inequality join on generated events") {
+    import graft.operators.Relational
+    val tsGen = Gen.chooseNum(0L, 10L * 3600L * 1000000L) // 10h span, µs
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 5L), tsGen)
+    for (seedBase <- Seq(100, 200)) {
+      val rows = (1 to 80).flatMap(i =>
+        rowGen.apply(Gen.Parameters.default, Seed((seedBase + i).toLong)))
+      val left = rows.take(40).zipWithIndex
+        .map { case ((u, t), i) => (i.toLong, u, new java.sql.Timestamp(t / 1000)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rows.drop(40)
+        .map { case (u, t) => (u, new java.sql.Timestamp(t / 1000)) }
+        .toDF("user_id", "rts")
+      val (lo, hi) = (-1800000000L, 1800000000L) // ±30 min
+      val got = Relational.rangeJoin(left, right, Seq("user_id"), "ts", "rts",
+          lo, hi)
+        .groupBy("event_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val naive = left.crossJoin(right.withColumnRenamed("user_id", "ru"))
+        .where(col("user_id") === col("ru") &&
+          unix_micros(col("rts")).between(
+            unix_micros(col("ts")) + lo, unix_micros(col("ts")) + hi))
+        .groupBy("event_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"seed=$seedBase diff=${
+        (got.keySet ++ naive.keySet).filter(k => got.get(k) != naive.get(k))}")
+    }
+  }
+
   test("timestamp→date cast round-trips through parquet write/read") {
     val ev = Tables.events(spark, sf0001).withColumn("d", to_date(col("ts")))
     val dir = Files.createTempDirectory("graft_prop_cast").toString
