@@ -127,6 +127,23 @@ class OperatorsSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("banded lshTopK and ivfTopK both surface an identical twin at rank 1") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq(
+      (0L, base), (7L, base),              // query 0 and its exact twin
+      (8L, far), (9L, far.map(-_))) ++
+      (1L to 6L).map(i => (i, Array.tabulate(64)(j => math.sin(i * 17 + j).toFloat)))
+    val df = emb.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(df, 1L, 3).where(col("rn") === 1).collect()
+    assert(lsh.length == 1 && lsh(0).getLong(2) == 7L &&
+      lsh(0).getDouble(3) == 1.0) // twin shares every band key → rank 1
+    val ivf = Similarity.ivfTopK(df, numCentroids = 4, maxQueryId = 1, k = 3)
+      .where(col("rn") === 1).collect()
+    assert(ivf.length == 1 && ivf(0).getLong(2) == 7L &&
+      ivf(0).getDouble(3) == 1.0) // twin lands in the same cell → rank 1
+  }
+
   test("lsh band keys: identical vectors share every band key, opposite vectors none") {
     val emb = Seq(
       (0L, Array.fill(64)(1f)),
