@@ -904,6 +904,54 @@ object Catalog {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** Distribution windows: ntile / percent_rank / cume_dist per order
+    * priority (the ranking-window family beyond row_number). percent_rank
+    * and cume_dist are exact rationals evaluated identically by both
+    * engines; round(,4) guards the hash. */
+  val x51 = Q("x51_rank_distribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |  ntile(4) OVER w AS quartile,
+           |  round(percent_rank() OVER w, 4) AS pr,
+           |  round(cume_dist() OVER w, 4) AS cd
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority
+           |  ORDER BY o_totalprice DESC, o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin),
+    bench = false)
+
+  /** Array-function kit over the token arrays: distinct count, lexicographic
+    * first/last token per document (sort/distinct/element_at surface). */
+  val x52 = Q("x52_array_ops",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(expr(Portable.tokens(SparkD, "text"))))
+          .as("sorted"))
+      .where(size(col("sorted")) > 0)
+      .select(col("doc_id"),
+        size(col("sorted")).cast("bigint").as("n_distinct"),
+        element_at(col("sorted"), 1).as("first_tok"),
+        element_at(col("sorted"), size(col("sorted"))).as("last_tok"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t0 AS (SELECT doc_id,
+            |  list_sort(list_distinct(${Portable.tokens(DuckD, "text")})) AS sorted
+            |  FROM documents)
+            |SELECT doc_id,
+            |  CAST(length(sorted) AS BIGINT) AS n_distinct,
+            |  sorted[1] AS first_tok,
+            |  sorted[-1] AS last_tok
+            |FROM t0 WHERE length(sorted) > 0 ORDER BY doc_id""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -920,7 +968,8 @@ object Catalog {
     q09, q10, q11, q12, q13, q14, q15, q16,
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
-    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
+    x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
+    x51, x52)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
