@@ -116,6 +116,24 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup dedup for a document stream: drop any document whose
+    * MinHash signature was already seen inside the watermark window. The
+    * signature kernel runs per-row (no shuffle); state is keyed by the packed
+    * 16-long signature — the streaming face of the batch signature-grouping
+    * in [[graft.operators.Dedup.minhashNearDupPairs]] (identical signatures =
+    * the est-1.0 near-dup class; token-free docs share the null signature,
+    * so they also collapse to one representative — they are trivially
+    * identical content). Watermark bounds the signature state exactly like
+    * streamingDedup's id state. */
+  def streamingNearDedup(docs: DataFrame, tsCol: String = "ts",
+                         textCol: String = "text",
+                         watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__sig",
+        graft.functions.TextHashFunctions.minhashSig(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Run any pure batch transform as a streaming sink stage. */
   def foreachBatchPipeline(stream: DataFrame, transform: DataFrame => DataFrame,
                            outDir: String, checkpoint: String) =

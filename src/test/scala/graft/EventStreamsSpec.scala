@@ -114,6 +114,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup drops same-signature docs across micro-batches") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_sneardedup").toString
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // doc 2 permutes+duplicates doc 1's tokens → identical MinHash signature
+    Seq((1L, ts(0), "alpha beta gamma"), (2L, ts(1), "gamma alpha beta alpha"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[(Long, Timestamp, String)]
+        .toDF("doc_id", "ts", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingNearDedup(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sneardedup").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: another same-signature variant + a genuinely new doc
+      Seq((3L, ts(2), "beta gamma alpha"), (4L, ts(3), "delta epsilon zeta"))
+        .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val ids = spark.table("sneardedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids.length == 2)
+      assert(ids.contains(4L)) // the new doc survives
+      assert(!ids.contains(3L)) // cross-batch near-dup dropped
+      assert(ids.count(Seq(1L, 2L).contains) == 1) // one rep of the sig class
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event_ids across micro-batches") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_sdedup").toString
