@@ -40,4 +40,16 @@ object Tables {
     * reachable from pure `spark.sql(...)`. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Materialize a table bucketed (and sorted) by a join key: two tables
+    * bucketed the same way co-locate their joins — the fact⋈fact answer at
+    * 100 TB where neither side broadcasts, paying the shuffle ONCE at write
+    * time instead of on every join (PlanShapeSpec asserts the exchange-free
+    * plan). Bucket count is fixed at write time; size it to the target
+    * parallelism (~2× cluster cores). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }

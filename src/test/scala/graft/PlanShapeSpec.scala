@@ -94,6 +94,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(broadcasts == 1, s"expected exactly one broadcast exchange in:\n$plan")
   }
 
+  test("bucketed tables join with NO shuffle exchange (co-located fact⋈fact)") {
+    val orders = s"graft_bkt_orders_${math.abs(sf0001.hashCode)}"
+    val cust = s"graft_bkt_cust_${math.abs(sf0001.hashCode)}"
+    Tables.writeBucketed(Tables.orders(spark, sf0001), orders, "o_custkey", 8)
+    Tables.writeBucketed(Tables.customer(spark, sf0001), cust, "c_custkey", 8)
+    // forbid broadcast so the join must rely on the bucketing for distribution
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(orders).join(spark.table(cust),
+        col("o_custkey") === col("c_custkey"))
+      val plan = planOf(j)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"expected bucketed scans in:\n$plan")
+      // and it computes the same answer as the plain join
+      val plain = Tables.orders(spark, sf0001).join(
+        Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      assert(j.count() == plain.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE $orders")
+      spark.sql(s"DROP TABLE $cust")
+    }
+  }
+
   test("x20 ngram verification runs on packed sets, candidates from prefix join") {
     val plan = planOf(Catalog.queries("x20_dedup_ngram")(spark, sf0001))
     assert(plan.contains("array_intersect"),
