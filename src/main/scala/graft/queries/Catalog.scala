@@ -952,6 +952,22 @@ object Catalog {
             |FROM t0 WHERE length(sorted) > 0 ORDER BY doc_id""".stripMargin),
     bench = false)
 
+  /** Uncorrelated scalar subquery (complements x44's correlated EXISTS):
+    * customers within 10% of the maximum balance. max is an exact double and
+    * the 0.9 multiply is identical arithmetic, so the boundary cannot drift
+    * between engines. */
+  val x53 = Q("x53_scalar_subquery",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer
+              |WHERE c_acctbal >= (SELECT MAX(c_acctbal) FROM customer) * 0.9
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+           |WHERE c_acctbal >= (SELECT MAX(c_acctbal) FROM customer) * 0.9
+           |ORDER BY c_custkey""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -969,7 +985,7 @@ object Catalog {
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
-    x51, x52)
+    x51, x52, x53)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -62,7 +62,8 @@ class CatalogSpec extends AnyFunSuite {
     "x49_curation" -> Seq("lang_pred", "n_kept", "total_quality"),
     "x50_range_join" -> Seq("event_id", "n_prior_errors"),
     "x51_rank_distribution" -> Seq("o_orderkey", "o_orderpriority", "quartile", "pr", "cd"),
-    "x52_array_ops" -> Seq("doc_id", "n_distinct", "first_tok", "last_tok"))
+    "x52_array_ops" -> Seq("doc_id", "n_distinct", "first_tok", "last_tok"),
+    "x53_scalar_subquery" -> Seq("c_custkey", "c_acctbal"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
