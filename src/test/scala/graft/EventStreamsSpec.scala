@@ -114,6 +114,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed counts drop events later than the watermark (append mode)") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_late").toString
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // b1: two events inside window W1 = [00:00, 01:00)
+    Seq(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(30), 1, "a", 1.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream.schema(Seq.empty[Event].toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.windowedCounts(src, watermark = "10 minutes",
+        windowLen = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_counts").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("late_counts").count() == 0) // W1 still open
+      // b2: far-future event → watermark passes W1's end → W1 finalized
+      Seq(Event(3, ts(600), 1, "a", 1.0)).toDF()
+        .coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val w1 = spark.table("late_counts")
+        .where(col("window_start") === ts(0)).collect()
+      assert(w1.length == 1 && w1(0).getAs[Long]("n") == 2)
+      // b3: LATE event for W1 (behind the watermark) must be dropped, not
+      // re-emitted — the finalized count stands
+      Seq(Event(4, ts(5), 1, "a", 9.0)).toDF()
+        .coalesce(1).write.parquet(s"$dir/b3")
+      q.processAllAvailable()
+      val after = spark.table("late_counts")
+        .where(col("window_start") === ts(0)).collect()
+      assert(after.length == 1 && after(0).getAs[Long]("n") == 2)
+    } finally q.stop()
+  }
+
   test("streaming near-dedup drops same-signature docs across micro-batches") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_sneardedup").toString
