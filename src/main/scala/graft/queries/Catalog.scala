@@ -968,6 +968,19 @@ object Catalog {
            |ORDER BY c_custkey""".stripMargin),
     bench = false)
 
+  /** Approximate percentiles per event type (t-digest-style sketch;
+    * engine-specific like x28, so no hash oracle — CatalogSpec gates each
+    * value against the exact x33 percentiles instead). The 100 TB answer to
+    * exact `percentile`, which must materialize every group's values. */
+  val x54 = Q("x54_approx_percentiles",
+    (s, d) => t(s, d, "events")
+      .groupBy("event_type")
+      .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("p90"))
+      .orderBy("event_type"),
+    None,
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -985,7 +998,7 @@ object Catalog {
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
-    x51, x52, x53)
+    x51, x52, x53, x54)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

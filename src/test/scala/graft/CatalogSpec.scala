@@ -63,11 +63,13 @@ class CatalogSpec extends AnyFunSuite {
     "x50_range_join" -> Seq("event_id", "n_prior_errors"),
     "x51_rank_distribution" -> Seq("o_orderkey", "o_orderpriority", "quartile", "pr", "cd"),
     "x52_array_ops" -> Seq("doc_id", "n_distinct", "first_tok", "last_tok"),
-    "x53_scalar_subquery" -> Seq("c_custkey", "c_acctbal"))
+    "x53_scalar_subquery" -> Seq("c_custkey", "c_acctbal"),
+    "x54_approx_percentiles" -> Seq("event_type", "p50", "p90"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
-    assert(Catalog.oracleSql.keySet == expectedCols.keySet - "x28_approx_distinct")
+    assert(Catalog.oracleSql.keySet ==
+      expectedCols.keySet - "x28_approx_distinct" - "x54_approx_percentiles")
   }
 
   for ((name, cols) <- expectedCols.toSeq.sortBy(_._1)) {
@@ -80,6 +82,24 @@ class CatalogSpec extends AnyFunSuite {
 
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("x54 approx percentiles are within tolerance of the exact x33 values") {
+    // same design as x28: sketches are engine-specific, so the gate is a
+    // tolerance against the exact percentiles rather than a hash oracle
+    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+    val exact = Catalog.queries("x33_percentiles")(spark, sf0001)
+      .collect().map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Catalog.queries("x54_approx_percentiles")(spark, sf0001)
+      .collect().map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (a50, a90)) <- approx) {
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) <= 0.05 * math.abs(e50).max(1.0),
+        s"$k p50: approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) <= 0.05 * math.abs(e90).max(1.0),
+        s"$k p90: approx $a90 vs exact $e90")
+    }
   }
 
   test("x28 approx distinct is within HLL tolerance of the exact per-day counts") {
