@@ -18,6 +18,26 @@ class DedupStressSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
+  test("dup-heavy corpus: grouped minhash emits exactly the duplicate classes") {
+    // 10k docs but only 400 distinct texts (25 copies each) — the regime the
+    // signature grouping targets: the band join runs over 400 signature
+    // groups, and the 400·C(25,2) = 120k est-1.0 pairs come from the
+    // no-join intra-group expansion
+    val rnd = new scala.util.Random(7)
+    val distinctTexts = (0 until 400).map { _ =>
+      (1 to 30).map(_ => s"tok${rnd.nextInt(1000000)}").mkString(" ")
+    }
+    val docs = (0 until 10000).map(i => (i.toLong, distinctTexts(i % 400)))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val n = Dedup.minhashNearDupPairs(docs, 0.9).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10k docs / 400 classes: $secs%.1f s, $n pairs")
+    // exactly the intra-class pairs: distinct random 30-token sets cannot
+    // agree on 15 of 16 minhashes
+    assert(n == 400L * (25 * 24 / 2))
+  }
+
   test("hot boilerplate shingles cannot explode the prefix-filtered join") {
     val rnd = new scala.util.Random(42)
     val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
