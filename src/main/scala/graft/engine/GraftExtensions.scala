@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayEqCount, DotProduct, Fingerprint, HyperplaneBandKeys, JsonLongField, MinHashSig, ShingleSet, SimHash}
+import graft.functions.{ArrayEqCount, DotProduct, Fingerprint, HyperplaneBandKeys, JsonLongField, LangStats, MinHashSig, ShingleSet, SimHash}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so every
   * operator is reachable from pure `spark.sql(...)` as well as the Column
@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_array_eq_count"),
       info("graft_array_eq_count", "graft_array_eq_count(a, b) - positions where two array<bigint> agree"),
       (args: Seq[Expression]) => ArrayEqCount(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("graft_lang_stats"),
+      info("graft_lang_stats", "graft_lang_stats(text) - [en,de,fr,es hits, n_tokens, tok_chars] in one pass"),
+      (args: Seq[Expression]) => LangStats(args.head)))
     e.injectFunction((FunctionIdentifier("graft_band_keys"),
       info("graft_band_keys", "graft_band_keys(v, bands, rowsPerBand, dim) - hyperplane-LSH band keys over array<double>"),
       (args: Seq[Expression]) => HyperplaneBandKeys(args(0),

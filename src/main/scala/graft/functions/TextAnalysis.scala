@@ -57,23 +57,27 @@ object TextAnalysis {
 
   // ------------------------------------------------------ Spark DataFrames
 
-  /** doc_id, per-language counts, lang_pred. */
-  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = docs.withColumn("toks", expr(Portable.tokens(SparkD, textCol)))
-    val counts = profiles.map { case (l, _) =>
-      expr(langCount(SparkD, "toks", l)).as(s"${l}_hits")
-    }
-    t.select((col("doc_id") +: counts): _*)
+  /** doc_id, per-language counts, lang_pred — via the one-pass [[LangStats]]
+    * kernel (the declarative form runs six HOF array traversals per doc;
+    * KernelParitySpec pins kernel ≡ declarative). */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        TextHashFunctions.langStats(col(textCol)).as("st"))
+      .select(col("doc_id") +:
+        profiles.zipWithIndex.map { case ((l, _), i) =>
+          element_at(col("st"), i + 1).cast("int").as(s"${l}_hits") }: _*)
       .withColumn("lang_pred",
         expr(langPick("en_hits", "de_hits", "fr_hits", "es_hits")))
-  }
 
-  /** doc_id, n_tokens, avg_token_len, stopword_ratio, quality. */
+  /** doc_id, n_tokens, avg_token_len, stopword_ratio, quality — same
+    * [[LangStats]] single pass feeding the unchanged formulas. */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("toks", expr(Portable.tokens(SparkD, textCol)))
-      .withColumn("n_tokens", expr("size(toks)"))
-      .withColumn("tok_chars", expr(tokenChars(SparkD, "toks")))
-      .withColumn("en_hits", expr(langCount(SparkD, "toks", "en")))
+    docs.select(col("doc_id"),
+        TextHashFunctions.langStats(col(textCol)).as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), profiles.length + 1).cast("int").as("n_tokens"),
+        element_at(col("st"), profiles.length + 2).as("tok_chars"),
+        element_at(col("st"), 1).cast("int").as("en_hits"))
       .where(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens"),
         round(col("tok_chars") / (lit(1.0) * col("n_tokens")), 4).as("avg_token_len"),

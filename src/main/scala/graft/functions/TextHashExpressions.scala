@@ -145,6 +145,7 @@ object TextHashFunctions {
   def jsonLong(c: Column, key: String): Column =
     B.column(JsonLongField(B.expression(c), key))
   def shingleSet(c: Column): Column = B.column(ShingleSet(B.expression(c)))
+  def langStats(c: Column): Column = B.column(LangStats(B.expression(c)))
 }
 
 /** Base for the string→signature expressions: codegen emits a single static

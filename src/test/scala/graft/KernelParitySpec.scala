@@ -101,6 +101,33 @@ class KernelParitySpec extends AnyFunSuite {
     assert(got == Seq(Some(87L), Some(-3L), None, None, Some(7L), None, Some(12L)))
   }
 
+  test("LangStats kernel ≡ declarative language/quality fragments") {
+    import graft.functions.TextAnalysis
+    val docs = Tables(spark, sf0001, "documents")
+    val kernel = TextAnalysis.languageId(docs)
+    val declarative = {
+      val t = docs.withColumn("toks", expr(Portable.tokens(SparkD, "text")))
+      val counts = TextAnalysis.profiles.map { case (l, _) =>
+        expr(TextAnalysis.langCount(SparkD, "toks", l)).as(s"${l}_hits")
+      }
+      t.select((col("doc_id") +: counts): _*)
+        .withColumn("lang_pred", expr(TextAnalysis.langPick(
+          "en_hits", "de_hits", "fr_hits", "es_hits")))
+    }
+    assert(kernel.except(declarative).count() == 0)
+    assert(declarative.except(kernel).count() == 0)
+    // quality stats: n_tokens and tok_chars parity
+    val kq = docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 5).cast("int").as("n_tokens"),
+        element_at(col("st"), 6).as("tok_chars"))
+    val dq = docs.withColumn("toks", expr(Portable.tokens(SparkD, "text")))
+      .select(col("doc_id"), expr("size(toks)").as("n_tokens"),
+        expr(TextAnalysis.tokenChars(SparkD, "toks")).as("tok_chars"))
+    assert(kq.except(dq).count() == 0 && dq.except(kq).count() == 0)
+  }
+
   test("round-2 kernels are reachable from pure SQL (GraftExtensions)") {
     val r = spark.sql(
       """SELECT size(graft_shingle_set('a b c d')) AS ns,
