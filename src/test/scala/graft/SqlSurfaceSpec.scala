@@ -43,7 +43,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |  SELECT n.n_name, c.c_custkey, c.c_acctbal, row_number() OVER (
         |    PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) t
-        |WHERE rn <= 2 ORDER BY n_name, rn""".stripMargin)
+        |WHERE rn <= 2 ORDER BY n_name, rn""".stripMargin,
+    "x31_rollup_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin,
+    "x37_cube_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))
+        |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin,
+    "x42_pivot" ->
+      """SELECT d, coalesce(click, 0) AS click, coalesce(error, 0) AS error,
+        |  coalesce(purchase, 0) AS purchase, coalesce(signup, 0) AS signup,
+        |  coalesce(view, 0) AS view
+        |FROM (SELECT CAST(ts AS DATE) AS d, event_type FROM events)
+        |PIVOT (COUNT(*) FOR event_type
+        |       IN ('click', 'error', 'purchase', 'signup', 'view'))
+        |ORDER BY d""".stripMargin,
+    "x36_window_lag" ->
+      """SELECT user_id, event_id,
+        |  unix_micros(ts) - lag(unix_micros(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin)
 
   for ((name, sql) <- sparkSql.toSeq.sortBy(_._1)) {
     test(s"$name: spark.sql ≡ DataFrame API") {
