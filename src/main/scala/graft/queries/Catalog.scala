@@ -771,8 +771,8 @@ object Catalog {
         .groupBy("user_id").agg(sum("new_s").as("n_sessions"))
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, SUM(CASE WHEN prev IS NULL
-           |    OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+    Some("""SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL
+           |    OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
            |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
            |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
            |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev

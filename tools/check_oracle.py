@@ -1,9 +1,32 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf tables, compare to the Spark parquet dumped by
-graft.Verify (column-name-sorted, row order as returned)."""
+graft.Verify (column-name-sorted, row order as returned).
+
+Faithful to the driver's VALUE-HASH gate: the driver hashes the
+materialized PYTHON-NATIVE values (pandas .tolist()), so a
+numerically-equal-but-differently-typed column (e.g. DuckDB SUM(int) ->
+HUGEINT -> float64 vs Spark int64: float 56.0 vs int 56) MUST fail here
+like it fails there — while int32 vs int64 (both -> Python int, hashed
+identically; driver-verified green in CORRECTNESS_r02) must still pass.
+Hence: type-sensitive equality on native values, no str() coercion."""
 import sys, json, glob, os
 import duckdb
+
+
+def _veq(g, e):
+    """Type-sensitive native-value equality (the driver's hash
+    distinguishes 56.0 from 56, but not int32-3 from int64-3)."""
+    if type(g) is not type(e):
+        return False
+    if isinstance(g, list):
+        return len(g) == len(e) and all(_veq(a, b) for a, b in zip(g, e))
+    try:
+        if g != g and e != e:  # NaN / NaT on both sides
+            return True
+    except (TypeError, ValueError):
+        pass
+    return g == e
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -35,7 +58,7 @@ for name in names:
     for c in got.columns:
         gv, ev = got[c].tolist(), exp[c].tolist()
         for i, (g, e) in enumerate(zip(gv, ev)):
-            if g != e and str(g) != str(e):
+            if not _veq(g, e):
                 print(f"{name:24s} VALUE MISMATCH col={c} row={i} got={g!r} exp={e!r}")
                 ok = False; break
         if not ok: break
