@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst deliberately left at default (true). Measured A/B at
+      // sf0.1 (BASELINE.md): =false + 64m advisory serializes real work at
+      // local scale (x20 1.54→2.13 s, q01 0.88→1.15 s) and saves nothing on
+      // floor-bound queries — AQE's 1 MB minPartitionSize already collapses
+      // sub-MB shuffles to 1 task under the default. On a production cluster
+      // =false remains the right knob for many-small-partitions workloads;
+      // it is one SPARK_GRAFT_CONF entry away.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
@@ -37,10 +44,23 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** configure + ad-hoc overrides from SPARK_GRAFT_CONF ("k=v;k=v") — a
+    * measurement aid (A/B a conf without recompiling); defaults above are
+    * the engine's actual posture. */
+  private def withOverrides(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = {
+    val base = configure(b, shufflePartitions)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .foldLeft(base) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k, v)
+      }
+  }
+
   /** Local session sized from SPARK_GRAFT_CPUS (driver contract). */
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val n = cpus
-    val spark = configure(
+    val spark = withOverrides(
       SparkSession.builder().master(s"local[$n]").appName(appName), n
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

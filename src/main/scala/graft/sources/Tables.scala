@@ -13,16 +13,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped relation cache, the same role as Spark's catalog relation
+    * cache for `read.table`: building a parquet relation costs ~50 ms of file
+    * listing + footer schema read per call (measured, tools/FloorProbe), and
+    * a DataFrame is an immutable plan — safe to reuse. Keyed by the session
+    * instance so concurrent sessions (tests) never share file indexes. */
+  private val relationCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw nanos
-    // (spark.sql.legacy.parquet.nanosAsLong). Truncate ns→µs — the same
-    // conversion DuckDB applies when it reads this file — so downstream
-    // timestamp semantics agree with the oracle.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    relationCache.getOrElseUpdate((spark, sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw nanos
+      // (spark.sql.legacy.parquet.nanosAsLong). Truncate ns→µs — the same
+      // conversion DuckDB applies when it reads this file — so downstream
+      // timestamp semantics agree with the oracle.
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
