@@ -242,10 +242,13 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tEff = threshold - 1e-4
+    // no empty-doc filter: explode() drops shingle-free docs from the join
+    // anyway, and a where(nsh > 0) here gets pushed into the parquet scan as
+    // TWO kernel-bearing DataFilters (size(shingleSet)>0, isnotnull), making
+    // the one-pass kernel evaluate 3× per row (measured in the r2 plan)
     val packed = docs.select(col("doc_id"),
         graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
       .withColumn("nsh", size(col("shs")))
-      .where(col("nsh") > 0)
     val sh = packed.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
     // df comes from a plain count agg (never a posting LIST — a boilerplate
     // shingle shared by 10% of a web corpus would make one giant row);
