@@ -32,6 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `count`, then emits one `InputPartition` per page — pages are fetched
   *    in parallel by executors instead of sequentially by the driver, and at
   *    cluster scale the ingest distributes naturally.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): only the
+  *    projected columns are parsed out of the JSON payload (the reference's
+  *    pandas path materializes every field — dags/rocket_launch_etl.py:78);
+  *    visible in `explain()` as the scan's ReadSchema.
+  *  - **Limit pushdown** (`SupportsPushDownLimit`): a query limit caps how
+  *    many pages are planned and how many rows the last page reader emits,
+  *    so `df.limit(5)` fetches one page, not the whole interval. Spark still
+  *    re-applies the limit globally (partial pushdown contract).
   *
   * Transport is pluggable via option `transport` (`http` — java.net.http, or
   * `fake` — the in-JVM [[FakeTransport]] registry used by tests; fake only
@@ -74,11 +82,23 @@ final class LaunchTable(options: Map[String, String]) extends Table with Support
 }
 
 final class LaunchScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var netGte: Option[Instant] = None
   private var netLt: Option[Instant] = None
+  private var required: StructType = HttpLaunchSource.schema
+  private var limit: Option[Int] = None
+
+  /** Catalyst hands us the pruned schema (possibly empty for COUNT(*)); the
+    * readers parse only these fields out of each JSON result. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Partial pushdown (isPartiallyPushed default true): we fetch no more
+    * than `limit` rows' worth of pages; Spark re-applies the limit above. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   private def asInstant(v: Any): Option[Instant] = v match {
     case t: java.sql.Timestamp => Some(t.toInstant)
@@ -102,19 +122,23 @@ final class LaunchScanBuilder(options: Map[String, String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LaunchScan(options, netGte, netLt)
+  override def build(): Scan =
+    new LaunchScan(options, netGte, netLt, required, limit)
 }
 
 final class LaunchScan(options: Map[String, String],
-                       netGte: Option[Instant], netLt: Option[Instant])
+                       netGte: Option[Instant], netLt: Option[Instant],
+                       required: StructType, limit: Option[Int])
     extends Scan with Batch {
 
-  override def readSchema(): StructType = HttpLaunchSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val range = Seq(netGte.map("net__gte=" + _), netLt.map("net__lt=" + _))
       .flatten.mkString("&")
-    s"LaunchScan($range)"
+    val cols = required.fieldNames.mkString(",")
+    val lim = limit.map(l => s", limit=$l").getOrElse("")
+    s"LaunchScan($range, cols=[$cols]$lim)"
   }
 
   private def pageSize: Int = options.getOrElse("pageSize", "100").toInt
@@ -130,30 +154,38 @@ final class LaunchScan(options: Map[String, String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Probe page 0 on the driver for the envelope count, then one partition
-    // per page so executors fetch pages in parallel.
+    // per page so executors fetch pages in parallel. A pushed limit caps the
+    // planned pages and the last page's row budget.
     val transport = Transport(options.getOrElse("transport", "http"))
     val first = new ObjectMapper().readTree(transport.get(pageUrl(0)))
-    val count = first.path("count").asLong(0L)
+    val count0 = first.path("count").asLong(0L)
+    val count = limit.map(l => math.min(count0, l.toLong)).getOrElse(count0)
     val pages = math.max(1, math.ceil(count.toDouble / pageSize).toInt)
-    (0 until pages).map(p =>
-      LaunchPage(pageUrl(p * pageSize)): InputPartition).toArray
+    (0 until pages).map { p =>
+      val budget = math.min(pageSize.toLong, count - p.toLong * pageSize).toInt
+      LaunchPage(pageUrl(p * pageSize),
+        if (limit.isDefined) budget else Int.MaxValue): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LaunchReaderFactory(options.getOrElse("transport", "http"))
+    new LaunchReaderFactory(options.getOrElse("transport", "http"),
+      required.fieldNames)
 }
 
-final case class LaunchPage(url: String) extends InputPartition
+final case class LaunchPage(url: String, maxRows: Int) extends InputPartition
 
-final class LaunchReaderFactory(transportName: String)
+final class LaunchReaderFactory(transportName: String, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LaunchPageReader(partition.asInstanceOf[LaunchPage], Transport(transportName))
+    new LaunchPageReader(partition.asInstanceOf[LaunchPage],
+      Transport(transportName), fields)
 }
 
 /** Fetches one page and flattens `results` into rows (the C10 explode +
-  * nested projection, done source-side). */
-final class LaunchPageReader(page: LaunchPage, transport: Transport)
+  * nested projection, done source-side), parsing only the pruned fields. */
+final class LaunchPageReader(page: LaunchPage, transport: Transport,
+                             fields: Array[String])
     extends PartitionReader[InternalRow] {
 
   private lazy val results: Iterator[JsonNode] = {
@@ -161,9 +193,12 @@ final class LaunchPageReader(page: LaunchPage, transport: Transport)
     root.path("results").elements().asScala
   }
   private var current: JsonNode = _
+  private var emitted = 0
 
   override def next(): Boolean = {
-    if (results.hasNext) { current = results.next(); true } else false
+    if (emitted < page.maxRows && results.hasNext) {
+      current = results.next(); emitted += 1; true
+    } else false
   }
 
   private def str(n: JsonNode, path: String*): UTF8String = {
@@ -171,22 +206,26 @@ final class LaunchPageReader(page: LaunchPage, transport: Transport)
     if (node.isMissingNode || node.isNull) null else UTF8String.fromString(node.asText)
   }
 
-  override def get(): InternalRow = {
-    val netMicros: Any = {
+  private def field(name: String): Any = name match {
+    case "id" => str(current, "id")
+    case "url" => str(current, "url")
+    case "name" => str(current, "name")
+    case "status" => str(current, "status", "name")
+    case "image_url" => str(current, "image", "image_url")
+    case "license" => str(current, "image", "license", "name")
+    case "net" =>
       val n = current.path("net")
       if (n.isMissingNode || n.isNull) null
       else {
         val i = Instant.parse(n.asText)
         java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       }
-    }
-    new GenericInternalRow(Array[Any](
-      str(current, "id"), str(current, "url"), str(current, "name"),
-      str(current, "status", "name"),
-      str(current, "image", "image_url"),
-      str(current, "image", "license", "name"),
-      netMicros))
+    case other =>
+      throw new IllegalArgumentException(s"unknown launch column: $other")
   }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(fields.map(field))
 
   override def close(): Unit = ()
 }

@@ -76,6 +76,48 @@ class HttpLaunchSourceSpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  test("column pruning reaches the scan: only projected fields are read") {
+    FakeTransport.reset()
+    val p0 = s"$base?mode=list&limit=100&offset=0"
+    FakeTransport.register(p0, page(2,
+      Seq(launch("a", "2024-12-01T01:00:00Z"), launch("b", "2024-12-01T02:00:00Z")),
+      None))
+    val df = spark.read.format(fmt)
+      .option("url", base).option("transport", "fake").load()
+      .select("id", "status")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "Go"), ("b", "Go")))
+    // the scan itself carries the pruned schema, not all 7 columns
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[id,status]"), s"pruned cols not in scan:\n$plan")
+    assert(!plan.contains("cols=[id,url,name,status,image_url,license,net]"))
+  }
+
+  test("limit pushdown plans only the pages the limit needs") {
+    FakeTransport.reset()
+    val p0 = s"$base?mode=list&limit=2&offset=0"
+    val p1 = s"$base?mode=list&limit=2&offset=2"
+    val p2 = s"$base?mode=list&limit=2&offset=4"
+    FakeTransport.register(p0, page(6,
+      Seq(launch("a", "2024-12-01T01:00:00Z"), launch("b", "2024-12-01T02:00:00Z")),
+      Some(p1)))
+    FakeTransport.register(p1, page(6,
+      Seq(launch("c", "2024-12-01T03:00:00Z"), launch("d", "2024-12-01T04:00:00Z")),
+      Some(p2)))
+    FakeTransport.register(p2, page(6,
+      Seq(launch("e", "2024-12-01T05:00:00Z"), launch("f", "2024-12-01T06:00:00Z")),
+      None))
+    val df = spark.read.format(fmt)
+      .option("url", base).option("pageSize", "2").option("transport", "fake")
+      .load().limit(3)
+    assert(df.collect().length == 3)
+    val reqs = FakeTransport.requested.toArray(Array.empty[String]).toSet
+    // pages 0 and 1 cover limit=3; page 2 must never be fetched
+    assert(!reqs.contains(p2), s"limit pushdown fetched page 2: $reqs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), s"pushed limit not in scan:\n$plan")
+  }
+
   test("retrying transport survives transient failures with backoff") {
     var calls = 0
     val flaky = new Transport {
