@@ -112,9 +112,16 @@ object Similarity {
     * both engines. */
   def ivfTopK(emb: DataFrame, numCentroids: Int = 8, maxQueryId: Long = 5,
               k: Int = 3, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = emb.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    ivfTopKWith(emb, cents, maxQueryId, k, nprobe)
+  }
+
+  /** IVF-flat over an explicit centroid table `(cid, cv)` — the seam the
+    * trained path shares with the deterministic one. */
+  def ivfTopKWith(emb: DataFrame, cents: DataFrame, maxQueryId: Long,
+                  k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scoredCells = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
@@ -135,6 +142,76 @@ object Similarity {
     Relational.topKPerGroup(scored, Seq("qid"),
       Seq(col("cos").desc, col("vec_id")), k)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
+
+  /** Seeded k-means centroid training for IVF (Lloyd's, fixed iterations).
+    *
+    * Quality path for [[ivfTopKWith]]: trained cells track the data
+    * distribution instead of using arbitrary vectors, raising recall at the
+    * same nprobe. Deliberately EXCLUDED from hash oracles — distributed
+    * float summation order makes the trained centroids engine-specific —
+    * and gated on measured recall instead (`IvfTrainingSpec`), the same
+    * policy as the LSH tier's recall gates.
+    *
+    * SPHERICAL k-means: centroids are re-normalized to unit length after
+    * every mean update (and at init). Assignment everywhere — training here
+    * and query time in ivfTopKWith — is argmax dot, which against
+    * unit-length centroids IS argmax cosine; without the normalization a
+    * raw mean's shrunken norm biases dot-assignment toward whichever cell's
+    * centroid kept the longest norm. Recall expectations per corpus shape
+    * are measured and documented in IvfTrainingSpec (parity on the
+    * isotropic testdata, decisive win on clustered data).
+    *
+    * Determinism of the SEED (not of float bits): init picks the `k` vectors
+    * minimizing xxhash64(seed, vec_id), so runs with one seed explore the
+    * same trajectory. Per iteration: one broadcast of k×dim literals into
+    * the assignment expression, one skew-free (cell, dim)-keyed mean
+    * aggregation — the standard distributed k-means shape, linear in the
+    * corpus at any scale. Empty or zero-norm cells keep their previous
+    * centroid. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 5,
+                      seed: Long = 42L): Array[Array[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val vecs = emb.select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+    var cents: Array[Array[Double]] = vecs
+      .select(col("v"), xxhash64(lit(seed), col("vec_id")).as("h"), col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .collect().map(r => unit(r.getSeq[Double](0).toArray))
+    for (_ <- 0 until iters) {
+      val dots = array(cents.map(c =>
+        V.dot(col("v"), array(c.map(lit): _*))): _*)
+      // argmax dot; array_position returns the FIRST max → ties to lowest cid
+      val assigned = vecs.select(col("v"),
+        (array_position(dots, array_max(dots)) - 1).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), col("dm.m").as("mv"))
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.indices.map { i =>
+        means.get(i).map(unit).filter(_.exists(_ != 0.0)).getOrElse(cents(i))
+      }.toArray
+    }
+    cents
+  }
+
+  /** IVF-flat ANN over seeded-k-means centroids (see [[kmeansCentroids]]). */
+  def ivfTopKTrained(emb: DataFrame, numCentroids: Int = 8, iters: Int = 5,
+                     seed: Long = 42L, maxQueryId: Long = 5, k: Int = 3,
+                     nprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val trained = kmeansCentroids(emb, numCentroids, iters, seed)
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "cv")
+    ivfTopKWith(emb, cents, maxQueryId, k, nprobe)
   }
 
   /** ANN: top-k per query among candidates sharing any band key with the
