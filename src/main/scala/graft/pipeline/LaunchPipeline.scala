@@ -202,19 +202,45 @@ object LaunchPipeline {
     * (src/sql/query/daily_launch_events.sql:1-5) — events per day,
     * deduplicated by id. Plans as partial/final HashAggregate with a distinct
     * expansion; partition-pruned when filtered by `net`.
-    */
-  def dailyCounts(spark: SparkSession, table: String = "launch_events"): DataFrame =
-    spark.sql(
+    *
+    * `salted = true` swaps in [[graft.operators.Relational.saltedDistinctCount]]
+    * — the 100 TB form: a plain COUNT(DISTINCT) makes the hottest day one
+    * straggler reducer, salting bounds it at 1/nSalts (same exact result,
+    * per-salt value sets are disjoint). */
+  def dailyCounts(spark: SparkSession, table: String = "launch_events",
+                  salted: Boolean = false): DataFrame =
+    if (salted)
+      graft.operators.Relational.saltedDistinctCount(
+          spark.table(table), Seq(col("net")), col("id"), "event_count")
+        .orderBy("net")
+    else spark.sql(
       s"""SELECT net, COUNT(DISTINCT id) AS event_count
          |FROM $table GROUP BY net ORDER BY net""".stripMargin)
 
+  /** Per-run hardening, opt-in so the default run stays byte-equivalent to
+    * the reference's three-task chain:
+    *  - `registerServing`: run the C8+C9 serving DDL + partition sync as
+    *    part of the pipeline instead of as a separate step;
+    *  - `validateSchema`: fail the run loudly on catalog-vs-files schema
+    *    drift ([[validateServingSchema]] — the gap SURVEY §1.3 notes in the
+    *    reference, where DDL and parquet can silently diverge). Implies
+    *    table registration. */
+  final case class RunHardening(registerServing: Boolean = false,
+                                validateSchema: Boolean = false)
+
   /** Full per-day run: ingest → transform → publish (Airflow chain
-    * dags/rocket_launch_etl.py:164 collapsed to a sequential driver). */
+    * dags/rocket_launch_etl.py:164 collapsed to a sequential driver), plus
+    * any opt-in hardening stages. */
   def run(spark: SparkSession, zones: Zones, runDate: LocalDate,
-          fetch: PageFetcher): Unit = {
+          fetch: PageFetcher,
+          hardening: RunHardening = RunHardening()): Unit = {
     ingest(zones, runDate, fetch)
     transform(spark, zones, runDate)
     publish(spark, zones, runDate)
+    if (hardening.registerServing || hardening.validateSchema)
+      registerTable(spark, zones)
+    if (hardening.validateSchema)
+      validateServingSchema(spark, zones)
   }
 
   /** Backfill: run every day in [start, endExclusive) — the engine-level

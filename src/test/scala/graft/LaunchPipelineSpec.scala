@@ -83,6 +83,20 @@ class LaunchPipelineSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("hardened run registers serving table, validates schema; salted " +
+    "daily count is exact (opt-in 100TB hardening on the pipeline path)") {
+    val z = freshZones()
+    val fetch: LP.PageFetcher = (_, _, _) => fixtureA1
+    // validateSchema implies registration; a clean run must pass the gate
+    LP.run(spark, z, day, fetch, LP.RunHardening(validateSchema = true))
+    assert(spark.catalog.tableExists("launch_events"))
+    val plain = LP.dailyCounts(spark).collect().toSeq
+    val salted = LP.dailyCounts(spark, salted = true).collect().toSeq
+    assert(plain == Seq(Row(java.sql.Date.valueOf("2024-12-01"), 2L)))
+    assert(salted == plain) // salting changes the plan, never the answer
+    spark.sql("DROP TABLE launch_events")
+  }
+
   test("runRange backfills independent days and re-runs idempotently") {
     val z = freshZones()
     def bodyFor(d: LocalDate): String =
