@@ -9,11 +9,15 @@ import graft.queries.Catalog
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Protocol (BASELINE.md): warm-session time — each query runs once to warm
-  * codegen/JIT/file listing, then the reported value is the best of 3 timed
-  * runs with a GC between queries (a 37-query session otherwise carries GC
-  * debt from one query into the next, which measured as ±40% run-to-run
-  * noise on the heavy dedup queries). Execution is forced through the no-op
+  * Protocol (BASELINE.md, symmetric with tools/bench_duckdb.py): warm-session
+  * time — each query runs once to warm codegen/file listing, then the
+  * reported value is the best of 5 timed runs with a GC between queries (a
+  * 37-query session otherwise carries GC debt from one query into the next,
+  * which measured as ±40% run-to-run noise on the heavy dedup queries).
+  * Best-of-5 rather than best-of-3 because the JVM's C2 JIT needs several
+  * executions to reach steady state (x18's heavy job measured 422 ms on its
+  * first post-warm-up run and 63 ms by the third — profiled round 3); both
+  * engines run the identical rule. Execution is forced through the no-op
   * sink so the full plan runs without collecting results to the driver.
   */
 object Bench {
@@ -36,7 +40,7 @@ object Bench {
       try {
         System.gc() // don't bill this query for the previous one's garbage
         runOnce(name) // warm-up: codegen + parquet footer/file listing
-        name -> Seq(runOnce(name), runOnce(name), runOnce(name)).min
+        name -> (1 to 5).map(_ => runOnce(name)).min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """DuckDB side of the bench protocol (BASELINE.md): same machine, same
-per-query rule as graft.Bench — one warm-up run, then best of 3 timed runs,
+per-query rule as graft.Bench — one warm-up run, then best of 5 timed runs,
 executed against the same sf directory. Prints one JSON line.
 
 Usage: bench_duckdb.py <sf_dir> <oracle_sql.json> [names...]
@@ -45,7 +45,7 @@ for name in BENCH:
     best = min(
         (lambda t0: (con.execute(sql).fetchall(), time.perf_counter() - t0)[1])(
             time.perf_counter())
-        for _ in range(3))
+        for _ in range(5))
     res[name] = round(best, 4)
 
 total = round(sum(res.values()), 4)
