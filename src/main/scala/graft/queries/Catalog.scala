@@ -981,6 +981,86 @@ object Catalog {
     None,
     bench = false)
 
+  /** E10 completion: multiset INTERSECT ALL (x30 covers the distinct
+    * variants, x38 EXCEPT ALL — this is the remaining set operator).
+    * Duplicates are kept min(countL, countR) times by both engines. */
+  val x55 = Q("x55_intersect_all",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      def users(tpe: String) = ev.where(col("event_type") === tpe).select("user_id")
+      users("purchase").intersectAll(users("click")).orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+           |INTERSECT ALL
+           |SELECT user_id FROM events WHERE event_type = 'click'
+           |ORDER BY user_id""".stripMargin),
+    bench = false)
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG surface): each user's
+    * event-type sequence as a sorted comma-joined string. Sorting inside the
+    * aggregate makes the result order-deterministic in both engines
+    * (collect_list order is partition-dependent; array_sort pins it —
+    * equal elements are interchangeable, so ties cannot drift). */
+  val x56 = Q("x56_string_agg",
+    (s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_list(col("event_type"))), ",")
+        .as("types"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+           |  string_agg(event_type, ',' ORDER BY event_type) AS types
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    bench = false)
+
+  /** UNPIVOT (wide → long): per-day conditional counts stacked back to
+    * (d, event_type, n) rows — the inverse of x42's pivot. Spark side uses
+    * the `stack` generator; the oracle uses the portable UNION ALL form. */
+  val x57 = Q("x57_unpivot",
+    (s, d) => t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signup"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("error"))
+      .select(col("d"), expr(
+        "stack(3, 'signup', signup, 'purchase', purchase, 'error', error)")
+        .as(Seq("event_type", "n")))
+      .orderBy("d", "event_type"),
+    Some("""WITH w AS (SELECT CAST(ts AS DATE) AS d,
+           |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+           |  FROM events GROUP BY 1)
+           |SELECT d, event_type, n FROM (
+           |  SELECT d, 'signup' AS event_type, signup AS n FROM w
+           |  UNION ALL SELECT d, 'purchase', purchase FROM w
+           |  UNION ALL SELECT d, 'error', error FROM w)
+           |ORDER BY d, event_type""".stripMargin),
+    bench = false)
+
+  /** RANGE window frame (x45 covers ROWS): per-user rolling 10-minute value
+    * sum, frame bounded by the ORDER BY value (epoch µs), not row count —
+    * peers at the same instant always share a frame, so ties cannot drift.
+    * DECIMAL accumulation, like x45, keeps the sum order-independent. */
+  val x58 = Q("x58_window_range_frame",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-600000000L, 0L)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double"), 4).as("v10m"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+           |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS v10m
+           |FROM events ORDER BY user_id, event_id""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -998,7 +1078,7 @@ object Catalog {
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
-    x51, x52, x53, x54)
+    x51, x52, x53, x54, x55, x56, x57, x58)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

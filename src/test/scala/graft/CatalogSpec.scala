@@ -64,7 +64,11 @@ class CatalogSpec extends AnyFunSuite {
     "x51_rank_distribution" -> Seq("o_orderkey", "o_orderpriority", "quartile", "pr", "cd"),
     "x52_array_ops" -> Seq("doc_id", "n_distinct", "first_tok", "last_tok"),
     "x53_scalar_subquery" -> Seq("c_custkey", "c_acctbal"),
-    "x54_approx_percentiles" -> Seq("event_type", "p50", "p90"))
+    "x54_approx_percentiles" -> Seq("event_type", "p50", "p90"),
+    "x55_intersect_all" -> Seq("user_id"),
+    "x56_string_agg" -> Seq("user_id", "types"),
+    "x57_unpivot" -> Seq("d", "event_type", "n"),
+    "x58_window_range_frame" -> Seq("user_id", "event_id", "v10m"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
