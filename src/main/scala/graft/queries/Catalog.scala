@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Portable, TextAnalysis, VectorFunctions => V}
@@ -29,6 +29,15 @@ object Catalog {
       bench: Boolean = true)
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Total sort for bounded REPORT outputs — row count O(groups) or O(k),
+    * never O(input): a single-partition sort produces the identical total
+    * order while skipping `orderBy`'s range-sampling job + range exchange
+    * (measured 45–85 ms per query at sf0.1, pure scheduling floor). At any
+    * scale, sorting a bounded report on one task is the right plan;
+    * table-shaped outputs below keep the parallel range sort. */
+  private def reportSort(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 
   // ------------------------------------------------------------------ core
 
@@ -73,10 +82,9 @@ object Catalog {
   /** Q5 — C13 grouped distinct count, the reference's one analytical query
     * (src/sql/query/daily_launch_events.sql:1-5). */
   val q05 = Q("q05_daily_distinct",
-    (s, d) => t(s, d, "events")
+    (s, d) => reportSort(t(s, d, "events")
       .groupBy(to_date(col("ts")).as("d"))
-      .agg(countDistinct(col("user_id")).as("event_count"))
-      .orderBy("d"),
+      .agg(countDistinct(col("user_id")).as("event_count")), col("d")),
     Some("""SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS event_count
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -94,8 +102,8 @@ object Catalog {
 
   /** Q7 — plain grouped count. */
   val q07 = Q("q07_group_count",
-    (s, d) => t(s, d, "events")
-      .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type"),
+    (s, d) => reportSort(t(s, d, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n")), col("event_type")),
     Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"))
 
   /** Q8 — C6/C7 partitioned write→read round trip, run twice to prove
@@ -127,12 +135,12 @@ object Catalog {
   /** Q9 — E1 equi join + agg. Customer is a dim → broadcast; the money sum
     * goes through DECIMAL so both engines sum exactly, then one cast. */
   val q09 = Q("q09_join_agg",
-    (s, d) => t(s, d, "orders")
+    (s, d) => reportSort(t(s, d, "orders")
       .join(broadcast(t(s, d, "customer")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
-      .orderBy("c_mktsegment"),
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")),
+      col("c_mktsegment")),
     Some("""SELECT c_mktsegment,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
            |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -202,12 +210,12 @@ object Catalog {
 
   /** Q16 — E1+E3 join + ranking window: top-2 customers per nation. */
   val q16 = Q("q16_join_window",
-    (s, d) => Relational.topKPerGroup(
+    (s, d) => reportSort(Relational.topKPerGroup(
         t(s, d, "customer").join(broadcast(t(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey")),
         Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey")), 2)
-      .select("n_name", "rn", "c_custkey", "c_acctbal")
-      .orderBy("n_name", "rn"),
+      .select("n_name", "rn", "c_custkey", "c_acctbal"),
+      col("n_name"), col("rn")),
     Some("""SELECT n_name, rn, c_custkey, c_acctbal FROM (
            |  SELECT n.n_name, c.c_custkey, c.c_acctbal, row_number() OVER (
            |    PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
@@ -324,8 +332,9 @@ object Catalog {
     * vectors matching any of the query's band keys within Hamming distance 1
     * (multi-probe). */
   val x22 = Q("x22_sim_lsh",
-    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3, probe = 1)
-      .orderBy("qid", "rn"),
+    (s, d) => reportSort(
+      Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3, probe = 1),
+      col("qid"), col("rn")),
     Some {
       val anyBandProbe = (0 until Similarity.Bands)
         .map(b => s"bit_count(xor(q.k$b, c.k$b)) <= 1").mkString(" OR ")
@@ -479,11 +488,11 @@ object Catalog {
   /** Multi-level aggregation: ROLLUP over (event_type, day). NULLS FIRST is
     * pinned explicitly — Spark defaults there for ASC, DuckDB doesn't. */
   val x31 = Q("x31_rollup_agg",
-    (s, d) => t(s, d, "events")
+    (s, d) => reportSort(t(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .rollup("event_type", "d")
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first),
+      .agg(count(lit(1)).as("n")),
+      col("event_type").asc_nulls_first, col("d").asc_nulls_first),
     Some("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
            |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
            |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin))
@@ -512,12 +521,12 @@ object Catalog {
   /** Exact continuous percentiles per group (Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition). */
   val x33 = Q("x33_percentiles",
-    (s, d) => t(s, d, "events")
+    (s, d) => reportSort(t(s, d, "events")
       .groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
-      .orderBy("event_type"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99")),
+      col("event_type")),
     Some("""SELECT event_type,
            |  round(quantile_cont(value, 0.5), 4) AS p50,
            |  round(quantile_cont(value, 0.9), 4) AS p90,
@@ -564,11 +573,11 @@ object Catalog {
 
   /** CUBE over (event_type, day): all four grouping levels. */
   val x37 = Q("x37_cube_agg",
-    (s, d) => t(s, d, "events")
+    (s, d) => reportSort(t(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .cube("event_type", "d")
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first),
+      .agg(count(lit(1)).as("n")),
+      col("event_type").asc_nulls_first, col("d").asc_nulls_first),
     Some("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
            |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))
            |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin))
@@ -640,7 +649,7 @@ object Catalog {
       .select(when(col("h") < 80, "train").when(col("h") < 90, "valid")
         .otherwise("test").as("split"))
       .groupBy("split").agg(count(lit(1)).as("n"))
-      .orderBy("split"),
+      .transform(reportSort(_, col("split"))),
     Some(s"""WITH h AS (SELECT doc_id,
             |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
             |  FROM documents),
@@ -690,7 +699,7 @@ object Catalog {
       .groupBy("d").pivot("event_type", eventTypes).agg(count(lit(1)))
       .select(col("d") +: eventTypes.map(tp =>
         coalesce(col(tp), lit(0L)).as(tp)): _*)
-      .orderBy("d"),
+      .transform(reportSort(_, col("d"))),
     Some {
       val cols = eventTypes.map(tp =>
         s"COUNT(CASE WHEN event_type = '$tp' THEN 1 END) AS $tp").mkString(",\n  ")
@@ -809,9 +818,9 @@ object Catalog {
   /** E7 IVF-flat ANN (the north star's named alternative to LSH): coarse
     * cells from deterministic centroids, nprobe=2, exact re-rank. */
   val x48 = Q("x48_ann_ivf",
-    (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
-        numCentroids = 8, maxQueryId = 5, k = 3, nprobe = 2)
-      .orderBy("qid", "rn"),
+    (s, d) => reportSort(Similarity.ivfTopK(t(s, d, "embeddings"),
+        numCentroids = 8, maxQueryId = 5, k = 3, nprobe = 2),
+      col("qid"), col("rn")),
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
            |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
@@ -851,7 +860,7 @@ object Catalog {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("quality").cast("decimal(18,6)")).cast("double")
             .as("total_quality"))
-        .orderBy("lang_pred")
+        .transform(reportSort(_, col("lang_pred")))
     },
     Some(s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
             |  GROUP BY md5(text)),
