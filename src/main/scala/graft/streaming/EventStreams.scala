@@ -134,6 +134,32 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** Watermarked stream-stream interval join — the streaming face of the
+    * batch range join (x50 / [[graft.operators.Relational.rangeJoin]]):
+    * each purchase joined to the same user's error events from the
+    * preceding `windowMinutes` of EVENT time.
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * event-time distance, so Spark derives a state-eviction bound for BOTH
+    * buffers (unbounded stream-stream joins otherwise keep all history —
+    * the state-blowup failure mode at scale). Inner join → append-mode
+    * compatible. Column prefixes keep the two sides' schemas disjoint, the
+    * same contract as the batch rangeJoin. */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            key: String = "user_id",
+                            windowMinutes: Int = 60,
+                            watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col(key).as("l_key"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   /** Run any pure batch transform as a streaming sink stage. */
   def foreachBatchPipeline(stream: DataFrame, transform: DataFrame => DataFrame,
                            outDir: String, checkpoint: String) =

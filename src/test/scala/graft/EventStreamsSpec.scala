@@ -80,6 +80,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming interval join ≡ batch x50 prior-error counts on the corpus") {
+    val dir = stageSource()
+    def side(tpe: String) = EventStreams.readEventStream(spark, dir)
+      .where(col("event_type") === tpe)
+    val q = EventStreams.streamingIntervalJoin(
+        side("purchase"), side("error"), "user_id", windowMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ival_join").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ival_join")
+        .groupBy(col("l_event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_prior_errors"))
+      val batch = graft.queries.Catalog.queries("x50_range_join")(spark, sf0001)
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("sessionization closes a session after the event-time gap") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_sessions").toString
