@@ -128,4 +128,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("graft_shingle_set"),
       s"expected the one-pass shingle kernel in:\n$plan")
   }
+
+  test("report queries sort on one partition, no range-sampling exchange; " +
+    "table-shaped queries keep the parallel range sort") {
+    // bounded report: single-partition sort — no rangepartitioning anywhere
+    for (name <- Seq("q07_group_count", "x33_percentiles", "x42_pivot")) {
+      val plan = planOf(Catalog.queries(name)(spark, sf0001))
+      assert(!plan.contains("rangepartitioning"),
+        s"$name should not range-sort its bounded report:\n$plan")
+      assert(plan.contains("Sort"), s"$name lost its total sort:\n$plan")
+    }
+    // table-shaped output: the parallel range sort is the correct plan
+    val q01 = planOf(Catalog.queries("q01_project_rename")(spark, sf0001))
+    assert(q01.contains("rangepartitioning"),
+      s"q01's table-sized output must keep the parallel range sort:\n$q01")
+  }
 }
