@@ -142,13 +142,18 @@ object EventStreams {
     * Both sides carry a watermark and the join condition bounds the
     * event-time distance, so Spark derives a state-eviction bound for BOTH
     * buffers (unbounded stream-stream joins otherwise keep all history —
-    * the state-blowup failure mode at scale). Inner join → append-mode
-    * compatible. Column prefixes keep the two sides' schemas disjoint, the
-    * same contract as the batch rangeJoin. */
+    * the state-blowup failure mode at scale). Column prefixes keep the two
+    * sides' schemas disjoint, the same contract as the batch rangeJoin.
+    *
+    * `joinType = "left_outer"` additionally emits an unmatched left row
+    * (null r_* side) once the watermark passes the end of its interval —
+    * i.e. once no matching right row can still arrive. Inner (default) and
+    * left-outer are both append-mode compatible. */
   def streamingIntervalJoin(left: DataFrame, right: DataFrame,
                             key: String = "user_id",
                             windowMinutes: Int = 60,
-                            watermark: String = "1 hour"): DataFrame = {
+                            watermark: String = "1 hour",
+                            joinType: String = "inner"): DataFrame = {
     val l = left.select(col("event_id").as("l_event_id"),
         col(key).as("l_key"), col("ts").as("l_ts"))
       .withWatermark("l_ts", watermark)
@@ -157,7 +162,8 @@ object EventStreams {
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-        col("r_ts") <= col("l_ts"))
+        col("r_ts") <= col("l_ts"),
+      joinType)
   }
 
   /** Run any pure batch transform as a streaming sink stage. */

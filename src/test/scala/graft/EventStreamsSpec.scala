@@ -100,6 +100,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer streaming interval join emits the unmatched purchase " +
+    "with nulls once the watermark passes its interval") {
+    val base = 1704067200000000000L // 2024-01-01, ns
+    def t(min: Int): Long = base + min * 60000000000L
+    val dir = Files.createTempDirectory("graft_souter").toString
+    def write(file: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$file")
+    // u1's purchase has a prior error; u2's purchase has none
+    write("b1", Seq(
+      (1L, t(5), 1L, "error", 0.0, "{}"),
+      (2L, t(10), 1L, "purchase", 1.0, "{}"),
+      (3L, t(10), 2L, "purchase", 1.0, "{}")))
+    // far-future sentinels on BOTH sides advance both watermarks; the second
+    // batch lets the state-store eviction emit the unmatched left row
+    write("b2", Seq((9000001L, 1900000000000000000L, -1L, "purchase", 0.0, "{}"),
+      (9000002L, 1900000000000000000L, -1L, "error", 0.0, "{}")))
+    write("b3", Seq((9000003L, 1990000000000000000L, -1L, "purchase", 0.0, "{}"),
+      (9000004L, 1990000000000000000L, -1L, "error", 0.0, "{}")))
+    val src = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(tpe: String) = src.where(col("event_type") === tpe)
+    val q = EventStreams.streamingIntervalJoin(
+        side("purchase"), side("error"), "user_id", windowMinutes = 60,
+        watermark = "0 seconds", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_join").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("outer_join").where(col("l_key") >= 0)
+        .select("l_event_id", "r_ts").collect()
+        .map(r => (r.getLong(0), r.isNullAt(1))).sorted
+      assert(rows.toSeq == Seq((2L, false), (3L, true)),
+        s"expected matched id=2 and null-padded id=3, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session after the event-time gap") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_sessions").toString
