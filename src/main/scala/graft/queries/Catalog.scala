@@ -1070,6 +1070,26 @@ object Catalog {
            |FROM events ORDER BY user_id, event_id""".stripMargin),
     bench = false)
 
+  /** Regex scrub/normalize surface (the curation stage that masks or strips
+    * patterns before training): extract-all counting plus global
+    * regexp_replace with a word-boundary pattern. The patterns stay inside
+    * the RE2 ∩ java.util.regex common subset ([aeiou]+, \btable\b) so both
+    * engines compile identical semantics; DuckDB needs the explicit 'g'
+    * flag for global replace (Spark replaces all matches by default). */
+  val x59 = Q("x59_text_scrub",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+          .cast("bigint").as("n_vruns"),
+        length(regexp_replace(col("text"), "\\btable\\b", "#"))
+          .cast("bigint").as("scrub_len"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(length(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vruns,
+           |  CAST(length(regexp_replace(text, '\btable\b', '#', 'g')) AS BIGINT) AS scrub_len
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1087,7 +1107,7 @@ object Catalog {
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
-    x51, x52, x53, x54, x55, x56, x57, x58)
+    x51, x52, x53, x54, x55, x56, x57, x58, x59)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -68,7 +68,8 @@ class CatalogSpec extends AnyFunSuite {
     "x55_intersect_all" -> Seq("user_id"),
     "x56_string_agg" -> Seq("user_id", "types"),
     "x57_unpivot" -> Seq("d", "event_type", "n"),
-    "x58_window_range_frame" -> Seq("user_id", "event_id", "v10m"))
+    "x58_window_range_frame" -> Seq("user_id", "event_id", "v10m"),
+    "x59_text_scrub" -> Seq("doc_id", "n_vruns", "scrub_len"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
