@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Merge
+
+/** Row-level MERGE/upsert: updates replace same-key rows, inserts land in
+  * their partition, and — the scale contract — partitions with no updates
+  * are left byte-identical on disk. */
+class MergeSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("graft_merge").toString
+    Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"), (4L, "d", "d3"))
+      .toDF("id", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    dir
+  }
+
+  private def partitionFiles(dir: String, p: String): Map[String, Long] = {
+    val d = Paths.get(s"$dir/p=$p")
+    import scala.collection.JavaConverters._
+    Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis)
+      .toMap
+  }
+
+  test("upsert replaces matched keys, inserts new ones, touches only the " +
+    "updates' partitions") {
+    val dir = freshTable()
+    val before = partitionFiles(dir, "d3")
+    val updates = Seq((2L, "B2", "d1"), (9L, "new", "d2")).toDF("id", "v", "p")
+
+    val touched = Merge.upsertByKey(spark, dir, updates, "id", "p")
+    assert(touched == 2)
+
+    val after = spark.read.parquet(dir)
+      .select("id", "v", "p").as[(Long, String, String)].collect().toSet
+    assert(after == Set(
+      (1L, "a", "d1"), (2L, "B2", "d1"), // d1: key 2 replaced, key 1 kept
+      (3L, "c", "d2"), (9L, "new", "d2"), // d2: insert
+      (4L, "d", "d3"))) // d3: untouched
+
+    // the untouched partition's files are byte-identical (same names, same
+    // mtimes) — the merge never rewrote them
+    assert(partitionFiles(dir, "d3") == before)
+  }
+
+  test("empty update batch is a no-op") {
+    val dir = freshTable()
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "v", "p")
+    assert(Merge.upsertByKey(spark, dir, empty, "id", "p") == 0)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("re-running the same merge is idempotent") {
+    val dir = freshTable()
+    val updates = Seq((2L, "B2", "d1")).toDF("id", "v", "p")
+    Merge.upsertByKey(spark, dir, updates, "id", "p")
+    Merge.upsertByKey(spark, dir, updates, "id", "p")
+    val d1 = spark.read.parquet(dir).where(col("p") === "d1")
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(d1 == Set((1L, "a"), (2L, "B2")))
+  }
+}
