@@ -103,11 +103,13 @@ object TokenHasher {
     acc
   }
 
-  /** Distinct xxhash64'd 3-gram token shingles, one pass. Hash values are
-    * EXACTLY Spark's `xxhash64(concat_ws(' ', t1, t2, t3))` (same XxHash64
-    * kernel, same seed 42), so this interchanges freely with the declarative
-    * shingle pipeline. Per-doc distinct happens here (hash set), removing
-    * the need for a distinct shuffle downstream. */
+  /** Distinct xxhash64'd 3-gram token shingles, one pass, SORTED ascending.
+    * Hash values are EXACTLY Spark's `xxhash64(concat_ws(' ', t1, t2, t3))`
+    * (same XxHash64 kernel, same seed 42), so this interchanges freely with
+    * the declarative shingle pipeline. Per-doc distinct happens here (hash
+    * set), removing the need for a distinct shuffle downstream; the sorted
+    * order lets [[SortedIntersectCount]] verify candidate pairs with an
+    * allocation-free merge scan. */
   def shingleHashes(u: UTF8String): ArrayData = {
     val s = u.toString
     val starts = new java.util.ArrayList[Integer]()
@@ -132,6 +134,7 @@ object TokenHasher {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 }
@@ -145,6 +148,10 @@ object TextHashFunctions {
   def jsonLong(c: Column, key: String): Column =
     B.column(JsonLongField(B.expression(c), key))
   def shingleSet(c: Column): Column = B.column(ShingleSet(B.expression(c)))
+  def shinglePrefix(c: Column,
+                    dfMap: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
+                    tEff: Double): Column =
+    B.column(ShinglePrefix(B.expression(c), dfMap, tEff))
   def langStats(c: Column): Column = B.column(LangStats(B.expression(c)))
 }
 

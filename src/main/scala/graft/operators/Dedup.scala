@@ -211,6 +211,13 @@ object Dedup {
         graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
 
+  /** Ceiling on the broadcast df map for [[ngramJaccardPairs]]' fused prefix
+    * path: ~4M distinct shingles ≈ 64 MB of paired long arrays — the upper
+    * end of a comfortable executor broadcast. Corpora with a larger shingle
+    * vocabulary (web scale) fall back to the join+window plan, the same
+    * adaptive posture as broadcast-vs-shuffle join selection. */
+  val MaxBroadcastShingles: Int = 4 << 20
+
   /** Near-dup pairs by 3-gram Jaccard ≥ threshold, via prefix-filtered
     * inverted-index join (the PPJoin family: Chaudhuri et al. ICDE'06,
     * Bayardo et al. WWW'07, Xiao et al. WWW'08).
@@ -233,14 +240,25 @@ object Dedup {
     * lands exactly on t are never pruned early (the oracle compares rounded
     * values).
     *
+    * Plan shape (round 3): the df pass is ONE slim aggregate whose result —
+    * bounded by [[MaxBroadcastShingles]], else the windowed fallback —
+    * rides an executor broadcast into [[graft.functions.ShinglePrefix]],
+    * which ranks each document's shingles per-row inside codegen. That
+    * replaces the rounds-1–2 df join + per-document ranking window (two
+    * shuffles and an AQE round-trip on every run). A hash-only order with
+    * no df pass was measured first and rejected: on the bench corpus it
+    * inflates candidates 85k-fold-ish (random prefix shingles carry avg df
+    * ~10), costing more in verification than the saved shuffles.
+    *
     * Candidates additionally pass the size filter t·max(na,nb) ≤ min(na,nb)
     * (J ≥ t forces it), then are verified EXACTLY: intersection of the
     * packed per-doc shingle sets (one-pass ShingleSet kernel, no distinct
     * shuffle), so the output is identical to the unfiltered all-pairs
-    * computation the oracle runs. */
+    * computation the oracle runs — prefix choice affects only candidate
+    * volume, never the result set. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-                        textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                        textCol: String = "text",
+                        maxBroadcastShingles: Int = MaxBroadcastShingles): DataFrame = {
     val tEff = threshold - 1e-4
     // no empty-doc filter: explode() drops shingle-free docs from the join
     // anyway, and a where(nsh > 0) here gets pushed into the parquet scan as
@@ -249,17 +267,46 @@ object Dedup {
     val packed = docs.select(col("doc_id"),
         graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
       .withColumn("nsh", size(col("shs")))
-    val sh = packed.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
-    // df comes from a plain count agg (never a posting LIST — a boilerplate
+    // df stays a plain count agg (never a posting LIST — a boilerplate
     // shingle shared by 10% of a web corpus would make one giant row);
-    // the join distributes each shingle's df to its docs, the window picks
-    // each doc's prefix. All three shuffles move slim fixed-width rows.
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // partial aggregation slims the shuffle to one row per distinct shingle
+    // per map task.
+    val dfRows = packed.select(explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val collected = dfRows.limit(maxBroadcastShingles + 1).collect()
+    if (collected.length > maxBroadcastShingles)
+      return ngramJaccardPairsWindowed(packed, dfRows, threshold)
+    val entries = collected.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val dfMap = docs.sparkSession.sparkContext.broadcast(
+      (entries.map(_._1), entries.map(_._2)))
+    val prefix = packed.select(col("doc_id"), col("nsh"),
+      explode(graft.functions.TextHashFunctions.shinglePrefix(
+        col("shs"), dfMap, tEff)).as("sh"))
+    verifyCandidates(prefix, packed, threshold, tEff)
+  }
+
+  /** Fallback prefix plan for corpora whose shingle vocabulary exceeds the
+    * broadcast cap: the df table joins onto every exploded shingle row and a
+    * per-document window ranks them — two more shuffles than the broadcast
+    * path, but no driver-side state at all. Identical output. */
+  private def ngramJaccardPairsWindowed(packed: DataFrame, dfRows: DataFrame,
+                                        threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tEff = threshold - 1e-4
+    val sh = packed.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = sh.join(dfreq, "sh")
+    val prefix = sh.join(dfRows, "sh")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("nsh") - ceil(col("nsh") * lit(tEff)) + 1)
       .select(col("doc_id"), col("nsh"), col("sh"))
+    verifyCandidates(prefix, packed, threshold, tEff)
+  }
+
+  /** Candidate generation (prefix self-join + size filter + distinct) and
+    * exact verification against the packed shingle sets — shared by both
+    * prefix plans. */
+  private def verifyCandidates(prefix: DataFrame, packed: DataFrame,
+                               threshold: Double, tEff: Double): DataFrame = {
     val cand = prefix.as("l").join(prefix.as("r"),
         col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id") &&
           greatest(col("l.nsh"), col("r.nsh")) * lit(tEff) <=
@@ -270,8 +317,11 @@ object Dedup {
       col("nsh").as("na"))
     val pb = packed.select(col("doc_id").as("b"), col("shs").as("shs_b"),
       col("nsh").as("nb"))
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val sharedCount = B.column(graft.functions.SortedIntersectCount(
+      B.expression(col("shs_a")), B.expression(col("shs_b"))))
     cand.join(pa, "a").join(pb, "b")
-      .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("shared", sharedCount)
       .select(col("a"), col("b"),
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)

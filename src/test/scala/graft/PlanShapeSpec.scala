@@ -123,8 +123,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("x20 ngram verification runs on packed sets, candidates from prefix join") {
     val plan = planOf(Catalog.queries("x20_dedup_ngram")(spark, sf0001))
-    assert(plan.contains("array_intersect"),
-      s"expected packed-set verification in:\n$plan")
+    assert(plan.contains("graft_sorted_intersect_count"),
+      s"expected packed-set merge verification in:\n$plan")
     assert(plan.contains("graft_shingle_set"),
       s"expected the one-pass shingle kernel in:\n$plan")
   }
