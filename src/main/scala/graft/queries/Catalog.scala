@@ -1090,6 +1090,159 @@ object Catalog {
            |FROM documents ORDER BY doc_id""".stripMargin),
     bench = false)
 
+  private def duckClustersSql: String = {
+    val bs = (0 until 32)
+      .map(b => s"${Portable.simhashBitSum(DuckD, "hs", b)} AS bs$b").mkString(",\n  ")
+    s"""WITH RECURSIVE h AS (SELECT doc_id,
+       |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
+       |  FROM documents WHERE doc_id < 200),
+       |bs AS (SELECT doc_id,
+       |  $bs
+       |  FROM h),
+       |sig AS (SELECT doc_id,
+       |  ${Portable.simhashFromBitSums((0 until 32).map(b => s"bs$b"))} AS simhash
+       |  FROM bs),
+       |e AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sig l, sig r
+       |  WHERE l.doc_id < r.doc_id
+       |    AND bit_count(xor(l.simhash, r.simhash)) <= 1),
+       |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+       |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+       |FROM reach GROUP BY src ORDER BY src""".stripMargin
+  }
+
+  /** Dedup cluster formation — the step AFTER pair generation: connected
+    * components over a near-dup edge set ([[graft.operators.Clusters]],
+    * iterative min-label propagation). Edges are Hamming-ball pairs
+    * (simhash distance ≤ 1) generated WITHOUT an all-pairs join: each doc
+    * posts its simhash plus the 32 one-bit flips, pairs meet on key
+    * equality, then verify exactly — the same candidates+verify posture as
+    * the LSH tiers, so the plan stays NLJ-free. The doc_id < 200 bound
+    * keeps the ORACLE's all-pairs + recursive-closure form cheap; the
+    * Spark side scales unbounded. The oracle computes components via
+    * DuckDB's recursive CTE (transitive closure, then min per node). */
+  val x60 = Q("x60_dedup_clusters",
+    (s, d) => {
+      val sigs = graft.operators.Dedup.simhashSignatures(
+        t(s, d, "documents").where(col("doc_id") < 200))
+      val probeKeys = array(
+        col("simhash") +:
+          (0 until 32).map(b => col("simhash").bitwiseXOR(lit(1L << b))): _*)
+      val probes = sigs.select(col("doc_id"), col("simhash"),
+        explode(probeKeys).as("key"))
+      val edges = probes.as("l").join(probes.as("r"),
+          col("l.key") === col("r.key") && col("l.doc_id") < col("r.doc_id"))
+        .where(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= 1)
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct()
+      graft.operators.Clusters.connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(duckClustersSql),
+    bench = false)
+
+  /** Statistical aggregate kit: corr / covar_samp / stddev_samp / var_samp /
+    * regr_slope per group — the profiling surface a data-quality pass runs
+    * before training. All are one-pass co-moment aggregations (partial-agg
+    * friendly); round(,4) absorbs the last-ulp differences between the two
+    * engines' merge orders (values are O(1)–O(1e4), double carries ~15
+    * significant digits). */
+  val x61 = Q("x61_stats_kit",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("rflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(stddev_samp(col("l_discount")), 4).as("sd_disc"),
+        round(var_samp(col("l_tax")), 4).as("var_tax"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"))
+      .transform(reportSort(_, col("rflag"))),
+    Some("""SELECT l_returnflag AS rflag,
+           |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           |  round(stddev_samp(l_discount), 4) AS sd_disc,
+           |  round(var_samp(l_tax), 4) AS var_tax,
+           |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
+  /** Sequential event funnel (signup → click → purchase, strictly ordered
+    * in time per user): each stage's entry time is the MIN event time after
+    * the previous stage's entry — conditional aggregations chained by slim
+    * equi joins on user_id, no window over the full event stream. Output is
+    * each signed-up user's funnel depth (1–3). */
+  val x62 = Q("x62_funnel",
+    (s, d) => {
+      val e = t(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .where(col("event_type") === "click" && col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val s3 = e.join(s2, "user_id")
+        .where(col("event_type") === "purchase" && col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+            + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+           |  WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e
+           |  JOIN s1 ON e.user_id = s1.user_id
+           |  WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e
+           |  JOIN s2 ON e.user_id = s2.user_id
+           |  WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+           |SELECT s1.user_id,
+           |  CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+           |         + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END)
+           |    AS BIGINT) AS depth
+           |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+           |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+           |ORDER BY s1.user_id""".stripMargin),
+    bench = false)
+
+  /** Deterministic stratified sampling: per-stratum keep rates applied via
+    * a multiplicative integer hash of the row key — reproducible across
+    * runs, engines, and partitionings (unlike rand()-based sampling), the
+    * property a training pipeline needs to downweight over-represented
+    * strata (here: 5% of views, 10% of clicks, 50% of errors, all of the
+    * rest). Knuth multiplicative hash in exact BIGINT arithmetic (safe for
+    * keys < ~3.4e9 under ANSI overflow checking); per-stratum keep counts
+    * plus id-range fingerprints verify the identical row selection. */
+  val x63 = Q("x63_stratified_sample",
+    (s, d) => t(s, d, "events")
+      .withColumn("h",
+        (col("event_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L))
+      .withColumn("keep_pm",
+        when(col("event_type") === "view", 50L)
+          .when(col("event_type") === "click", 100L)
+          .when(col("event_type") === "error", 500L)
+          .otherwise(1000L))
+      .where(col("h") < col("keep_pm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .transform(reportSort(_, col("event_type"))),
+    Some("""SELECT event_type, COUNT(*) AS n_kept, min(event_id) AS min_id,
+           |  max(event_id) AS max_id
+           |FROM (SELECT event_type, event_id,
+           |    ((event_id * 2654435761) % 1000000007) % 1000 AS h FROM events)
+           |WHERE h < CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 100
+           |  WHEN 'error' THEN 500 ELSE 1000 END
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1107,7 +1260,7 @@ object Catalog {
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
-    x51, x52, x53, x54, x55, x56, x57, x58, x59)
+    x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -69,7 +69,12 @@ class CatalogSpec extends AnyFunSuite {
     "x56_string_agg" -> Seq("user_id", "types"),
     "x57_unpivot" -> Seq("d", "event_type", "n"),
     "x58_window_range_frame" -> Seq("user_id", "event_id", "v10m"),
-    "x59_text_scrub" -> Seq("doc_id", "n_vruns", "scrub_len"))
+    "x59_text_scrub" -> Seq("doc_id", "n_vruns", "scrub_len"),
+    "x60_dedup_clusters" -> Seq("doc_id", "cluster"),
+    "x61_stats_kit" -> Seq("rflag", "corr_qp", "covar_qp", "sd_disc",
+      "var_tax", "slope_pq"),
+    "x62_funnel" -> Seq("user_id", "depth"),
+    "x63_stratified_sample" -> Seq("event_type", "n_kept", "min_id", "max_id"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

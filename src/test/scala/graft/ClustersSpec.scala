@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Clusters
+
+/** Connected components: min-label propagation over DataFrame joins. */
+class ClustersSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)],
+                         maxRounds: Int = Clusters.MaxRounds): Map[Long, Long] =
+    Clusters.connectedComponents(edges.toDF("a", "b"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and isolated pair resolve to min-id components") {
+    val got = components(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain
+      (10L, 11L), (10L, 12L), (11L, 12L), // triangle
+      (20L, 21L))) // pair
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (propagation crosses many hops)") {
+    val path = (0L until 12L).map(i => (i, i + 1))
+    val got = components(path)
+    assert(got.size == 13 && got.values.forall(_ == 0L))
+  }
+
+  test("label flows both directions (min id in the middle of a path)") {
+    val got = components(Seq((5L, 1L), (1L, 9L)))
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("empty edge set yields empty result") {
+    assert(components(Seq.empty).isEmpty)
+  }
+
+  test("round ceiling fails loudly instead of looping") {
+    val path = (0L until 12L).map(i => (i, i + 1))
+    intercept[IllegalStateException](components(path, maxRounds = 2))
+  }
+}

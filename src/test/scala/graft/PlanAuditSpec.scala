@@ -19,6 +19,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "x39_tfidf" -> "crossJoin with a broadcast 1-row corpus-count aggregate",
     "x48_ann_ivf" -> "crossJoin with the broadcast 8-row centroid table")
 
+  /** Queries allowed an ExistingRDD scan, with why. */
+  val rddAllowed: Map[String, String] = Map(
+    "x21_dedup_embedding" -> "bounded-probe mapPartitions tier (documented)",
+    "x60_dedup_clusters" -> ("iterative fixpoint: the label state is " +
+      "localCheckpoint-ed each round to stop 2^rounds lineage growth; every " +
+      "per-round join/agg is still Catalyst-planned"))
+
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
       val plan = q.build(spark, sf0001).queryExecution.executedPlan.toString
@@ -29,7 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
           s"undeclared nested-loop join in ${q.name}:\n$plan")
       // nothing should fall back to opaque RDD scans (operators must stay
       // inside the SQL engine where Catalyst can see them)
-      assert(!plan.contains("ExistingRDD") || q.name == "x21_dedup_embedding",
+      assert(!plan.contains("ExistingRDD") || rddAllowed.contains(q.name),
         s"unexpected RDD fallback in ${q.name}:\n$plan")
     }
   }
