@@ -1243,6 +1243,98 @@ object Catalog {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** Document chunking for context-window-bounded training: each document
+    * split into 30-token windows with stride 25 (5-token overlap), the
+    * standard packing prep before tokenization. Pure per-row array compute
+    * (sequence + slice inside codegen) — no shuffle until the output sort;
+    * the last chunk per doc may be short, never empty. */
+  val x64 = Q("x64_doc_chunks",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(1, n, 25)")).as("off"))
+      .select(col("doc_id"), col("off").cast("bigint").as("off"),
+        (least(col("off") + 29, col("n")) - col("off") + 1).cast("bigint")
+          .as("n_chunk"),
+        concat_ws(" ", slice(col("toks"), col("off"), lit(30))).as("chunk"))
+      .orderBy("doc_id", "off"),
+    Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |t2 AS (SELECT doc_id, toks, length(toks) AS n FROM t
+            |  WHERE length(toks) > 0)
+            |SELECT doc_id, CAST(off AS BIGINT) AS off,
+            |  CAST(least(off + 29, n) - off + 1 AS BIGINT) AS n_chunk,
+            |  array_to_string(toks[off:least(off + 29, n)], ' ') AS chunk
+            |FROM t2, unnest(range(1, n + 1, 25)) AS u(off)
+            |ORDER BY doc_id, off""".stripMargin),
+    bench = false)
+
+  /** Adjacent-token-pair frequencies — the counting step a BPE/WordPiece
+    * vocabulary-induction loop runs per merge round. Pairs keep their
+    * per-document multiplicity (unlike shingle DEDUP sets); top-20 with a
+    * lexicographic tiebreak, via TakeOrderedAndProject (partial top-k per
+    * partition, no full sort). */
+  val x65 = Q("x65_bpe_pairs",
+    (s, d) => t(s, d, "documents")
+      .select(expr(Portable.tokens(SparkD, "text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(20),
+    Some(s"""WITH t AS (SELECT ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |p AS (SELECT unnest(list_transform(range(1, length(toks)),
+            |    i -> concat(toks[i], ' ', toks[i + 1]))) AS pair
+            |  FROM t WHERE length(toks) >= 2)
+            |SELECT pair, COUNT(*) AS n FROM p GROUP BY 1
+            |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+    bench = false)
+
+  /** Benchmark decontamination: which held-out documents share 3-gram
+    * shingles with the training split? Splits come from the deterministic
+    * content-fingerprint hash (x40's mechanism); the train side collapses to
+    * a DISTINCT shingle set (8-byte hashes, one per distinct shingle in the
+    * corpus — never per-document rows), so the check is an inverted-index
+    * equi-join, not doc×doc. Spark joins hashed shingles, the oracle joins
+    * shingle strings — identical counts absent a 2^-64 collision (same
+    * contract as x20). */
+  val x66 = Q("x66_decontamination",
+    (s, d) => {
+      val docs = t(s, d, "documents").withColumn("h",
+        graft.functions.TextHashFunctions.fingerprint(col("text")) % 100)
+      val trainSh = docs.where(col("h") < 80)
+        .select(explode(graft.functions.TextHashFunctions.shingleSet(col("text")))
+          .as("sh"))
+        .distinct()
+      val evalSh = docs.where(col("h") >= 90)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashFunctions.shingleSet(col("text")))
+            .as("sh"))
+      evalSh.join(trainSh, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH th AS (SELECT doc_id, text,
+            |    ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
+            |  FROM documents),
+            |f AS (SELECT doc_id, text,
+            |    ${Portable.fingerprint(DuckD, "hs")} % 100 AS h FROM th),
+            |tok AS (SELECT doc_id, h, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM f),
+            |sh0 AS (SELECT doc_id, h, unnest(${graft.operators.Dedup.shingleExprDuck("toks")}) AS sh
+            |  FROM tok),
+            |sh AS (SELECT DISTINCT doc_id, h, sh FROM sh0),
+            |tr AS (SELECT DISTINCT sh FROM sh WHERE h < 80),
+            |ev AS (SELECT doc_id, sh FROM sh WHERE h >= 90)
+            |SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            |FROM ev JOIN tr ON ev.sh = tr.sh
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1260,7 +1352,8 @@ object Catalog {
     x17, x18, x19, x20, x21, x22,
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
-    x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63)
+    x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
+    x64, x65, x66)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

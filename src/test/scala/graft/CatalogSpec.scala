@@ -74,7 +74,10 @@ class CatalogSpec extends AnyFunSuite {
     "x61_stats_kit" -> Seq("rflag", "corr_qp", "covar_qp", "sd_disc",
       "var_tax", "slope_pq"),
     "x62_funnel" -> Seq("user_id", "depth"),
-    "x63_stratified_sample" -> Seq("event_type", "n_kept", "min_id", "max_id"))
+    "x63_stratified_sample" -> Seq("event_type", "n_kept", "min_id", "max_id"),
+    "x64_doc_chunks" -> Seq("doc_id", "off", "n_chunk", "chunk"),
+    "x65_bpe_pairs" -> Seq("pair", "n"),
+    "x66_decontamination" -> Seq("doc_id", "n_shared"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
