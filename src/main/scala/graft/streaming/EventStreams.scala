@@ -174,4 +174,35 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         transform(batch).write.mode("append").parquet(outDir)
       }
+
+  /** CDC-style streaming upsert sink: every micro-batch is MERGE'd into the
+    * hive-partitioned parquet table at `path` by `key` via
+    * [[graft.pipeline.Merge.upsertByKey]] — within a batch the row with the
+    * highest `seqCol` per key wins (so out-of-order delivery inside a batch
+    * cannot regress a key), and on disk only the partitions PRESENT in the
+    * batch are rewritten.
+    *
+    * Idempotence across retries: a replayed micro-batch re-merges the same
+    * keys to the same values (upsert, not append), so the sink tolerates
+    * Structured Streaming's at-least-once foreachBatch contract. The first
+    * batch creates the table. Keys never seen again are left untouched —
+    * this is an upsert sink, not a full-snapshot sink. */
+  def upsertSink(stream: DataFrame, path: String, key: String,
+                 partitionCol: String, seqCol: String, checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.operators.Relational
+          .dedupKeepLatest(batch, Seq(key), Seq(col(seqCol).desc))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path),
+          batch.sparkSession.sessionState.newHadoopConf())
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (!fs.exists(p) || fs.listStatus(p).isEmpty)
+          latest.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+        else
+          graft.pipeline.Merge.upsertByKey(
+            batch.sparkSession, path, latest, key, partitionCol)
+        ()
+      }
 }

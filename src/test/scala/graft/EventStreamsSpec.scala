@@ -258,6 +258,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert sink merges micro-batches by key; within-batch max-seq wins; " +
+    "new partitions appear without rewriting old ones") {
+    val dir = Files.createTempDirectory("graft_upsert_src").toString
+    val tbl = Files.createTempDirectory("graft_upsert_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    Seq((1L, "a", "d1", 1L), (2L, "b", "d1", 1L), (3L, "c", "d2", 1L))
+      .toDF("id", "v", "p", "seq").coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[(Long, String, String, Long)]
+        .toDF("id", "v", "p", "seq").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.upsertSink(src, tbl, "id", "p", "seq", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: key 2 updated twice OUT OF ORDER within the batch (seq 3
+      // then seq 2 — 3 must win), key 4 inserted into a brand-new partition
+      Seq((2L, "B3", "d1", 3L), (2L, "B2", "d1", 2L), (4L, "d", "d3", 1L))
+        .toDF("id", "v", "p", "seq").coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.read.parquet(tbl).select("id", "v", "p")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set((1L, "a", "d1"), (2L, "B3", "d1"),
+        (3L, "c", "d2"), (4L, "d", "d3")))
+    } finally q.stop()
+  }
+
   test("foreachBatch replays the launch-events batch transform on a stream") {
     val rawDir = Files.createTempDirectory("graft_fb_src").toString
     val outDir = Files.createTempDirectory("graft_fb_out").toString
