@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_array_eq_count"),
       info("graft_array_eq_count", "graft_array_eq_count(a, b) - positions where two array<bigint> agree"),
       (args: Seq[Expression]) => ArrayEqCount(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count", "graft_sorted_intersect_count(a, b) - |A∩B| of two sorted array<bigint> via merge scan"),
+      (args: Seq[Expression]) => graft.functions.SortedIntersectCount(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("graft_lang_stats"),
       info("graft_lang_stats", "graft_lang_stats(text) - [en,de,fr,es hits, n_tokens, tok_chars] in one pass"),
       (args: Seq[Expression]) => LangStats(args.head)))

@@ -133,10 +133,27 @@ class KernelParitySpec extends AnyFunSuite {
       """SELECT size(graft_shingle_set('a b c d')) AS ns,
         |  graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq,
         |  size(graft_band_keys(CAST(array(1.0, -1.0) AS ARRAY<DOUBLE>),
-        |                       4, 8, 64)) AS nb""".stripMargin).collect()(0)
+        |                       4, 8, 64)) AS nb,
+        |  graft_sorted_intersect_count(array(1L, 3L, 7L, 9L),
+        |                               array(2L, 3L, 9L)) AS ic""".stripMargin)
+      .collect()(0)
     assert(r.getInt(0) == 2)  // shingles: "a b c", "b c d"
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 4)
+    assert(r.getInt(3) == 2)  // {3, 9}
+  }
+
+  test("sorted-intersect kernel ≡ size(array_intersect) on shingle sets") {
+    val docs = Tables(spark, sf0001, "documents").limit(100)
+    val pairs = docs.as("l").crossJoin(docs.as("r"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(
+        graft.functions.TextHashFunctions.shingleSet(col("l.text")).as("sa"),
+        graft.functions.TextHashFunctions.shingleSet(col("r.text")).as("sb"))
+    val mismatches = pairs.where(
+      expr("graft_sorted_intersect_count(sa, sb)") =!=
+        size(array_intersect(col("sa"), col("sb")))).count()
+    assert(mismatches == 0)
   }
 
   test("HyperplaneBandKeys kernel ≡ declarative plane-dot band keys") {
