@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table maintenance for hive-partitioned parquet: small-file compaction.
+  *
+  * Streaming/incremental writers (the reference's daily appends, the
+  * [[Merge]] upsert sink, any micro-batching ingest) accumulate many small
+  * files per partition; parquet scan throughput then dies on footer/open
+  * overhead long before data volume matters. Compaction rewrites ONLY the
+  * partitions whose file count crossed the threshold — untouched partitions
+  * stay byte-identical (same contract as [[Merge.upsertByKey]], proven in
+  * spec), so the operation is safe to run continuously beside readers of
+  * other partitions.
+  */
+object Maintenance {
+
+  /** Rewrite every partition of `path` that holds at least `minFiles`
+    * parquet files into a single file per partition (hash-clustered by the
+    * partition column, so each value's rows land in one writer task).
+    * Returns the compacted partition values. Partitions beyond one target
+    * file's worth of data would add a salt column to fan out writers — at
+    * that point the partition grain itself is usually wrong. */
+  def compactPartitions(spark: SparkSession, path: String, partitionCol: String,
+                        minFiles: Int = 2): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sessionState.newHadoopConf())
+    val prefix = s"$partitionCol="
+    val dirs = fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+    val targets = dirs.filter { d =>
+      fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) >= minFiles
+    }.map(_.getPath.getName.substring(prefix.length)).toSeq
+    if (targets.isEmpty) return Nil
+    // materialize before the write: Spark (correctly) refuses a plan that
+    // reads from the same path it is overwriting
+    val compacted = spark.read.parquet(path)
+      .where(col(partitionCol).isin(targets: _*)) // partition-pruned scan
+      .repartition(col(partitionCol))
+      .localCheckpoint()
+    compacted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    targets
+  }
+}

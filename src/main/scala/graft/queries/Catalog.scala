@@ -1335,6 +1335,66 @@ object Catalog {
             |GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** Winsorization (outlier clipping to per-group [p01, p99]) — the
+    * numeric-feature cleaning pass before training. Per-group quantile
+    * bounds (bounded: one row per group) broadcast back onto the stream,
+    * values clip with least/greatest, and the summary proves the clip
+    * changed exactly the tail. Decimal-exact averaging keeps the result
+    * order-independent. */
+  val x67 = Q("x67_winsorize",
+    (s, d) => {
+      val e = t(s, d, "events")
+      val bounds = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.01)").as("lo"),
+          expr("percentile(value, 0.99)").as("hi"))
+      reportSort(
+        e.join(broadcast(bounds), "event_type")
+          .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+              .otherwise(0L)).as("n_clipped"),
+            round(sum(col("clipped").cast("decimal(28,10)")).cast("double"), 4)
+              .as("sum_clipped"),
+            round(max(col("clipped")), 4).as("max_clipped")),
+        col("event_type"))
+    },
+    Some("""WITH b AS (SELECT event_type,
+           |    quantile_cont(value, 0.01) AS lo,
+           |    quantile_cont(value, 0.99) AS hi
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           |  round(CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
+           |    AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_clipped,
+           |  round(max(least(greatest(e.value, b.lo), b.hi)), 4) AS max_clipped
+           |FROM events e JOIN b ON e.event_type = b.event_type
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
+  /** Equi-width histogram via width_bucket — distribution profiling for
+    * data-quality reports. Bucket edges are constants, so bucketing is
+    * per-row arithmetic (no quantile pass); count + decimal-exact sum per
+    * bucket. */
+  val x68 = Q("x68_histogram",
+    (s, d) => reportSort(t(s, d, "events")
+      .withColumn("bucket", width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,10)")).cast("double"), 4)
+          .as("sum_v")),
+      col("bucket")),
+    // DuckDB 1.0 has no width_bucket; the CASE below IS its arithmetic for
+    // these constant edges — bucket width (100-0)/10 = 10.0 exactly, so both
+    // engines evaluate the identical floor(value/10.0) on every boundary
+    Some("""SELECT CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11
+           |    ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
+           |  COUNT(*) AS n,
+           |  round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_v
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1353,7 +1413,7 @@ object Catalog {
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66)
+    x64, x65, x66, x67, x68)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

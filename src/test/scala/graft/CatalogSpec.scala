@@ -77,7 +77,10 @@ class CatalogSpec extends AnyFunSuite {
     "x63_stratified_sample" -> Seq("event_type", "n_kept", "min_id", "max_id"),
     "x64_doc_chunks" -> Seq("doc_id", "off", "n_chunk", "chunk"),
     "x65_bpe_pairs" -> Seq("pair", "n"),
-    "x66_decontamination" -> Seq("doc_id", "n_shared"))
+    "x66_decontamination" -> Seq("doc_id", "n_shared"),
+    "x67_winsorize" -> Seq("event_type", "n", "n_clipped", "sum_clipped",
+      "max_clipped"),
+    "x68_histogram" -> Seq("bucket", "n", "sum_v"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
