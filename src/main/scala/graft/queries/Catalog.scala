@@ -1395,6 +1395,98 @@ object Catalog {
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** Intra-document repetition ratio (1 − distinct/total 3-gram shingles) —
+    * the C4/Gopher-family quality signal that catches boilerplate loops and
+    * degenerate generations. Total shingle count is plain arithmetic off the
+    * token count; the distinct count reuses the one-pass [[ShingleSet]]
+    * kernel — per-row compute, no shuffle before the output sort. */
+  val x69 = Q("x69_repetition",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"),
+        graft.functions.TextHashFunctions.shingleSet(col("text")).as("shs"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 2, lit(0)).cast("bigint").as("n_sh"),
+        size(col("shs")).cast("bigint").as("n_uniq"))
+      .where(col("n_sh") > 0)
+      .select(col("doc_id"), col("n_sh"), col("n_uniq"),
+        round(lit(1.0) - col("n_uniq") / (lit(1.0) * col("n_sh")), 4)
+          .as("rep_ratio"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |sh AS (SELECT doc_id,
+            |    unnest(${graft.operators.Dedup.shingleExprDuck("toks")}) AS sh
+            |  FROM t),
+            |agg AS (SELECT doc_id, COUNT(*) AS n_sh,
+            |    COUNT(DISTINCT sh) AS n_uniq FROM sh GROUP BY 1)
+            |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+            |  CAST(n_uniq AS BIGINT) AS n_uniq,
+            |  round(1.0 - n_uniq / (1.0 * n_sh), 4) AS rep_ratio
+            |FROM agg WHERE n_sh > 0 ORDER BY doc_id""".stripMargin),
+    bench = false)
+
+  /** Per-source corpus report over the documents table's provenance columns:
+    * volume, exact-dup pressure (distinct md5 texts vs rows), language
+    * spread, and total characters — the slice a curation run reviews before
+    * admitting a source. Pure integer outputs; one partial-agg shuffle. */
+  val x70 = Q("x70_source_report",
+    (s, d) => reportSort(t(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars")),
+      col("source")),
+    Some("""SELECT source, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT md5(text)) AS n_uniq_texts,
+           |  COUNT(DISTINCT lang) AS n_langs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
+  /** k-NN label prediction over the embeddings table's `label` column: each
+    * probe (vec_id < 10, broadcast) takes the majority label of its 5
+    * nearest candidates by cosine (ties: higher vote count, then smaller
+    * label; neighbor ties: higher cos, then smaller vec_id — fully
+    * deterministic). The scan side streams once past the broadcast probe
+    * set; at scale the candidate pass would swap in the x22/x48 ANN tiers
+    * unchanged, since only the scoring join differs. */
+  val x71 = Q("x71_knn_label",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = emb.where(col("vec_id") >= 10)
+        .crossJoin(broadcast(probes))
+        .select(col("qid"), col("vec_id"), col("label"),
+          V.cosine4(col("embedding"), col("qv")).as("cos"))
+      val top5 = Relational.topKPerGroup(scored, Seq("qid"),
+        Seq(col("cos").desc, col("vec_id")), 5)
+      val votes = top5.groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      val winner = Relational.topKPerGroup(votes, Seq("qid"),
+        Seq(col("votes").desc, col("label")), 1)
+      reportSort(winner.select(col("qid"),
+        col("label").cast("bigint").as("pred_label"), col("votes")),
+        col("qid"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+           |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |         CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+           |p AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+           |  WHERE vec_id < 10),
+           |s AS (SELECT p.qid, e.vec_id, e.label,
+           |    round(list_dot_product(e.v, p.qv) / (e.nrm * p.qn), 4) AS cos
+           |  FROM e, p WHERE e.vec_id >= 10),
+           |r AS (SELECT qid, label, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s),
+           |v AS (SELECT qid, label, COUNT(*) AS votes FROM r
+           |  WHERE rn <= 5 GROUP BY 1, 2),
+           |w AS (SELECT qid, label, votes, row_number() OVER (
+           |    PARTITION BY qid ORDER BY votes DESC, label) AS rw FROM v)
+           |SELECT qid, CAST(label AS BIGINT) AS pred_label, votes
+           |FROM w WHERE rw = 1 ORDER BY qid""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1413,7 +1505,7 @@ object Catalog {
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68)
+    x64, x65, x66, x67, x68, x69, x70, x71)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

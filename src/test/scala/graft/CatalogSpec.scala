@@ -80,7 +80,11 @@ class CatalogSpec extends AnyFunSuite {
     "x66_decontamination" -> Seq("doc_id", "n_shared"),
     "x67_winsorize" -> Seq("event_type", "n", "n_clipped", "sum_clipped",
       "max_clipped"),
-    "x68_histogram" -> Seq("bucket", "n", "sum_v"))
+    "x68_histogram" -> Seq("bucket", "n", "sum_v"),
+    "x69_repetition" -> Seq("doc_id", "n_sh", "n_uniq", "rep_ratio"),
+    "x70_source_report" -> Seq("source", "n_docs", "n_uniq_texts", "n_langs",
+      "sum_chars"),
+    "x71_knn_label" -> Seq("qid", "pred_label", "votes"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
