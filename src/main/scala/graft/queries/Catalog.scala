@@ -1487,6 +1487,61 @@ object Catalog {
            |FROM w WHERE rw = 1 ORDER BY qid""".stripMargin),
     bench = false)
 
+  /** Date-spine gap fill: per-user daily event counts with missing days
+    * materialized as 0 over each user's own [min, max] date range — the
+    * resample step before any time-series feature build. The spine comes
+    * from a per-user sequence(explode) off a bounded aggregate, never a
+    * calendar cross join. */
+  val x72 = Q("x72_gapfill",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("d").as("d0"), max("d").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "d")
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+           |  FROM daily GROUP BY 1),
+           |spine AS (SELECT user_id,
+           |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+           |  FROM span)
+           |SELECT s.user_id, s.d, CAST(coalesce(dl.n, 0) AS BIGINT) AS n
+           |FROM spine s LEFT JOIN daily dl
+           |  ON s.user_id = dl.user_id AND s.d = dl.d
+           |ORDER BY 1, 2""".stripMargin),
+    bench = false)
+
+  /** Forward fill (last non-null IGNORE NULLS window): each event row carries
+    * the user's most recent purchase value — feature propagation without a
+    * self-join. Values pass through both engines bit-identically (no
+    * arithmetic), rows before a user's first purchase stay null. */
+  val x73 = Q("x73_forward_fill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+        .select(col("user_id"), col("event_id"),
+          last("pv", ignoreNulls = true).over(w).as("last_purchase_v"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+           |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS last_purchase_v
+           |FROM events ORDER BY user_id, event_id""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1505,7 +1560,7 @@ object Catalog {
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -84,7 +84,9 @@ class CatalogSpec extends AnyFunSuite {
     "x69_repetition" -> Seq("doc_id", "n_sh", "n_uniq", "rep_ratio"),
     "x70_source_report" -> Seq("source", "n_docs", "n_uniq_texts", "n_langs",
       "sum_chars"),
-    "x71_knn_label" -> Seq("qid", "pred_label", "votes"))
+    "x71_knn_label" -> Seq("qid", "pred_label", "votes"),
+    "x72_gapfill" -> Seq("user_id", "d", "n"),
+    "x73_forward_fill" -> Seq("user_id", "event_id", "last_purchase_v"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
