@@ -222,4 +222,36 @@ class PropertySpec extends AnyFunSuite {
     val back = spark.read.parquet(dir)
     assert(back.where(col("d") =!= to_date(col("ts"))).count() == 0)
   }
+
+  test("connected components match driver-side union-find on random graphs") {
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.chooseNum(0L, 15L)
+      b <- Gen.chooseNum(0L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (seedBase <- Seq(100, 200, 300)) {
+      val edges = (1 to 25).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed((seedBase + i).toLong)))
+        .distinct
+      // reference: textbook union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonicalize: component label = min node id in the component
+      val expected = nodes.map { n =>
+        val root = find(n)
+        n -> nodes.filter(m => find(m) == root).min
+      }.toMap
+      val got = graft.operators.Clusters
+        .connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seedBase edges=$edges")
+    }
+  }
 }
