@@ -42,15 +42,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedArrayOps {
-  /** Merge-scan intersection cardinality; both inputs sorted ascending. */
+  /** Merge-scan intersection cardinality; both inputs sorted ascending.
+    * Null ELEMENTS are skipped (the SQL registration accepts any
+    * array<bigint>, where `getLong` on a null slot would silently read 0
+    * and miscount) — ShingleSet output never contains them. */
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0
     while (i < na && j < nb) {
-      val va = a.getLong(i); val vb = b.getLong(j)
-      if (va < vb) i += 1
-      else if (va > vb) j += 1
-      else { n += 1; i += 1; j += 1 }
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val va = a.getLong(i); val vb = b.getLong(j)
+        if (va < vb) i += 1
+        else if (va > vb) j += 1
+        else { n += 1; i += 1; j += 1 }
+      }
     }
     n
   }

@@ -212,11 +212,14 @@ object Dedup {
       .select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** Ceiling on the broadcast df map for [[ngramJaccardPairs]]' fused prefix
-    * path: ~4M distinct shingles ≈ 64 MB of paired long arrays — the upper
-    * end of a comfortable executor broadcast. Corpora with a larger shingle
+    * path: ~1M distinct shingles ≈ 16 MB of paired long arrays — a
+    * comfortable executor broadcast. Corpora with a larger shingle
     * vocabulary (web scale) fall back to the join+window plan, the same
-    * adaptive posture as broadcast-vs-shuffle join selection. */
-  val MaxBroadcastShingles: Int = 4 << 20
+    * adaptive posture as broadcast-vs-shuffle join selection. The cap also
+    * bounds the DETECTION cost: the probe collects at most cap+1 driver
+    * rows before routing to the fallback, so an over-cap corpus costs
+    * ~100 MB transient driver heap, not unbounded. */
+  val MaxBroadcastShingles: Int = 1 << 20
 
   /** Near-dup pairs by 3-gram Jaccard ≥ threshold, via prefix-filtered
     * inverted-index join (the PPJoin family: Chaudhuri et al. ICDE'06,

@@ -30,21 +30,32 @@ object Maintenance {
     val prefix = s"$partitionCol="
     val dirs = fs.listStatus(new Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-    val targets = dirs.filter { d =>
+    // directory names carry HIVE-ESCAPED partition values (':' → '%3A', the
+    // null partition → __HIVE_DEFAULT_PARTITION__); the column filter needs
+    // the UNESCAPED values or escaped/null partitions silently never match
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val NullDir = "__HIVE_DEFAULT_PARTITION__"
+    val rawNames = dirs.filter { d =>
       fs.listStatus(d.getPath)
         .count(_.getPath.getName.endsWith(".parquet")) >= minFiles
     }.map(_.getPath.getName.substring(prefix.length)).toSeq
-    if (targets.isEmpty) return Nil
+    if (rawNames.isEmpty) return Nil
+    val values = rawNames.filterNot(_ == NullDir).map(esc.unescapePathName)
+    val pred = {
+      val base = if (values.isEmpty) lit(false)
+        else col(partitionCol).isin(values: _*)
+      if (rawNames.contains(NullDir)) base || col(partitionCol).isNull else base
+    }
     // materialize before the write: Spark (correctly) refuses a plan that
     // reads from the same path it is overwriting
     val compacted = spark.read.parquet(path)
-      .where(col(partitionCol).isin(targets: _*)) // partition-pruned scan
+      .where(pred) // partition-pruned scan
       .repartition(col(partitionCol))
       .localCheckpoint()
     compacted.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
-    targets
+    rawNames.map(n => if (n == NullDir) n else esc.unescapePathName(n))
   }
 }

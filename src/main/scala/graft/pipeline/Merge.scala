@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Row-level MERGE (upsert) into a hive-partitioned parquet table — the
@@ -18,19 +18,49 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Membership predicate that honors SQL null semantics: `isin(null)` is
+    * never true, so a null partition value needs an explicit `isNull` arm —
+    * otherwise the null partition's survivors are never computed and its
+    * non-updated keys would be dropped by the dynamic overwrite. */
+  private def partitionPredicate(c: Column, values: Seq[Any]): Column = {
+    val nonNull = values.filter(_ != null)
+    val base = if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
+    if (values.exists(_ == null)) base || c.isNull else base
+  }
+
   /** Upsert `updates` into the partitioned parquet table at `path`.
     * A target row is replaced when a row with the same `key` exists in
     * `updates` (last-write-wins within `updates` is the caller's contract:
     * pre-deduplicate if a batch can carry several rows per key); rows with
     * new keys are inserted into their partition. Returns the number of
-    * partitions rewritten. */
+    * partitions rewritten.
+    *
+    * `partitionStableKeys = true` (default, the date-partitioned-fact norm)
+    * declares the partition value part of row identity: the target scan
+    * prunes to the updates' partitions. If a key CAN move between
+    * partitions, pass `false`: the anti-join then scans the whole table to
+    * find the key's old partition, rewrites it too, and deletes a partition
+    * directory outright when the move drained its last row — dearer
+    * (full-table key scan) but correct for moving keys. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
-                  key: String, partitionCol: String): Int = {
-    val parts = updates.select(partitionCol).distinct().collect()
-      .map(_.get(0))
-    if (parts.isEmpty) return 0
-    val target = spark.read.parquet(path)
-      .where(col(partitionCol).isin(parts: _*)) // partition-pruned scan
+                  key: String, partitionCol: String,
+                  partitionStableKeys: Boolean = true): Int = {
+    val updateParts = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    if (updateParts.isEmpty) return 0
+    val targetAll = spark.read.parquet(path)
+    val parts =
+      if (partitionStableKeys) updateParts
+      else {
+        // partitions currently holding an updated key must be rewritten too
+        // (the key's old copy lives there)
+        val holding = targetAll
+          .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
+          .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+        (updateParts ++ holding).distinct
+      }
+    val target = targetAll
+      .where(partitionPredicate(col(partitionCol), parts)) // pruned scan
     val survivors = target.join(
       updates.select(col(key)).distinct(), Seq(key), "left_anti")
     // materialize before the write: Spark (correctly) refuses a plan that
@@ -40,6 +70,25 @@ object Merge {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+    if (!partitionStableKeys) {
+      // dynamic overwrite skips partitions with zero output rows, so a
+      // partition fully drained by a key move would keep its stale file —
+      // drop its directory explicitly
+      val written = merged.select(partitionCol).distinct().collect()
+        .map(_.get(0)).toSet
+      val drained = parts.filterNot(written.contains)
+      if (drained.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sessionState.newHadoopConf())
+        val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        drained.foreach { v =>
+          val dirName = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else esc.escapePathName(v.toString)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            path, s"$partitionCol=$dirName"), true)
+        }
+      }
+    }
     parts.length
   }
 }

@@ -177,32 +177,52 @@ object EventStreams {
 
   /** CDC-style streaming upsert sink: every micro-batch is MERGE'd into the
     * hive-partitioned parquet table at `path` by `key` via
-    * [[graft.pipeline.Merge.upsertByKey]] — within a batch the row with the
-    * highest `seqCol` per key wins (so out-of-order delivery inside a batch
-    * cannot regress a key), and on disk only the partitions PRESENT in the
-    * batch are rewritten.
+    * [[graft.pipeline.Merge.upsertByKey]]. The row with the highest `seqCol`
+    * per key wins — both WITHIN a batch (dedup before the merge) and ACROSS
+    * batches (each incoming key is checked against the STORED row's seqCol;
+    * a late redelivery with an older sequence is dropped, so at-least-once
+    * upstream delivery can never regress a key). On disk only the
+    * partitions present in the batch are rewritten.
     *
     * Idempotence across retries: a replayed micro-batch re-merges the same
     * keys to the same values (upsert, not append), so the sink tolerates
     * Structured Streaming's at-least-once foreachBatch contract. The first
     * batch creates the table. Keys never seen again are left untouched —
-    * this is an upsert sink, not a full-snapshot sink. */
+    * this is an upsert sink, not a full-snapshot sink. The partition value
+    * is treated as part of row identity (Merge's partition-stable-keys
+    * contract): route a CDC feed whose partition attribute can change
+    * through `Merge.upsertByKey(partitionStableKeys = false)` instead. */
   def upsertSink(stream: DataFrame, path: String, key: String,
                  partitionCol: String, seqCol: String, checkpoint: String) =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
         val latest = graft.operators.Relational
           .dedupKeepLatest(batch, Seq(key), Seq(col(seqCol).desc))
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path),
-          batch.sparkSession.sessionState.newHadoopConf())
+          new java.net.URI(path), spark.sessionState.newHadoopConf())
         val p = new org.apache.hadoop.fs.Path(path)
         if (!fs.exists(p) || fs.listStatus(p).isEmpty)
           latest.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-        else
+        else {
+          // cross-batch monotonicity guard: keep an incoming row only when
+          // its sequence beats the stored row's (pruned to the batch's
+          // partitions — stable-keys contract puts the stored row there)
+          val batchParts = latest.select(partitionCol).distinct()
+            .collect().map(_.get(0)).filter(_ != null)
+          val stored = spark.read.parquet(path)
+            .where(col(partitionCol).isin(batchParts: _*))
+            .select(col(key).as("__k"), col(seqCol).as("__stored_seq"))
+          val cols = latest.columns
+          val guarded = latest.join(
+              stored, latest(key) === col("__k"), "left")
+            .where(col("__stored_seq").isNull ||
+              col(seqCol) > col("__stored_seq"))
+            .select(cols.map(latest(_)): _*)
           graft.pipeline.Merge.upsertByKey(
-            batch.sparkSession, path, latest, key, partitionCol)
+            spark, path, guarded, key, partitionCol)
+        }
         ()
       }
 }

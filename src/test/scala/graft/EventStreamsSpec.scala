@@ -281,6 +281,15 @@ class EventStreamsSpec extends AnyFunSuite {
         .as[(Long, String, String)].collect().toSet
       assert(got == Set((1L, "a", "d1"), (2L, "B3", "d1"),
         (3L, "c", "d2"), (4L, "d", "d3")))
+
+      // batch 3: a LATE redelivery of key 2 with an OLDER sequence (cross-
+      // batch at-least-once) must not regress the stored seq=3 value
+      Seq((2L, "Bstale", "d1", 1L))
+        .toDF("id", "v", "p", "seq").coalesce(1).write.parquet(s"$dir/b3")
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(tbl).where(col("id") === 2L)
+        .select("v").as[String].collect().toSeq
+      assert(v2 == Seq("B3"), "older cross-batch delivery regressed the key")
     } finally q.stop()
   }
 

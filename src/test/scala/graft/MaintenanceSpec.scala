@@ -49,4 +49,18 @@ class MaintenanceSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").partitionBy("p").parquet(dir)
     assert(Maintenance.compactPartitions(spark, dir, "p").isEmpty)
   }
+
+  test("hive-escaped partition values compact (dir name != column value)") {
+    val dir = Files.createTempDirectory("graft_compact3").toString
+    for (i <- 1 to 3) // ':' is hive-escaped to %3A in the directory name
+      Seq((i.toLong, s"v$i", "a:b")).toDF("id", "v", "p")
+        .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    val touched = Maintenance.compactPartitions(spark, dir, "p")
+    assert(touched == Seq("a:b"))
+    import scala.collection.JavaConverters._
+    val files = Files.list(Paths.get(s"$dir/p=a%3Ab")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(dir).count() == 3) // no rows lost
+  }
 }

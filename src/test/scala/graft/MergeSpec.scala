@@ -68,4 +68,33 @@ class MergeSpec extends AnyFunSuite {
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(d1 == Set((1L, "a"), (2L, "B2")))
   }
+
+  test("null partition values upsert correctly (isNull arm of the pruning " +
+    "predicate — survivors in the null partition are kept)") {
+    val dir = Files.createTempDirectory("graft_merge_null").toString
+    Seq((1L, "a", Some("d1")), (2L, "b", None), (3L, "c", None))
+      .toDF("id", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val updates = Seq((2L, "B2", None: Option[String])).toDF("id", "v", "p")
+    Merge.upsertByKey(spark, dir, updates, "id", "p")
+    val got = spark.read.parquet(dir)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    // key 3 (null partition, not updated) must survive; key 2 replaced
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("partitionStableKeys=false removes a key's old copy when the update " +
+    "moves it to another partition, and drops a fully-drained partition") {
+    val dir = freshTable() // d1:{1,2} d2:{3} d3:{4}
+    // key 2 moves d1->d2; key 4 moves d3->d2 (draining d3 entirely)
+    val updates = Seq((2L, "B2", "d2"), (4L, "D2", "d2")).toDF("id", "v", "p")
+    Merge.upsertByKey(spark, dir, updates, "id", "p",
+      partitionStableKeys = false)
+    val got = spark.read.parquet(dir)
+      .select("id", "v", "p").as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a", "d1"), // d1 keeps its other key, loses key 2
+      (2L, "B2", "d2"), (3L, "c", "d2"), (4L, "D2", "d2")))
+    assert(!Files.exists(Paths.get(s"$dir/p=d3"))) // drained dir deleted
+  }
 }

@@ -104,6 +104,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Seq(Row(1L, 2L)))
   }
 
+  test("ngram jaccard windowed fallback ≡ broadcast prefix path") {
+    // maxBroadcastShingles = 0 forces the join+window plan that over-cap
+    // (web-scale-vocabulary) corpora take; results must be identical
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map { i =>
+      val toks = (1 to 25).map(_ => s"w${rnd.nextInt(40)}")
+      (i.toLong, toks.mkString(" "))
+    }
+    // planted near-dups guarantee qualifying pairs at the 0.5 threshold
+    val planted = (0 until 5).map { j =>
+      val (src, text) = base(j * 11)
+      (100L + j, text.split(" ").dropRight(1).mkString(" ") + " changed")
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    def pairs(cap: Int) =
+      Dedup.ngramJaccardPairs(docs, 0.5, "text", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.MaxBroadcastShingles) == pairs(0))
+    assert(pairs(0).nonEmpty) // the corpus genuinely produces pairs
+  }
+
   test("bruteForceTopK: self is rank 1 with cosine 1.0") {
     val emb = Seq(
       (0L, Array(1f, 2f, 3f, 4f)),
