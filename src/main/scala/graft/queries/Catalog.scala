@@ -1542,6 +1542,45 @@ object Catalog {
            |FROM events ORDER BY user_id, event_id""".stripMargin),
     bench = false)
 
+  /** Debounce/throttle: keep only the FIRST event per (user, type) inside
+    * each 10-minute tumbling window and count what was suppressed — the
+    * rate-limiting primitive upstream of alerting/feature pipelines. One
+    * partial-agg shuffle on (user, type, window); window index is exact
+    * integer division of epoch µs. */
+  val x74 = Q("x74_debounce",
+    (s, d) => t(s, d, "events")
+      .withColumn("w", expr("unix_micros(ts) div 600000000"))
+      .groupBy("user_id", "event_type", "w")
+      .agg(min("event_id").as("first_event_id"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      .orderBy("user_id", "event_type", "w"),
+    Some("""SELECT user_id, event_type,
+           |  epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS w,
+           |  min(event_id) AS first_event_id,
+           |  COUNT(*) - 1 AS n_suppressed
+           |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    bench = false)
+
+  /** Share-of-total report: each event type's fraction of its day's volume
+    * (ratio-to-report window over a bounded aggregate). The window runs on
+    * the aggregate (O(days × types) rows), never the raw stream. */
+  val x75 = Q("x75_share_of_total",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      reportSort(t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") /
+          (lit(1.0) * sum("n").over(Window.partitionBy("d"))), 4)),
+        col("d"), col("event_type"))
+    },
+    Some("""WITH a AS (SELECT CAST(ts AS DATE) AS d, event_type,
+           |    COUNT(*) AS n FROM events GROUP BY 1, 2)
+           |SELECT d, event_type, n,
+           |  round(n / (1.0 * SUM(n) OVER (PARTITION BY d)), 4) AS share
+           |FROM a ORDER BY d, event_type""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1560,7 +1599,7 @@ object Catalog {
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -86,7 +86,10 @@ class CatalogSpec extends AnyFunSuite {
       "sum_chars"),
     "x71_knn_label" -> Seq("qid", "pred_label", "votes"),
     "x72_gapfill" -> Seq("user_id", "d", "n"),
-    "x73_forward_fill" -> Seq("user_id", "event_id", "last_purchase_v"))
+    "x73_forward_fill" -> Seq("user_id", "event_id", "last_purchase_v"),
+    "x74_debounce" -> Seq("user_id", "event_type", "w", "first_event_id",
+      "n_suppressed"),
+    "x75_share_of_total" -> Seq("d", "event_type", "n", "share"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
