@@ -143,6 +143,15 @@ class KernelParitySpec extends AnyFunSuite {
     assert(r.getInt(3) == 2)  // {3, 9}
   }
 
+  test("graft_sorted_intersect_count skips null elements instead of " +
+    "reading them as 0") {
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect_count(
+        |  array(CAST(NULL AS BIGINT), 0L, 5L), array(0L, 5L)) AS ic"""
+        .stripMargin).collect()(0)
+    assert(r.getInt(0) == 2) // {0, 5}; the null slot must not match 0
+  }
+
   test("sorted-intersect kernel ≡ size(array_intersect) on shingle sets") {
     val docs = Tables(spark, sf0001, "documents").limit(100)
     val pairs = docs.as("l").crossJoin(docs.as("r"))

@@ -127,6 +127,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected packed-set merge verification in:\n$plan")
     assert(plan.contains("graft_shingle_set"),
       s"expected the one-pass shingle kernel in:\n$plan")
+    // the round-3 fusion: prefix selection is per-row compute off the
+    // broadcast df map — a df join + per-doc ranking window must NOT be in
+    // the plan (that is the over-cap fallback's shape, not the default's)
+    assert(plan.contains("graft_shingle_prefix"),
+      s"expected the broadcast-df prefix expression in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"x20's default path must not rank prefixes with a window:\n$plan")
   }
 
   test("report queries sort on one partition, no range-sampling exchange; " +
