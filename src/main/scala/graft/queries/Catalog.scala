@@ -1581,6 +1581,60 @@ object Catalog {
            |FROM a ORDER BY d, event_type""".stripMargin),
     bench = false)
 
+  /** Tie-aware ranking semantics (rank vs dense_rank, which x51's
+    * distribution windows and q16's row_number don't pin): balance buckets
+    * of 1000 create heavy ties per segment, where the two functions
+    * genuinely diverge. Both rank values are independent of intra-tie row
+    * order, so the output is deterministic without a unique sort key inside
+    * the window. */
+  val x76 = Q("x76_rank_ties",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("bucket").desc)
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          floor(col("c_acctbal") / 1000).cast("bigint").as("bucket"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("bucket"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+           |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+           |  CAST(rank() OVER (PARTITION BY c_mktsegment
+           |    ORDER BY floor(c_acctbal / 1000) DESC) AS BIGINT) AS rnk,
+           |  CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+           |    ORDER BY floor(c_acctbal / 1000) DESC) AS BIGINT) AS drnk
+           |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin),
+    bench = false)
+
+  /** Median absolute deviation per group — the robust scale estimate a
+    * feature pipeline prefers over stddev under outliers. Two quantile
+    * passes: the per-group median (bounded) broadcasts back onto the
+    * stream, then the median of absolute deviations. */
+  val x77 = Q("x77_mad",
+    (s, d) => {
+      val e = t(s, d, "events")
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      reportSort(
+        e.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+          .groupBy("event_type")
+          .agg(round(max("med"), 4).as("med"),
+            round(expr("percentile(dev, 0.5)"), 4).as("mad")),
+        col("event_type"))
+    },
+    Some("""WITH m AS (SELECT event_type,
+           |    quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+           |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+           |  FROM events e JOIN m ON e.event_type = m.event_type)
+           |SELECT event_type, round(max(med), 4) AS med,
+           |  round(quantile_cont(dev, 0.5), 4) AS mad
+           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1599,7 +1653,7 @@ object Catalog {
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

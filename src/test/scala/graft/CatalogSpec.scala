@@ -89,7 +89,10 @@ class CatalogSpec extends AnyFunSuite {
     "x73_forward_fill" -> Seq("user_id", "event_id", "last_purchase_v"),
     "x74_debounce" -> Seq("user_id", "event_type", "w", "first_event_id",
       "n_suppressed"),
-    "x75_share_of_total" -> Seq("d", "event_type", "n", "share"))
+    "x75_share_of_total" -> Seq("d", "event_type", "n", "share"),
+    "x76_rank_ties" -> Seq("c_mktsegment", "c_custkey", "bucket", "rnk",
+      "drnk"),
+    "x77_mad" -> Seq("event_type", "med", "mad"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
