@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run batch "decode / feature
   * extraction" over them.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment) with a deterministic fake — `fakeDecode` derives pseudo
-  * width/height from the payload's md5 — but the Spark-side plumbing is
-  * real: schema, binary handling, per-partition batched processing, and a
-  * declarative column path used by the oracle-checked query.
+  * IMAGE decode is REAL: [[decodeImages]] runs the JDK's PNG/JPEG/BMP/GIF
+  * codec (`javax.imageio`, in the `java.desktop` module — no external
+  * dependency) inside the `mapPartitions` seam and recovers geometry +
+  * exact per-channel means; [[synthesizePng]] produces the matching
+  * oracle-predictable fixtures through the same real encoder. The
+  * audio/video steps remain declarative stand-ins ([[decodeColumns]],
+  * [[frameSample]]): their codecs genuinely aren't in the JDK, but the
+  * schema/partitioning/batch plumbing around them is real and tested.
   *
   * At scale: binary payloads ride in parquet binary columns; the decode pass
   * is a narrow per-partition map (no shuffle), so it pipelines with the scan.
@@ -81,6 +84,84 @@ object Multimodal {
         expr(s"substring(payload, CAST(offset AS INT) + 1, " +
           s"GREATEST(CAST(byte_len / $n AS INT), 1))"))
       .drop("payload")
+
+  /** Deterministic PNG fixtures from the documents table: each doc_id
+    * becomes a solid-fill RGB PNG whose geometry and fill color are pure
+    * arithmetic on the id — so an oracle can predict, in SQL, exactly what
+    * a correct decoder must recover from the compressed bytes. Encoding
+    * runs the JDK's REAL PNG encoder per row (a narrow map, no shuffle);
+    * PNG is lossless, so the round trip through [[decodeImages]] is exact. */
+  def synthesizePng(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 3) % 24).toInt
+        val fill = new java.awt.Color(
+          (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(fill); g.fillRect(0, 0, w, h); g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL image decode over a binary payload column: `javax.imageio` parses
+    * the compressed PNG/JPEG/BMP/GIF bytes and the pass emits geometry plus
+    * exact per-channel pixel means. Narrow `mapPartitions` (pipelines with
+    * the scan, no shuffle); an undecodable payload yields null metrics
+    * rather than failing the batch. The channel means are exact doubles:
+    * the Long pixel sums are ≪ 2^53, so the division result is the
+    * correctly-rounded mean with no accumulation error. */
+  def decodeImages(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val img =
+          if (bytes.isEmpty) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(id, null, null, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }(enc)
+  }
 
   /** Batched per-partition feature extraction over the binary payload —
     * the `mapPartitions` seam a native decoder (JNI / subprocess) would plug

@@ -22,7 +22,7 @@ object Merge {
     * never true, so a null partition value needs an explicit `isNull` arm —
     * otherwise the null partition's survivors are never computed and its
     * non-updated keys would be dropped by the dynamic overwrite. */
-  private def partitionPredicate(c: Column, values: Seq[Any]): Column = {
+  private[graft] def partitionPredicate(c: Column, values: Seq[Any]): Column = {
     val nonNull = values.filter(_ != null)
     val base = if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
     if (values.exists(_ == null)) base || c.isNull else base

@@ -1635,6 +1635,25 @@ object Catalog {
            |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** REAL image decode (x27's plumbing made real): solid-fill PNGs encoded
+    * by the JDK's PNG codec, then decoded back with `javax.imageio` to
+    * recover geometry + exact channel means. The oracle predicts the
+    * decoder's output from the id arithmetic alone — a wrong decode
+    * (geometry, channel order, pixel walk) hash-mismatches. Both the
+    * encode and decode are genuine codec work on compressed bytes. */
+  val x78 = Q("x78_image_decode",
+    (s, d) => Multimodal.decodeImages(
+        Multimodal.synthesizePng(t(s, d, "documents")))
+      .orderBy("asset_id"),
+    Some("""SELECT doc_id AS asset_id,
+           |  CAST(8 + doc_id % 24 AS INT) AS width,
+           |  CAST(8 + (doc_id * 3) % 24 AS INT) AS height,
+           |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+           |FROM documents ORDER BY asset_id""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1653,7 +1672,8 @@ object Catalog {
     x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
+    x78)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -208,11 +208,16 @@ object EventStreams {
         else {
           // cross-batch monotonicity guard: keep an incoming row only when
           // its sequence beats the stored row's (pruned to the batch's
-          // partitions — stable-keys contract puts the stored row there)
+          // partitions — stable-keys contract puts the stored row there).
+          // Null-aware predicate: isin(null) is never true, so the null
+          // partition (__HIVE_DEFAULT_PARTITION__) needs its own isNull arm
+          // or its stored rows never reach the guard and an older redelivery
+          // would overwrite the newer stored row.
           val batchParts = latest.select(partitionCol).distinct()
-            .collect().map(_.get(0)).filter(_ != null)
+            .collect().map(_.get(0)).toSeq
           val stored = spark.read.parquet(path)
-            .where(col(partitionCol).isin(batchParts: _*))
+            .where(graft.pipeline.Merge.partitionPredicate(
+              col(partitionCol), batchParts))
             .select(col(key).as("__k"), col(seqCol).as("__stored_seq"))
           val cols = latest.columns
           val guarded = latest.join(

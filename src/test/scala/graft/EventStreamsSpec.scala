@@ -293,6 +293,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert sink guards null-partition keys against older cross-batch " +
+    "redeliveries (isin(null) is never true — needs the isNull arm)") {
+    val dir = Files.createTempDirectory("graft_upsertnull_src").toString
+    val tbl = Files.createTempDirectory("graft_upsertnull_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_upsertnull_ckpt").toString
+    // key 1 lives in the NULL partition (__HIVE_DEFAULT_PARTITION__),
+    // key 2 in a regular one
+    Seq((1L, "n2", Option.empty[String], 2L), (2L, "a", Option("d1"), 1L))
+      .toDF("id", "v", "p", "seq").coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[(Long, String, Option[String], Long)]
+        .toDF("id", "v", "p", "seq").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.upsertSink(src, tbl, "id", "p", "seq", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: LATE redelivery of key 1 with an OLDER seq — before the
+      // null-aware guard, the stored null-partition row was never read back
+      // (__stored_seq null) and the stale value overwrote the newer one
+      Seq((1L, "nStale", Option.empty[String], 1L))
+        .toDF("id", "v", "p", "seq").coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.read.parquet(tbl).select("id", "v")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "n2"), (2L, "a")),
+        "older redelivery regressed the null-partition key")
+    } finally q.stop()
+  }
+
   test("foreachBatch replays the launch-events batch transform on a stream") {
     val rawDir = Files.createTempDirectory("graft_fb_src").toString
     val outDir = Files.createTempDirectory("graft_fb_out").toString

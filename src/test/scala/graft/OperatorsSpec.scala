@@ -231,4 +231,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1.getSeq[Float](1) == f2.getSeq[Float](1))
     assert(f1.getSeq[Float](1).length == 4)
   }
+
+  test("multimodal: REAL PNG decode recovers geometry and exact channel " +
+    "means; undecodable payload yields null metrics, not a task failure") {
+    // hand-built 3×2 PNG via the same JDK codec the operator uses on read —
+    // but with per-pixel distinct colors, so the mean is a real average
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 10, 20, 30), (1, 0, 40, 50, 60), (2, 0, 70, 80, 90),
+      (0, 1, 100, 110, 120), (1, 1, 130, 140, 150), (2, 1, 160, 170, 180))
+    px.foreach { case (x, y, r, g, b) =>
+      img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val assets = Seq(
+      (1L, bos.toByteArray),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload")
+    val rows = Multimodal.decodeImages(assets).orderBy("asset_id").collect()
+    assert(rows(0).getInt(1) == 3 && rows(0).getInt(2) == 2)
+    assert(rows(0).getDouble(3) == px.map(_._3).sum / 6.0)
+    assert(rows(0).getDouble(4) == px.map(_._4).sum / 6.0)
+    assert(rows(0).getDouble(5) == px.map(_._5).sum / 6.0)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+  }
+
+  test("multimodal: synthesizePng → decodeImages round trip matches the " +
+    "id arithmetic the x78 oracle predicts") {
+    val docs = Seq((0L, "t", "s", "src", 1L), (7L, "t", "s", "src", 1L),
+      (255L, "t", "s", "src", 1L), (499L, "t", "s", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.decodeImages(Multimodal.synthesizePng(docs))
+      .orderBy("asset_id").collect()
+    for (r <- got) {
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (8 + id % 24).toInt, s"width id=$id")
+      assert(r.getInt(2) == (8 + (id * 3) % 24).toInt, s"height id=$id")
+      assert(r.getDouble(3) == (id % 256).toDouble, s"mean_r id=$id")
+      assert(r.getDouble(4) == ((id * 7) % 256).toDouble, s"mean_g id=$id")
+      assert(r.getDouble(5) == ((id * 13) % 256).toDouble, s"mean_b id=$id")
+    }
+  }
 }
