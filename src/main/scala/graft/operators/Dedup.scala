@@ -267,18 +267,31 @@ object Dedup {
     // anyway, and a where(nsh > 0) here gets pushed into the parquet scan as
     // TWO kernel-bearing DataFilters (size(shingleSet)>0, isnotnull), making
     // the one-pass kernel evaluate 3× per row (measured in the r2 plan)
+    //
+    // localCheckpoint: packed feeds FIVE consumers (df aggregate, both sides
+    // of the prefix candidate join, and both verify sides), and none of them
+    // are reusable exchanges — the round-3 plan re-ran the shingle-set
+    // kernel + parquet scan once per consumer. One eager narrow
+    // materialization makes every consumer a cache read; at scale this is
+    // the standard multi-consumer spill-to-disk materialization (the
+    // alternative recomputes the kernel over the full corpus 5×). The
+    // checkpointed RDD is dropped by the ContextCleaner with the DataFrame.
     val packed = docs.select(col("doc_id"),
         graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
       .withColumn("nsh", size(col("shs")))
+      .localCheckpoint()
     // df stays a plain count agg (never a posting LIST — a boilerplate
     // shingle shared by 10% of a web corpus would make one giant row);
     // partial aggregation slims the shuffle to one row per distinct shingle
     // per map task.
     val dfRows = packed.select(explode(col("shs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
-    val collected = dfRows.limit(maxBroadcastShingles + 1).collect()
-    if (collected.length > maxBroadcastShingles)
-      return ngramJaccardPairsWindowed(packed, dfRows, threshold)
+    // one-job bounded collect (Actions.boundedRows): the old
+    // limit(cap+1).collect() never reached its limit on an in-cap corpus, so
+    // CollectLimit's incremental scale-up walked the agg output across ~3
+    // extra jobs per run — pure scheduling floor billed to every invocation
+    val collected = graft.engine.Actions.boundedRows(dfRows, maxBroadcastShingles)
+      .getOrElse(return ngramJaccardPairsWindowed(packed, dfRows, threshold))
     val entries = collected.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val dfMap = docs.sparkSession.sparkContext.broadcast(
       (entries.map(_._1), entries.map(_._2)))
@@ -386,18 +399,18 @@ object Dedup {
                             threshold: Double,
                             maxProbeRows: Int = MaxProbeRows): DataFrame = {
     val spark = emb.sparkSession
-    import org.apache.spark.sql.{Encoders, Row}
-    val collected = emb
-      .where(col("vec_id") < maxProbeId)
-      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")))
-      .limit(maxProbeRows + 1)
-      .collect()
-    if (collected.length > maxProbeRows)
-      throw new IllegalStateException(
+    import org.apache.spark.sql.Encoders
+    // one-job bounded collect — see Actions.boundedRows for why limit+collect
+    // costs several scheduling-floor jobs on a probe that never hits its limit
+    val collected = graft.engine.Actions.boundedRows(
+      emb.where(col("vec_id") < maxProbeId)
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding"))),
+      maxProbeRows)
+      .getOrElse(throw new IllegalStateException(
         s"embeddingNearDupPairs: probe set exceeds $maxProbeRows rows " +
           s"(vec_id < $maxProbeId). This operator brute-forces a BOUNDED " +
           "probe set on the driver; for an unbounded corpus use " +
-          "embeddingNearDupLsh (banded LSH, fully distributed).")
+          "embeddingNearDupLsh (banded LSH, fully distributed)."))
     val probes: Array[(Long, Array[Double], Double)] = collected
       .map { r =>
         val v = r.getSeq[Double](1).toArray

@@ -255,8 +255,19 @@ object Similarity {
       .where(col("vec_id") =!= col("qid") && firstMatch)
       .select(col("qid"), col("vec_id"),
         V.cosine4(col("qv"), col("embedding")).as("cos"))
-    Relational.topKPerGroup(scored, Seq("qid"),
-      Seq(col("cos").desc, col("vec_id")), k)
+    // The scored set is bounded by construction (probes × bucket population,
+    // probe side capped), so the ranking window + total order run on ONE
+    // post-shuffle task: a single-partition exchange satisfies the window's
+    // clustering AND the output order, where the generic topKPerGroup +
+    // orderBy tail pays a second exchange plus a range-sampling job that
+    // re-executes the scoring join. The candidate scan itself stays parallel
+    // behind the exchange.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.repartition(1)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .sortWithinPartitions(col("qid"), col("rn"))
   }
 }

@@ -30,14 +30,40 @@ object Catalog {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Total sort for bounded REPORT outputs — row count O(groups) or O(k),
-    * never O(input): a single-partition sort produces the identical total
-    * order while skipping `orderBy`'s range-sampling job + range exchange
-    * (measured 45–85 ms per query at sf0.1, pure scheduling floor). At any
-    * scale, sorting a bounded report on one task is the right plan;
-    * table-shaped outputs below keep the parallel range sort. */
+  /** Total sort for bounded REPORT outputs — row count O(groups), O(k), or
+    * O(threshold-filtered pairs), never O(input): a single-partition sort
+    * produces the identical total order while skipping `orderBy`'s
+    * range-sampling job + range exchange (measured 45–85 ms per query at
+    * sf0.1, pure scheduling floor) — and the sampling pass RE-EXECUTES the
+    * sort's child, so on a join/verify tail it would run the expensive
+    * stage twice. At any scale, merging a bounded report on one task is
+    * the right plan; table-shaped outputs below keep the parallel range
+    * sort. */
   private def reportSort(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** [[reportSort]] variant for AGGREGATION tails whose post-exchange stage
+    * is trivial (final agg over a bounded group set): `coalesce(1)` is a
+    * narrow dependency, so the final agg, total sort and sink fuse into ONE
+    * single-task stage — one fewer exchange/job than repartition(1). Only
+    * safe where the collapsed stage does O(groups) work; the map side
+    * (scan, partial agg, joins) keeps full parallelism behind the agg
+    * exchange. Ranking/join tails keep [[reportSort]]: coalesce would pull
+    * their real per-row work into the single task. */
+  private def reportSortFused(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** Slim, doc_id-ordered input for per-document KERNEL tables: `orderBy`'s
+    * range-sampling pass re-executes its child, so `kernel(docs).orderBy(id)`
+    * evaluates every kernel expression TWICE (sampling + shuffle map).
+    * Sorting the raw (doc_id, text) projection first samples plain scan rows
+    * and runs the kernels once, in the single post-shuffle stage — Catalyst
+    * keeps projections above sorts, so the shape is stable. The shuffle
+    * carries text instead of the (smaller) kernel output; at sf0.1 that is
+    * ~1 MB against a saved kernel pass, and at any scale the trade follows
+    * kernel cost vs output width (these kernels all dominate). */
+  private def sortedDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select("doc_id", "text").orderBy("doc_id")
 
   // ------------------------------------------------------------------ core
 
@@ -82,7 +108,7 @@ object Catalog {
   /** Q5 — C13 grouped distinct count, the reference's one analytical query
     * (src/sql/query/daily_launch_events.sql:1-5). */
   val q05 = Q("q05_daily_distinct",
-    (s, d) => reportSort(t(s, d, "events")
+    (s, d) => reportSortFused(t(s, d, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(countDistinct(col("user_id")).as("event_count")), col("d")),
     Some("""SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS event_count
@@ -102,7 +128,7 @@ object Catalog {
 
   /** Q7 — plain grouped count. */
   val q07 = Q("q07_group_count",
-    (s, d) => reportSort(t(s, d, "events")
+    (s, d) => reportSortFused(t(s, d, "events")
       .groupBy("event_type").agg(count(lit(1)).as("n")), col("event_type")),
     Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"))
 
@@ -135,7 +161,7 @@ object Catalog {
   /** Q9 — E1 equi join + agg. Customer is a dim → broadcast; the money sum
     * goes through DECIMAL so both engines sum exactly, then one cast. */
   val q09 = Q("q09_join_agg",
-    (s, d) => reportSort(t(s, d, "orders")
+    (s, d) => reportSortFused(t(s, d, "orders")
       .join(broadcast(t(s, d, "customer")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
@@ -158,10 +184,15 @@ object Catalog {
   /** Q11 — E3 dedup-keep-latest. ts is ordered at µs on both sides (DuckDB
     * casts its ns read down) with event_id as the total tie-break. */
   val q11 = Q("q11_latest_per_user",
-    (s, d) => Relational.dedupKeepLatest(t(s, d, "events"),
+    // ONE exchange: range-partitioning by user_id satisfies the window's
+    // clustering (equal keys co-locate) AND pre-orders the output, so the
+    // usual window-exchange + final orderBy (two shuffles of the same rows
+    // plus a sampling job) collapses into window + in-partition sort
+    (s, d) => Relational.dedupKeepLatest(
+        t(s, d, "events").repartitionByRange(col("user_id")),
         Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
       .select("user_id", "event_id", "event_type", "value")
-      .orderBy("user_id"),
+      .sortWithinPartitions("user_id"),
     Some("""SELECT user_id, event_id, event_type, value FROM (
            |  SELECT user_id, event_id, event_type, value, row_number() OVER (
            |    PARTITION BY user_id
@@ -226,7 +257,16 @@ object Catalog {
 
   /** E8 exact duplicate groups by md5 content hash. */
   val x17 = Q("x17_dedup_exact",
-    (s, d) => Dedup.exactGroups(t(s, d, "documents")).orderBy("h"),
+    // ONE exchange: the agg's hash exchange and the output's range exchange
+    // both move one row per (h, doc_id); fusing them (range-partition by h,
+    // then agg, then in-partition sort) halves data movement. The trade is
+    // losing map-side combine — md5 groups are near-unique here so partial
+    // agg saved ~nothing; a dup-heavy corpus would flip this back to
+    // exactGroups + orderBy (combine first, then sort the survivors).
+    (s, d) => Dedup.exactGroups(
+        t(s, d, "documents").select("doc_id", "text")
+          .repartitionByRange(md5(col("text"))))
+      .sortWithinPartitions("h"),
     Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -264,8 +304,10 @@ object Catalog {
     * them — the complete linear-ish dedup pipeline, not just candidate
     * generation. */
   val x18 = Q("x18_dedup_minhash",
-    (s, d) => Dedup.minhashNearDupPairs(t(s, d, "documents"), 0.9)
-      .orderBy("a", "b"),
+    // reportSort: the near-dup pair set is threshold-bounded (≥0.9 est
+    // Jaccard), and orderBy's sampling pass would re-run the verify join
+    (s, d) => reportSort(Dedup.minhashNearDupPairs(t(s, d, "documents"), 0.9),
+      col("a"), col("b")),
     Some(duckMinhashSql))
 
   private def duckSimhashSql: String = {
@@ -284,14 +326,15 @@ object Catalog {
 
   /** E8 32-bit SimHash signatures. */
   val x19 = Q("x19_dedup_simhash",
-    (s, d) => Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id"),
+    (s, d) => Dedup.simhashSignatures(sortedDocs(s, d)),
     Some(duckSimhashSql))
 
   /** E8 n-gram (3-token shingle) Jaccard near-dup pairs, inverted-index join.
     * Threshold 0.8 — the synthetic corpus has a handful of ≥0.98 pairs. */
   val x20 = Q("x20_dedup_ngram",
-    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.8)
-      .orderBy("a", "b"),
+    // reportSort: pair report bounded by the 0.8 Jaccard threshold
+    (s, d) => reportSort(Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.8),
+      col("a"), col("b")),
     Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
             |  FROM documents),
             |sh0 AS (SELECT doc_id, unnest(${Dedup.shingleExprDuck("toks")}) AS sh
@@ -312,8 +355,10 @@ object Catalog {
   /** E7/E8 embedding-cosine near-dup pairs (probe set vec_id<500; the
     * synthetic corpus peaks around cos≈0.5, so threshold 0.4). */
   val x21 = Q("x21_dedup_embedding",
-    (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 500L, 0.4)
-      .orderBy("a", "b"),
+    // reportSort: threshold-bounded pair report over a bounded probe set
+    (s, d) => reportSort(
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 500L, 0.4),
+      col("a"), col("b")),
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
            |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)
@@ -332,9 +377,9 @@ object Catalog {
     * vectors matching any of the query's band keys within Hamming distance 1
     * (multi-probe). */
   val x22 = Q("x22_sim_lsh",
-    (s, d) => reportSort(
-      Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3, probe = 1),
-      col("qid"), col("rn")),
+    // lshTopK's single-partition ranking tail already emits (qid, rn) total
+    // order — no report sort on top
+    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3, probe = 1),
     Some {
       val anyBandProbe = (0 until Similarity.Bands)
         .map(b => s"bit_count(xor(q.k$b, c.k$b)) <= 1").mkString(" OR ")
@@ -357,8 +402,10 @@ object Catalog {
     * the banded shuffle-per-band variant of x21 (which brute-forces a
     * bounded probe set). */
   val x34 = Q("x34_dedup_embedding_lsh",
-    (s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), 0.3)
-      .orderBy("a", "b"),
+    // reportSort: threshold-bounded pair report; orderBy's sampling pass
+    // would re-run the banded join's pairwise cosines
+    (s, d) => reportSort(Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), 0.3),
+      col("a"), col("b")),
     Some {
       val anyBand = (0 until Similarity.Bands)
         .map(b => s"l.k$b = r.k$b").mkString(" OR ")
@@ -378,7 +425,7 @@ object Catalog {
 
   /** Language-ID by stopword-profile argmax. */
   val x23 = Q("x23_text_langid",
-    (s, d) => TextAnalysis.languageId(t(s, d, "documents")).orderBy("doc_id"),
+    (s, d) => TextAnalysis.languageId(sortedDocs(s, d)),
     Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
             |  FROM documents),
             |c AS (SELECT doc_id,
@@ -393,7 +440,7 @@ object Catalog {
 
   /** Quality scoring: length/stopword-density features + logistic score. */
   val x24 = Q("x24_text_quality",
-    (s, d) => TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id"),
+    (s, d) => TextAnalysis.quality(sortedDocs(s, d)),
     Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
             |  FROM documents),
             |c AS (SELECT doc_id,
@@ -411,7 +458,7 @@ object Catalog {
 
   /** Token counting: whitespace + regex ("BPE-ish") tokenizers. */
   val x25 = Q("x25_text_tokencount",
-    (s, d) => TextAnalysis.tokenCounts(t(s, d, "documents")).orderBy("doc_id"),
+    (s, d) => TextAnalysis.tokenCounts(sortedDocs(s, d)),
     Some(s"""SELECT doc_id,
             |  CAST(length(${Portable.tokens(DuckD, "text")}) AS BIGINT) AS ws_tokens,
             |  CAST(${TextAnalysis.regexTokens(DuckD, "text")} AS BIGINT) AS re_tokens,
@@ -420,7 +467,7 @@ object Catalog {
 
   /** Order-sensitive rolling-hash document fingerprint. */
   val x26 = Q("x26_text_fingerprint",
-    (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id"),
+    (s, d) => TextAnalysis.fingerprints(sortedDocs(s, d)),
     Some(s"""WITH h AS (SELECT doc_id,
             |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
             |  FROM documents)
@@ -431,9 +478,11 @@ object Catalog {
 
   /** Binary-column plumbing: documents → fake binary assets → stub decode. */
   val x27 = Q("x27_multimodal_decode",
+    // input-ordered (see sortedDocs): the payload md5 projection runs once
+    // above the sort instead of twice under orderBy's sampling pass
     (s, d) => Multimodal.decodeColumns(
-        Multimodal.assetsFromDocuments(t(s, d, "documents")))
-      .orderBy("asset_id"),
+        Multimodal.assetsFromDocuments(t(s, d, "documents")
+          .select("doc_id", "text", "source").orderBy("doc_id"))),
     Some("""SELECT doc_id AS asset_id, 'image' AS kind,
            |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
            |  64 + (ascii(substr(md5(text), 1, 1)) * 256 +
@@ -446,17 +495,21 @@ object Catalog {
     * cross-engine ANSI). Year/month cast to INT on both sides (DuckDB's
     * part-extraction returns BIGINT). */
   val x29 = Q("x29_scalar_kit",
-    (s, d) => t(s, d, "orders").select(
-      col("o_orderkey"),
-      year(col("o_orderdate")).cast("int").as("y"),
-      month(col("o_orderdate")).cast("int").as("m"),
-      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
-      lower(col("o_orderpriority")).as("pri_lower"),
-      substring(col("o_orderpriority"), 1, 1).as("pri_code"),
-      regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("pri_digit"),
-      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
-      length(col("o_orderpriority")).cast("int").as("pri_len"))
-      .orderBy("o_orderkey"),
+    // input-ordered (see sortedDocs): the regex/date/string kit evaluates
+    // once above the sort instead of twice under orderBy's sampling pass
+    (s, d) => t(s, d, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+      .orderBy("o_orderkey")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        lower(col("o_orderpriority")).as("pri_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("pri_digit"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        length(col("o_orderpriority")).cast("int").as("pri_len")),
     Some("""SELECT o_orderkey,
            |  CAST(year(o_orderdate) AS INT) AS y,
            |  CAST(month(o_orderdate) AS INT) AS m,
@@ -488,7 +541,7 @@ object Catalog {
   /** Multi-level aggregation: ROLLUP over (event_type, day). NULLS FIRST is
     * pinned explicitly — Spark defaults there for ASC, DuckDB doesn't. */
   val x31 = Q("x31_rollup_agg",
-    (s, d) => reportSort(t(s, d, "events")
+    (s, d) => reportSortFused(t(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .rollup("event_type", "d")
       .agg(count(lit(1)).as("n")),
@@ -521,7 +574,7 @@ object Catalog {
   /** Exact continuous percentiles per group (Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition). */
   val x33 = Q("x33_percentiles",
-    (s, d) => reportSort(t(s, d, "events")
+    (s, d) => reportSortFused(t(s, d, "events")
       .groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
@@ -559,11 +612,14 @@ object Catalog {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      t(s, d, "events")
+      // ONE exchange (same fusion as q11): range partitions on user_id feed
+      // the window and pre-order the output; only the (user_id, event_id)
+      // in-partition re-sort remains
+      t(s, d, "events").repartitionByRange(col("user_id"))
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
         .select("user_id", "event_id", "gap_us")
-        .orderBy("user_id", "event_id")
+        .sortWithinPartitions("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id,
            |  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
@@ -573,7 +629,7 @@ object Catalog {
 
   /** CUBE over (event_type, day): all four grouping levels. */
   val x37 = Q("x37_cube_agg",
-    (s, d) => reportSort(t(s, d, "events")
+    (s, d) => reportSortFused(t(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .cube("event_type", "d")
       .agg(count(lit(1)).as("n")),
@@ -1642,9 +1698,11 @@ object Catalog {
     * (geometry, channel order, pixel walk) hash-mismatches. Both the
     * encode and decode are genuine codec work on compressed bytes. */
   val x78 = Q("x78_image_decode",
+    // input-ordered (see sortedDocs): the real PNG encode + ImageIO decode
+    // run once above the sort instead of twice under orderBy's sampling pass
     (s, d) => Multimodal.decodeImages(
-        Multimodal.synthesizePng(t(s, d, "documents")))
-      .orderBy("asset_id"),
+        Multimodal.synthesizePng(
+          t(s, d, "documents").select("doc_id").orderBy("doc_id"))),
     Some("""SELECT doc_id AS asset_id,
            |  CAST(8 + doc_id % 24 AS INT) AS width,
            |  CAST(8 + (doc_id * 3) % 24 AS INT) AS height,
@@ -1657,10 +1715,9 @@ object Catalog {
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
-    (s, d) => t(s, d, "events")
+    (s, d) => reportSortFused(t(s, d, "events")
       .groupBy(to_date(col("ts")).as("d"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-      .orderBy("d"),
+      .agg(approx_count_distinct(col("user_id")).as("approx_users")), col("d")),
     None)
 
   // ------------------------------------------------------------- assembly

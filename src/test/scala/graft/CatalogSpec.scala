@@ -92,7 +92,9 @@ class CatalogSpec extends AnyFunSuite {
     "x75_share_of_total" -> Seq("d", "event_type", "n", "share"),
     "x76_rank_ties" -> Seq("c_mktsegment", "c_custkey", "bucket", "rnk",
       "drnk"),
-    "x77_mad" -> Seq("event_type", "med", "mad"))
+    "x77_mad" -> Seq("event_type", "med", "mad"),
+    "x78_image_decode" -> Seq("asset_id", "width", "height",
+      "mean_r", "mean_g", "mean_b"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

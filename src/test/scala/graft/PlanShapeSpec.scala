@@ -125,8 +125,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf(Catalog.queries("x20_dedup_ngram")(spark, sf0001))
     assert(plan.contains("graft_sorted_intersect_count"),
       s"expected packed-set merge verification in:\n$plan")
-    assert(plan.contains("graft_shingle_set"),
-      s"expected the one-pass shingle kernel in:\n$plan")
+    // round-4: the one-pass shingle kernel no longer appears in the query
+    // plan because packed is localCheckpoint-ed at build time — the kernel
+    // runs ONCE in the checkpoint job instead of once per consumer (five
+    // scans in the round-3 plan), and every consumer reads the RDD scan
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed packed-set scan in:\n$plan")
+    assert(!plan.contains("graft_shingle_set"),
+      s"the shingle kernel must run once in the checkpoint, not inline:\n$plan")
     // the round-3 fusion: prefix selection is per-row compute off the
     // broadcast df map — a df join + per-doc ranking window must NOT be in
     // the plan (that is the over-cap fallback's shape, not the default's)
