@@ -32,11 +32,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // optional args: query names to bench (local iteration aid; the driver
-    // always runs the full set)
-    val names =
-      if (args.nonEmpty) Catalog.benchNames.filter(args.toSet) else Catalog.benchNames
-    val results: Seq[(String, Double)] = names.map { name =>
+    def benchSet(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       try {
         System.gc() // don't bill this query for the previous one's garbage
         runOnce(name) // warm-up: codegen + parquet footer/file listing
@@ -47,11 +43,22 @@ object Bench {
           name -> -1.0
       }
     }
+    def json(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+        .mkString("{", ",", "}")
+    def total(results: Seq[(String, Double)]): String =
+      "%.4f".format(results.map(_._2).filter(_ >= 0).sum)
 
-    val qs = results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // optional args: query names to bench (local iteration aid; the driver
+    // always runs the full set)
+    val only = args.toSet
+    def pick(names: Seq[String]) = if (only.isEmpty) names else names.filter(only)
+    // headline set first ("metric"/"value" keep their round-1 meaning, so
+    // totals stay comparable across rounds); extended tier reported beside it
+    val head = benchSet(pick(Catalog.benchNames))
+    val ext = benchSet(pick(Catalog.benchNamesExtended))
+    println(s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
+      s""""extended_total":${total(ext)},"extended_queries":${json(ext)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,31 +44,129 @@ object Clusters {
   def connectedComponents(edges: DataFrame, maxRounds: Int = MaxRounds): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the first consuming job
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // convergence probe: labels only ever DECREASE, so the label multiset
+    // changes iff any label changed — one order-independent checksum
+    // aggregate per round replaces the round-3 join-against-previous +
+    // CollectLimit probe (two extra jobs per round, and the limit's
+    // incremental scale-up walked partitions)
+    def checksum(df: DataFrame): Long = {
+      val r = df.agg(bit_xor(xxhash64(col("node"), col("label")))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var cur = checksum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val msgs = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.union(msgs)
+      // lazy checkpoint: the checksum probe is the materializing action, so
+      // each round costs ONE job (state write rides the probe)
+      labels = labels.union(msgs)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      // labels only ever decrease, so "any strictly smaller" == "changed";
-      // limit(1) lets the probe short-circuit
-      val changed = next.as("n").join(labels.as("o"), "node")
-        .where(col("n.label") < col("o.label")).limit(1).count() > 0
-      labels = next
-      converged = !changed
+        .localCheckpoint(false)
+      val next = checksum(labels)
+      converged = next == cur
+      cur = next
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxRounds rounds — " +
-          "component diameter exceeds the bound; raise maxRounds or switch " +
-          "the message rule to large-star/small-star.")
+          "component diameter exceeds the bound; raise maxRounds or use " +
+          "connectedComponentsStars (large-star/small-star message rule).")
     labels.select(col("node"), col("label").as("cluster"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-diameter variant of
+    * [[connectedComponents]]: min-label needs O(diameter) rounds (a
+    * 10^6-node chain needs 10^6 rounds), star operations contract every
+    * component to a star in O(log n) rounds regardless of shape. Same
+    * skeleton as min-label: per round, two slim joins + distinct over
+    * (long, long) edges, state locally checkpointed, the driver holding
+    * only a (count, checksum) convergence probe.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to the minimum of
+    *    u's closed neighborhood. Computed as a per-node min aggregate
+    *    joined back onto the symmetric edge list — never a collected
+    *    neighbor list, so a hot node (boilerplate dup class) is a slim
+    *    aggregate row, not a giant array.
+    *  - small-star(u): neighbors v ≤ u (and u itself) re-attach to the
+    *    minimum of u's ≤-neighborhood, same join shape over edges oriented
+    *    high→low.
+    *
+    * At the fixpoint the edge set is a star forest rooted at each
+    * component's minimum id, read out directly as (node, cluster). Output
+    * contract identical to [[connectedComponents]] (ClustersSpec pins
+    * equivalence on random graphs and on a long path that min-label's
+    * round bound rejects); edgeless nodes are absent. */
+  def connectedComponentsStars(edges: DataFrame,
+                               maxRounds: Int = MaxRounds): DataFrame = {
+    var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .select(col("hi").as("a"), col("lo").as("b"))
+      .distinct()
+      .localCheckpoint(false) // materialized by the first probe
+
+    // one-row convergence probe: edge-set cardinality + order-independent
+    // XOR checksum of per-edge hashes (bit_xor never overflows under ANSI,
+    // unlike a long sum); only EQUALITY is tested, and the count guards the
+    // trivial collision
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, sym("a") === mins("u"))
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // cur is oriented a(hi) → b(lo); b < a always, so min(b) IS the
+      // closed-neighborhood minimum of a's ≤-side
+      val mins = cur.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val reLo = cur.join(mins, cur("a") === mins("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val reHi = mins.select(col("u").as("a"), col("m").as("b"))
+      reLo.union(reHi)
+        .where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct()
+    }
+
+    var cur = probe(e)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint(false) // probe materializes
+      val next = probe(e)
+      converged = next == cur
+      cur = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars: no fixpoint after $maxRounds rounds — " +
+          "star contraction converges in O(log n); this indicates a bug or " +
+          "an edge stream mutating between rounds.")
+    // fixpoint = star forest: every non-root points at its component root;
+    // roots are exactly the b-side ids (a component minimum never appears
+    // on the a side of an oriented star edge)
+    e.select(col("a").as("node"), col("b").as("cluster"))
+      .union(e.select(col("b").as("node"), col("b").as("cluster")).distinct())
   }
 }

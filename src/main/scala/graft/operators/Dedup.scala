@@ -128,6 +128,9 @@ object Dedup {
     //  - inter-group pairs are verified once per GROUP pair.
     // Token-free docs (null sig) can never reach the threshold (the oracle's
     // agreement over null minhashes is 0) and are dropped up front.
+    // measured at sf0.1: repartitioning the (single-row-group) scan before
+    // the kernel costs more in exchange + 32-task scheduling than the
+    // one-task kernel pass saves — the kernel stays on the scan
     val sigOf = docs.select(col("doc_id"),
         graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
       .where(col("sig").isNotNull)
@@ -271,15 +274,17 @@ object Dedup {
     // localCheckpoint: packed feeds FIVE consumers (df aggregate, both sides
     // of the prefix candidate join, and both verify sides), and none of them
     // are reusable exchanges — the round-3 plan re-ran the shingle-set
-    // kernel + parquet scan once per consumer. One eager narrow
-    // materialization makes every consumer a cache read; at scale this is
-    // the standard multi-consumer spill-to-disk materialization (the
+    // kernel + parquet scan once per consumer. One LAZY narrow
+    // materialization makes every consumer a cache read (the df aggregate
+    // below is always the first action, so its map stage doubles as the
+    // checkpoint writer — no dedicated materialization job); at scale this
+    // is the standard multi-consumer spill-to-disk materialization (the
     // alternative recomputes the kernel over the full corpus 5×). The
     // checkpointed RDD is dropped by the ContextCleaner with the DataFrame.
     val packed = docs.select(col("doc_id"),
         graft.functions.TextHashFunctions.shingleSet(col(textCol)).as("shs"))
       .withColumn("nsh", size(col("shs")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // df stays a plain count agg (never a posting LIST — a boilerplate
     // shingle shared by 10% of a web corpus would make one giant row);
     // partial aggregation slims the shuffle to one row per distinct shingle

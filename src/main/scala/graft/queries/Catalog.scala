@@ -725,7 +725,12 @@ object Catalog {
     (s, d) => {
       val w = t(s, d, "documents").where(col("doc_id") < 100)
         .select(col("doc_id"), col("text"))
+      // the DP verifier is pure CPU (O(len²) per pair); the bounded window
+      // reads from ONE parquet row group, so without a re-spread the whole
+      // quadratic block runs on a single task (measured 12.9 s at sf0.1 —
+      // 0.9 s when spread over the cores)
       val l = w.toDF("a", "ta")
+        .repartition(w.sparkSession.sparkContext.defaultParallelism)
       val r = w.toDF("b", "tb")
       l.join(r, col("a") < col("b"))
         .select(col("a"), col("b"),
@@ -1739,4 +1744,12 @@ object Catalog {
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+
+  /** Extended-tier bench set (x39+): everything outside the headline set
+    * except the write-roundtrip q08. Timed separately so the headline total
+    * stays comparable round over round, while regressions in the wider
+    * surface (x60's component loop, x66's shingle semi-join, …) still show
+    * up in BENCH_r{N}. */
+  def benchNamesExtended: Seq[String] =
+    all.filterNot(_.bench).map(_.name).filterNot(_ == "q08_roundtrip")
 }

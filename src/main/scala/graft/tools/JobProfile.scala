@@ -2,7 +2,7 @@ package graft.tools
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskStart}
 
 import graft.engine.GraftSession
 import graft.queries.Catalog
@@ -26,14 +26,18 @@ object JobProfile {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
+      private val started = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (verbose) {
-          val desc = Option(j.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description")))
-            .getOrElse("")
-          println(s"  job ${j.jobId}: stages=${j.stageInfos.size} " +
-            s"tasks=${j.stageInfos.map(_.numTasks).sum} ${desc.take(120)}")
+          val info = s"stages=${j.stageInfos.size} " +
+            s"tasks=${j.stageInfos.map(_.numTasks).sum}"
+          started.put(j.jobId, (j.time, info))
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = if (verbose) {
+        Option(started.remove(j.jobId)).foreach { case (t0, info) =>
+          println(f"  job ${j.jobId}: ${(j.time - t0) / 1000.0}%.3fs $info")
         }
       }
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
@@ -48,7 +52,9 @@ object JobProfile {
     }
 
     val names =
-      if (args.nonEmpty) Catalog.benchNames.filter(args.toSet) else Catalog.benchNames
+      if (args.nonEmpty)
+        (Catalog.benchNames ++ Catalog.benchNamesExtended).filter(args.toSet)
+      else Catalog.benchNames
     println(f"${"query"}%-28s ${"best5"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s")
     var totBest = 0.0
     names.foreach { name =>

@@ -44,4 +44,39 @@ class ClustersSpec extends AnyFunSuite {
     val path = (0L until 12L).map(i => (i, i + 1))
     intercept[IllegalStateException](components(path, maxRounds = 2))
   }
+
+  private def starComponents(edges: Seq[(Long, Long)],
+                             maxRounds: Int = Clusters.MaxRounds): Map[Long, Long] =
+    Clusters.connectedComponentsStars(edges.toDF("a", "b"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star-ops: chain, clique, and isolated pair resolve to min-id components") {
+    val got = starComponents(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("star-ops: empty edge set yields empty result") {
+    assert(starComponents(Seq.empty).isEmpty)
+  }
+
+  test("star-ops: duplicate and reversed edges collapse to one component") {
+    val got = starComponents(Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star-ops converge on a long path that exceeds min-label's round bound") {
+    // a 100-hop path has diameter 100: min-label at maxRounds=24 must fail
+    // loudly, while star contraction converges in O(log n) rounds — the
+    // adversarial-diameter case the SoCC'14 rule exists for
+    val path = (0L until 100L).map(i => (i, i + 1))
+    intercept[IllegalStateException](components(path, maxRounds = 24))
+    val got = starComponents(path, maxRounds = 24)
+    assert(got.size == 101 && got.values.forall(_ == 0L))
+  }
 }

@@ -252,6 +252,12 @@ class PropertySpec extends AnyFunSuite {
         .connectedComponents(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"seed=$seedBase edges=$edges")
+      // the large-star/small-star rule must agree with min-label (and the
+      // union-find oracle) on every graph
+      val gotStars = graft.operators.Clusters
+        .connectedComponentsStars(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStars == expected, s"stars: seed=$seedBase edges=$edges")
     }
   }
 }

@@ -34,21 +34,44 @@ BENCH = ["q01_project_rename", "q02_cast_date", "q03_eq_filter",
          "x33_percentiles", "x34_dedup_embedding_lsh", "x35_full_outer",
          "x36_window_lag", "x37_cube_agg", "x38_except_all"]
 
-res = {}
-for name in BENCH:
-    if only and name not in only:
-        continue
-    if name not in oracle:
-        continue  # no-oracle queries are not part of the shared set
-    sql = oracle[name]
-    con.execute(sql).fetchall()  # warm-up
-    best = min(
-        (lambda t0: (con.execute(sql).fetchall(), time.perf_counter() - t0)[1])(
-            time.perf_counter())
-        for _ in range(5))
-    res[name] = round(best, 4)
+# the extended tier (x39+), kept in sync with Catalog.benchNamesExtended;
+# timed separately so the headline total stays round-comparable
+EXTENDED = [f"x{i}_{s}" for i, s in [
+    (39, "tfidf"), (40, "hash_split"), (41, "lev_neardup"), (42, "pivot"),
+    (43, "grouping_sets"), (44, "exists_subquery"), (45, "window_frame"),
+    (46, "sessionize"), (47, "boilerplate_ngrams"), (48, "ann_ivf"),
+    (49, "curation"), (50, "range_join"), (51, "rank_distribution"),
+    (52, "array_ops"), (53, "scalar_subquery"), (54, "approx_percentiles"),
+    (55, "intersect_all"), (56, "string_agg"), (57, "unpivot"),
+    (58, "window_range_frame"), (59, "text_scrub"), (60, "dedup_clusters"),
+    (61, "stats_kit"), (62, "funnel"), (63, "stratified_sample"),
+    (64, "doc_chunks"), (65, "bpe_pairs"), (66, "decontamination"),
+    (67, "winsorize"), (68, "histogram"), (69, "repetition"),
+    (70, "source_report"), (71, "knn_label"), (72, "gapfill"),
+    (73, "forward_fill"), (74, "debounce"), (75, "share_of_total"),
+    (76, "rank_ties"), (77, "mad"), (78, "image_decode")]]
 
+
+def bench_set(names):
+    res = {}
+    for name in names:
+        if only and name not in only:
+            continue
+        if name not in oracle:
+            continue  # no-oracle queries are not part of the shared set
+        sql = oracle[name]
+        con.execute(sql).fetchall()  # warm-up
+        best = min(
+            (lambda t0: (con.execute(sql).fetchall(), time.perf_counter() - t0)[1])(
+                time.perf_counter())
+            for _ in range(5))
+        res[name] = round(best, 4)
+    return res
+
+res = bench_set(BENCH)
+ext = bench_set(EXTENDED)
 total = round(sum(res.values()), 4)
-qs = ",".join(f'"{k}":{v}' for k, v in res.items())
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
-                  "queries": res, "sf": sf_dir}))
+                  "queries": res,
+                  "extended_total": round(sum(ext.values()), 4),
+                  "extended_queries": ext, "sf": sf_dir}))
