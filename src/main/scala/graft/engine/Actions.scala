@@ -16,15 +16,38 @@ import org.apache.spark.sql.{DataFrame, Row}
 object Actions {
 
   /** Collect up to `cap` rows in exactly ONE job, or None when the input
-    * has more. Per-partition `take(cap + 1)` bounds what any executor sends
-    * (same posture as Spark's own broadcast-exchange collect: the failure
-    * mode for oversized input is a loud abort, not an unbounded pull).
+    * has more. Per-partition `take(cap + 1)` bounds what any executor sends,
+    * and the driver-side result handler DISCARDS partition results as soon
+    * as the running total exceeds the cap — so driver heap is bounded by
+    * `cap` retained rows plus one in-flight partition result (≤ cap + 1),
+    * independent of partition count. (A plain per-partition-take collect()
+    * would hold up to numPartitions × (cap + 1) rows on the driver before
+    * the over-cap decision — with a 2²⁰ cap and 32 shuffle partitions that
+    * is the driver-OOM path the cap exists to prevent.)
     *
-    * Exactness: if the result has ≤ cap rows, no partition was truncated —
-    * a partition only truncates when it holds > cap + 1 rows, which alone
-    * already pushes the total past the cap and returns None. */
+    * Exactness: if the job completes under the cap, no partition was
+    * truncated — a partition only truncates when it holds > cap + 1 rows,
+    * which alone already pushes the total past the cap and returns None. */
   def boundedRows(df: DataFrame, cap: Int): Option[Array[Row]] = {
-    val rows = df.rdd.mapPartitions(_.take(cap + 1)).collect()
-    if (rows.length > cap) None else Some(rows)
+    val rdd = df.rdd
+    val sc = rdd.sparkContext
+    val n = cap + 1 // captured by the task closure as a plain Int
+    val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+    var over = false
+    sc.runJob[Row, Array[Row]](
+      rdd,
+      (_: org.apache.spark.TaskContext, it: Iterator[Row]) => it.take(n).toArray,
+      0 until rdd.getNumPartitions,
+      (_: Int, part: Array[Row]) => {
+        // JobWaiter invokes result handlers serially on the driver, so no
+        // synchronization is needed; once over, arrays drop straight to GC.
+        if (!over) {
+          if (buf.length + part.length > cap) { over = true; buf.clear() }
+          else buf ++= part
+        }
+        ()
+      }
+    )
+    if (over) None else Some(buf.toArray)
   }
 }

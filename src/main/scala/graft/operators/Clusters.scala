@@ -52,10 +52,16 @@ object Clusters {
     // changes iff any label changed — one order-independent checksum
     // aggregate per round replaces the round-3 join-against-previous +
     // CollectLimit probe (two extra jobs per round, and the limit's
-    // incremental scale-up walked partitions)
-    def checksum(df: DataFrame): Long = {
-      val r = df.agg(bit_xor(xxhash64(col("node"), col("label")))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // incremental scale-up walked partitions). The exact decimal label sum
+    // rides the same one-row aggregate as a second invariant: the node set
+    // is fixed and labels only decrease, so the sum strictly decreases on
+    // ANY change — equality of (checksum, sum) therefore PROVES a fixpoint;
+    // a 64-bit hash collision alone can no longer fake convergence.
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(bit_xor(xxhash64(col("node"), col("label"))),
+        sum(col("label").cast("decimal(38,0)"))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
     var cur = checksum(labels)
     var rounds = 0
@@ -103,11 +109,21 @@ object Clusters {
     * At the fixpoint the edge set is a star forest rooted at each
     * component's minimum id, read out directly as (node, cluster). Output
     * contract identical to [[connectedComponents]] (ClustersSpec pins
-    * equivalence on random graphs and on a long path that min-label's
-    * round bound rejects); edgeless nodes are absent. */
+    * equivalence on random graphs — self-loops included — and on a long
+    * path that min-label's round bound rejects); edgeless nodes are absent,
+    * self-loop-only nodes appear as singletons (both exactly as in
+    * min-label). */
   def connectedComponentsStars(edges: DataFrame,
                                maxRounds: Int = MaxRounds): DataFrame = {
-    var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val longEdges = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    // a node whose ONLY edges are self-loops carries no oriented edge below,
+    // but connectedComponents labels it (its sym pass keeps (x,x)) — keep
+    // the output contracts identical by unioning those nodes back as
+    // singletons at the end (left-anti against the star forest's nodes)
+    val selfLoopNodes = longEdges.where(col("a") === col("b"))
+      .select(col("a").as("node")).distinct()
+    var e = longEdges
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .select(col("hi").as("a"), col("lo").as("b"))
@@ -166,7 +182,10 @@ object Clusters {
     // fixpoint = star forest: every non-root points at its component root;
     // roots are exactly the b-side ids (a component minimum never appears
     // on the a side of an oriented star edge)
-    e.select(col("a").as("node"), col("b").as("cluster"))
+    val stars = e.select(col("a").as("node"), col("b").as("cluster"))
       .union(e.select(col("b").as("node"), col("b").as("cluster")).distinct())
+    stars.union(
+      selfLoopNodes.join(stars.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("cluster")))
   }
 }

@@ -219,9 +219,11 @@ object Dedup {
     * comfortable executor broadcast. Corpora with a larger shingle
     * vocabulary (web scale) fall back to the join+window plan, the same
     * adaptive posture as broadcast-vs-shuffle join selection. The cap also
-    * bounds the DETECTION cost: the probe collects at most cap+1 driver
-    * rows before routing to the fallback, so an over-cap corpus costs
-    * ~100 MB transient driver heap, not unbounded. */
+    * bounds the DETECTION cost: Actions.boundedRows discards partition
+    * results on the driver once the running total passes the cap, so an
+    * over-cap corpus costs at most ~cap retained rows plus one in-flight
+    * partition result (~16 MB here) before routing to the fallback — never
+    * numPartitions × cap. */
   val MaxBroadcastShingles: Int = 1 << 20
 
   /** Near-dup pairs by 3-gram Jaccard ≥ threshold, via prefix-filtered
@@ -298,6 +300,11 @@ object Dedup {
     val collected = graft.engine.Actions.boundedRows(dfRows, maxBroadcastShingles)
       .getOrElse(return ngramJaccardPairsWindowed(packed, dfRows, threshold))
     val entries = collected.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // Lifecycle: the returned (lazy) DataFrame's ShinglePrefix expression
+    // holds the only reference to this broadcast, so an eager destroy() here
+    // would break execution; once the caller's plan is unreachable the
+    // ContextCleaner unpersists the broadcast (standard Spark lifecycle for
+    // plan-embedded broadcasts, same as broadcast-hash-join relations).
     val dfMap = docs.sparkSession.sparkContext.broadcast(
       (entries.map(_._1), entries.map(_._2)))
     val prefix = packed.select(col("doc_id"), col("nsh"),

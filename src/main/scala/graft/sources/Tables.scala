@@ -17,13 +17,19 @@ object Tables {
     * cache for `read.table`: building a parquet relation costs ~50 ms of file
     * listing + footer schema read per call (measured, tools/FloorProbe), and
     * a DataFrame is an immutable plan — safe to reuse. Keyed by the session
-    * instance so concurrent sessions (tests) never share file indexes. */
+    * instance so concurrent sessions (tests) never share file indexes.
+    * Entries for sessions whose SparkContext has stopped are evicted on the
+    * (rare) cache-miss path, so the map is bounded by LIVE sessions rather
+    * than pinning every session ever seen (the test-suite pattern: each
+    * suite builds a session and stops it at the end). */
   private val relationCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     relationCache.getOrElseUpdate((spark, sfDir, name), {
+      relationCache.keySet.filter(_._1.sparkContext.isStopped)
+        .foreach(relationCache.remove)
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw nanos
       // (spark.sql.legacy.parquet.nanosAsLong). Truncate ns→µs — the same

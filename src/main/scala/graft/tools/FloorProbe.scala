@@ -32,16 +32,25 @@ object FloorProbe {
       df.write.mode("overwrite").format("noop").save()
 
     val q07 = graft.queries.Catalog.queries("q07_group_count")(spark, sfDir)
+    val x18 = () => graft.queries.Catalog.queries("x18_dedup_minhash")(spark, sfDir)
     val x20 = () => graft.queries.Catalog.queries("x20_dedup_ngram")(spark, sfDir)
     val probes = Seq(
       // raw scheduler floor: one trivial RDD job, no SQL layer
       "rdd1" -> (() => { spark.sparkContext.parallelize(Seq(1), 1).count(); () }),
       // SQL-layer floor minus planning: the same pre-built DataFrame re-written
       "reuse_q07" -> (() => noop(q07)),
-      // driver-side planning cost of a complex query (no execution)
-      "plan_x20" -> (() => { x20().queryExecution.executedPlan; () }),
-      // relation (re)construction cost: listing + footer schema per read
-      "tbl_load" -> (() => { graft.sources.Tables(spark, sfDir, "lineitem"); () }),
+      // driver-side planning cost of a complex LAZY query (no execution —
+      // x20 no longer qualifies: its construction eagerly runs the shingle
+      // df aggregate, see build_x20)
+      "plan_x18" -> (() => { x18().queryExecution.executedPlan; () }),
+      // x20 query CONSTRUCTION: includes the eager one-job bounded df
+      // collect + broadcast (Actions.boundedRows) — job floor + real agg,
+      // not pure planning
+      "build_x20" -> (() => { x20(); () }),
+      // relation (re)construction cost: listing + footer schema per read.
+      // Deliberately bypasses Tables' session cache (which would make this
+      // a map lookup): a FRESH DataSource resolution per call
+      "tbl_load" -> (() => { spark.read.parquet(s"$sfDir/lineitem.parquet"); () }),
       "empty1" -> (() => noop(spark.range(1).toDF())),
       "tasks32" -> (() => noop(spark.range(0, 32, 1, 32).toDF())),
       "shuffle1" -> (() => noop(

@@ -70,6 +70,16 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("self-loop-only nodes are singleton components in BOTH algorithms") {
+    // node 7 has only a self-loop; node 1 has a self-loop AND a real edge —
+    // the stars variant must match min-label on both (it filters a == b
+    // edges up front and unions the lost singletons back)
+    val edges = Seq((7L, 7L), (1L, 1L), (1L, 2L))
+    val want = Map(1L -> 1L, 2L -> 1L, 7L -> 7L)
+    assert(components(edges) == want)
+    assert(starComponents(edges) == want)
+  }
+
   test("star-ops converge on a long path that exceeds min-label's round bound") {
     // a 100-hop path has diameter 100: min-label at maxRounds=24 must fail
     // loudly, while star contraction converges in O(log n) rounds — the

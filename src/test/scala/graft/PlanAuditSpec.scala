@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
   val rddAllowed: Map[String, String] = Map(
     "x21_dedup_embedding" -> "bounded-probe mapPartitions tier (documented)",
     "x20_dedup_ngram" -> ("packed shingle sets feed five consumers (df agg, " +
-      "both prefix-join sides, both verify sides); one eager localCheckpoint " +
+      "both prefix-join sides, both verify sides); one lazy localCheckpoint " +
       "replaces five kernel scans — every consumer is still Catalyst-planned"),
     "x60_dedup_clusters" -> ("iterative fixpoint: the label state is " +
       "localCheckpoint-ed each round to stop 2^rounds lineage growth; every " +

@@ -224,9 +224,11 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("connected components match driver-side union-find on random graphs") {
+    // self-loops (a == b) are deliberately generated: both algorithms must
+    // label a self-loop-only node as its own singleton component
     val edgeGen: Gen[(Long, Long)] = for {
       a <- Gen.chooseNum(0L, 15L)
-      b <- Gen.chooseNum(0L, 15L) if a != b
+      b <- Gen.chooseNum(0L, 15L)
     } yield (math.min(a, b), math.max(a, b))
     for (seedBase <- Seq(100, 200, 300)) {
       val edges = (1 to 25).flatMap(i =>

@@ -52,12 +52,22 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (76, "rank_ties"), (77, "mad"), (78, "image_decode")]]
 
 
+# queries declared WITHOUT an oracle by design (rows-only checks) — the only
+# names bench_set may silently skip; anything else missing is drift between
+# this file and Catalog.benchNames/benchNamesExtended and must be loud
+NO_ORACLE = {"x28_approx_distinct", "x54_approx_percentiles"}
+
+
 def bench_set(names):
     res = {}
     for name in names:
         if only and name not in only:
             continue
         if name not in oracle:
+            if name not in NO_ORACLE:
+                print(f"bench_duckdb: DRIFT — {name} has no oracle entry; "
+                      "totals are no longer cross-engine comparable",
+                      file=sys.stderr)
             continue  # no-oracle queries are not part of the shared set
         sql = oracle[name]
         con.execute(sql).fetchall()  # warm-up
