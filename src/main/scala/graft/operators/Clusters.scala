@@ -36,6 +36,53 @@ object Clusters {
     * than loop. */
   val MaxRounds: Int = 64
 
+  /** Driver bound for [[connectedComponentsAuto]]'s one-job tier: 2²⁰ edges
+    * ≈ 16 MB of id pairs — same order as a broadcast-join build side. */
+  val MaxDriverEdges: Int = 1 << 20
+
+  /** Adaptive cluster formation — the entry point pipelines should use.
+    *
+    * A near-dup EDGE set is orders of magnitude smaller than its corpus
+    * (pairs above a high similarity threshold, post-LSH): on the common
+    * path it fits comfortably on the driver, where union-find computes
+    * components in O(E α(E)) after ONE Spark job (the bounded collect),
+    * instead of O(diameter) join rounds each paying a full job. This is the
+    * same adaptive posture as broadcast-vs-shuffle join selection — and
+    * like it, the decision is a runtime size check, not a guess: over-cap
+    * edge sets (web-scale dup pressure) route to the distributed min-label
+    * rounds unchanged. Output contract identical to
+    * [[connectedComponents]]. */
+  def connectedComponentsAuto(edges: DataFrame,
+                              maxDriverEdges: Int = MaxDriverEdges): DataFrame = {
+    val slim = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    graft.engine.Actions.boundedRows(slim, maxDriverEdges) match {
+      case None => connectedComponents(edges)
+      case Some(rows) =>
+        // textbook union-find with path compression; every union points the
+        // LARGER root at the smaller, so each component's terminal root is
+        // its minimum node id — exactly min-label's output
+        val parent = new java.util.HashMap[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+          r
+        }
+        rows.foreach { e =>
+          val (a, b) = (e.getLong(0), e.getLong(1))
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val nodes = scala.jdk.CollectionConverters.SetHasAsScala(
+          parent.keySet).asScala.toSeq
+        val out = nodes.map(n => (n, find(n)))
+        edges.sparkSession.createDataFrame(out).toDF("node", "cluster")
+    }
+  }
+
   /** Connected components of the undirected graph given by `edges` (columns
     * `a`, `b`). Returns (node, cluster) where cluster = the smallest node id
     * in the component — deterministic regardless of partitioning or

@@ -52,6 +52,87 @@ object Relational {
       .agg(sum("__partial").as(outName))
   }
 
+  /** Per-key global row numbers WITHOUT a per-key window sort — the
+    * scale-safe plan for distribution windows (ntile / percent_rank /
+    * cume_dist) whose natural `Window.partitionBy(key)` has few distinct
+    * keys: that window funnels the whole input through |keys| post-shuffle
+    * tasks (5 giant spill-prone sorts at 100 TB). Here the heavy sort is a
+    * PARALLEL range sort instead, and ranks are recovered by the classic
+    * partition-offset two-pass:
+    *
+    *  1. range-repartition + sort by (keys, order) across `parts` tasks;
+    *     `monotonically_increasing_id` records each row's partition-local
+    *     position (narrow, no exchange). State is locally checkpointed so
+    *     pass 2 sees the identical layout.
+    *  2. one slim aggregate — (partition, keys) → (first id, row count),
+    *     ≤ parts × |key values| rows — comes to the driver, where per-key
+    *     prefix sums over partitions yield each block's rank offset; the
+    *     block table broadcast-joins back (narrow) and
+    *     rank = local position − block start + block offset + 1.
+    *
+    * Emits the input columns plus `__rn` (1-based rank per key under
+    * `order`, which callers must make UNIQUE via a tie-break column — with
+    * unique order row_number = rank = dense_rank) and `__n` (key group
+    * size). Driver state is O(parts × |key values|) — the same bounded-
+    * report posture as the rest of the catalog, vs O(input) for any
+    * single-task sort. */
+  def keyedRowNumbers(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                      parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val sortExprs = keys.map(col) ++ order
+    val sorted = df.repartitionByRange(p, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false) // materialized by the block-stats pass below
+    // block stats in ONE fused job (which also materializes the checkpoint):
+    // within a sorted partition each (keys) block is a contiguous run, so a
+    // linear per-partition scan replaces the groupBy's exchange + the AQE
+    // stage jobs it would schedule. Driver receives one tuple per block.
+    val nKeys = keys.length
+    val blockStats: Array[(Int, Seq[Any], Long, Long)] = sorted
+      .select(("__pid" +: "__mid" +: keys).map(col): _*)
+      .rdd.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long, Long)]
+        var curKey: Seq[Any] = null
+        var pid = -1; var minMid = 0L; var cnt = 0L
+        it.foreach { r =>
+          val k = (2 until 2 + nKeys).map(r.get)
+          if (curKey == null || k != curKey) {
+            if (curKey != null) out += ((pid, curKey, minMid, cnt))
+            curKey = k; pid = r.getInt(0); minMid = r.getLong(1); cnt = 0L
+          }
+          cnt += 1
+        }
+        if (curKey != null) out += ((pid, curKey, minMid, cnt))
+        out.iterator
+      }.collect()
+    val augmented = blockStats.groupBy(_._2).valuesIterator.flatMap { blocks =>
+      val ordered = blocks.sortBy(_._1)
+      val total = ordered.map(_._4).sum
+      var off = 0L
+      ordered.map { case (pid, key, minMid, c) =>
+        val o = off; off += c
+        org.apache.spark.sql.Row.fromSeq(pid +: key :+ minMid :+ o :+ total)
+      }
+    }.toSeq
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val blockSchema = StructType(
+      StructField("__pid", org.apache.spark.sql.types.IntegerType) +:
+        keys.map(k => df.schema(k)) :+
+        StructField("__minMid", LongType) :+
+        StructField("__off", LongType) :+
+        StructField("__n", LongType))
+    val blockDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(augmented).asJava),
+      blockSchema)
+    sorted.join(broadcast(blockDf), "__pid" +: keys)
+      .withColumn("__rn", col("__mid") - col("__minMid") + col("__off") + 1)
+      .drop("__pid", "__mid", "__minMid", "__off")
+  }
+
   /** Bucketized range join: pairs with equal keys and
     * `rightTs ∈ [leftTs + lowerUs, leftTs + upperUs]` (µs, inclusive).
     *

@@ -854,14 +854,17 @@ object Catalog {
     * the most documents (df ≥ 2) — the first diagnostic one runs before
     * near-dup removal on a web corpus (boilerplate drives both false
     * near-dups and the x20 hot-shingle skew this engine prefix-filters).
-    * String shingles here (not hashes): the report is human-facing. */
+    * String shingles here (not hashes): the report is human-facing.
+    * Per-document shingle dedup happens ROW-LOCALLY (array_distinct before
+    * the explode), so the document-frequency count needs no distinct
+    * shuffle — one partial-agg exchange, then the top-20 tail is a
+    * TakeOrdered merge. */
   val x47 = Q("x47_boilerplate_ngrams",
     (s, d) => {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"))
-      toks.select(col("doc_id"),
-          explode(expr(Dedup.shingleExprSpark("toks"))).as("sh"))
-        .distinct()
+      toks.select(
+          explode(array_distinct(expr(Dedup.shingleExprSpark("toks")))).as("sh"))
         .groupBy("sh").agg(count(lit(1)).as("n_docs"))
         .where(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("sh")).limit(20)
@@ -977,16 +980,38 @@ object Catalog {
   /** Distribution windows: ntile / percent_rank / cume_dist per order
     * priority (the ranking-window family beyond row_number). percent_rank
     * and cume_dist are exact rationals evaluated identically by both
-    * engines; round(,4) guards the hash. */
+    * engines; round(,4) guards the hash.
+    *
+    * NOT a `Window.partitionBy(o_orderpriority)`: with 5 distinct keys that
+    * window funnels all of `orders` through 5 post-shuffle sort tasks — the
+    * one low-parallelism plan shape flagged in round 4. Instead the heavy
+    * sort is a parallel range sort and per-key ranks come from the
+    * partition-offset two-pass ([[Relational.keyedRowNumbers]]); the order
+    * (price desc, orderkey) is UNIQUE, so row number = rank, and all three
+    * distribution stats are pure arithmetic in (rn, n):
+    * percent_rank = (rn−1)/(n−1), cume_dist = rn/n, and ntile's
+    * first-(n mod 4)-buckets-get-one-extra rule closed-form. */
   val x51 = Q("x51_rank_distribution",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"))
+      val ranked = Relational.keyedRowNumbers(
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"), Seq(col("o_totalprice").desc, col("o_orderkey")))
+      val rn = col("__rn"); val n = col("__n")
+      ranked
+        .withColumn("__q", expr("__n div 4"))
+        .withColumn("__r", expr("__n % 4"))
+        // ntile(4) closed form: the first (n mod 4) buckets hold one extra
+        // row; __q = 0 only when rn ≤ __r·1 = n, so the else-branch (and its
+        // division by __q) is never evaluated for tiny groups
+        .withColumn("quartile",
+          (when(rn <= col("__r") * (col("__q") + 1),
+              expr("(__rn - 1) div (__q + 1)"))
+            .otherwise(col("__r") + expr("(__rn - 1 - __r * (__q + 1)) div __q"))
+            + 1).cast("int"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("quartile"),
+          when(n === 1, lit(0.0))
+            .otherwise(round((rn - 1) / (n - 1), 4)).as("pr"),
+          round(rn / n, 4).as("cd"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderpriority,
@@ -1199,7 +1224,10 @@ object Catalog {
         .where(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= 1)
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
         .distinct()
-      graft.operators.Clusters.connectedComponents(edges)
+      // adaptive tier: the bounded edge list union-finds on the driver after
+      // ONE job (broadcast-join-style size check); over-cap edge sets route
+      // to the distributed min-label rounds — see connectedComponentsAuto
+      graft.operators.Clusters.connectedComponentsAuto(edges)
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     },
@@ -1607,14 +1635,16 @@ object Catalog {
     * each 10-minute tumbling window and count what was suppressed — the
     * rate-limiting primitive upstream of alerting/feature pipelines. One
     * partial-agg shuffle on (user, type, window); window index is exact
-    * integer division of epoch µs. */
+    * integer division of epoch µs. The O(groups) output fuses final agg +
+    * total sort into one task (reportSortFused) — the map side keeps full
+    * parallelism behind the agg exchange. */
   val x74 = Q("x74_debounce",
-    (s, d) => t(s, d, "events")
-      .withColumn("w", expr("unix_micros(ts) div 600000000"))
-      .groupBy("user_id", "event_type", "w")
-      .agg(min("event_id").as("first_event_id"),
-        (count(lit(1)) - 1).as("n_suppressed"))
-      .orderBy("user_id", "event_type", "w"),
+    (s, d) => reportSortFused(t(s, d, "events")
+        .withColumn("w", expr("unix_micros(ts) div 600000000"))
+        .groupBy("user_id", "event_type", "w")
+        .agg(min("event_id").as("first_event_id"),
+          (count(lit(1)) - 1).as("n_suppressed")),
+      col("user_id"), col("event_type"), col("w")),
     Some("""SELECT user_id, event_type,
            |  epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS w,
            |  min(event_id) AS first_event_id,
@@ -1737,8 +1767,40 @@ object Catalog {
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78)
 
+  /** Queries routed to STATIC planning (AQE off for that execution).
+    *
+    * AQE materializes every exchange as its own job to re-plan on runtime
+    * stats — the right trade wherever a join strategy or skew split can
+    * change (all join-heavy queries keep it), but pure scheduling overhead
+    * for pipelines whose plan has nothing to re-decide: join-free kernels,
+    * window/report tails with fixed 32-partition exchanges, and queries
+    * whose joins are explicit `broadcast()` hints (the strategy is already
+    * decided) or whose skew exposure is designed out (x20's prefix
+    * df-ordering bounds posting lists by construction). Membership is
+    * MEASURED, not guessed — tools/AqeProbe times every query both ways at
+    * sf0.1; only stable wins ≥ ~0.02 s land here, and queries where
+    * adaptive wins (q05/x17/x28/x30/x35/x39: partition coalescing on
+    * agg-heavy middle stages) stay adaptive. Re-run AqeProbe after plan
+    * reshapes. */
+  private val staticPlanned: Set[String] = Set(
+    "q01_project_rename", "q02_cast_date", "q11_latest_per_user",
+    "q13_top_tokens", "q14_cosine_topk",
+    "x19_dedup_simhash", "x20_dedup_ngram", "x21_dedup_embedding",
+    "x22_sim_lsh", "x24_text_quality", "x25_text_tokencount",
+    "x26_text_fingerprint", "x27_multimodal_decode", "x29_scalar_kit",
+    "x36_window_lag",
+    "x41_lev_neardup", "x51_rank_distribution", "x67_winsorize",
+    "x69_repetition", "x71_knn_label", "x73_forward_fill", "x76_rank_ties",
+    "x77_mad", "x78_image_decode")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.build).toMap
+    all.map(q => q.name -> { (s: SparkSession, d: String) =>
+      // per-query planning mode; runners act on the query right after
+      // building it, so the session conf at action time is this one
+      s.conf.set("spark.sql.adaptive.enabled",
+        (!staticPlanned.contains(q.name)).toString)
+      q.build(s, d)
+    }).toMap
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

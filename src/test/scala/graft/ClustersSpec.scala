@@ -70,6 +70,17 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("auto tier: driver union-find ≡ distributed min-label, both routes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L), (20L, 21L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L, 20L -> 20L, 21L -> 20L)
+    def auto(cap: Int) = Clusters
+      .connectedComponentsAuto(edges.toDF("a", "b"), maxDriverEdges = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto(100) == want) // under cap: driver union-find
+    assert(auto(2) == want)   // over cap: routes to distributed min-label
+  }
+
   test("self-loop-only nodes are singleton components in BOTH algorithms") {
     // node 7 has only a self-loop; node 1 has a self-loop AND a real edge —
     // the stars variant must match min-label on both (it filters a == b

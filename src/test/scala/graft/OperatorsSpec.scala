@@ -28,6 +28,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.count() == 3) // 2 from a, 1 from b
   }
 
+  test("keyedRowNumbers ≡ window row_number per key on the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.sources.Tables.orders(spark, SparkTestSession.sf0001)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = Relational.keyedRowNumbers(o, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), parts = 7)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = o.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("o_orderpriority")).cast("long"))
+    assert(got.select("o_orderkey", "__rn", "__n")
+      .except(want.select("o_orderkey", "__rn", "__n")).count() == 0)
+    assert(got.count() == want.count())
+  }
+
+  test("keyedRowNumbers: multi-key grouping and single-row keys") {
+    val df = Seq(("a", 1, 30), ("a", 1, 10), ("a", 2, 5), ("b", 1, 7))
+      .toDF("k1", "k2", "v")
+    val got = Relational.keyedRowNumbers(df, Seq("k1", "k2"),
+        Seq(col("v").desc), parts = 3)
+      .select("k1", "k2", "v", "__rn", "__n")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("a", 1, 30, 1L, 2L), ("a", 1, 10, 2L, 2L),
+      ("a", 2, 5, 1L, 1L), ("b", 1, 7, 1L, 1L)))
+  }
+
   test("saltedDistinctCount is exactly COUNT(DISTINCT) on the real corpus") {
     val ev = graft.sources.Tables.events(spark, SparkTestSession.sf0001)
     val salted = Relational.saltedDistinctCount(ev,

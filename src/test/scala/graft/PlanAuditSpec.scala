@@ -28,7 +28,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "replaces five kernel scans — every consumer is still Catalyst-planned"),
     "x60_dedup_clusters" -> ("iterative fixpoint: the label state is " +
       "localCheckpoint-ed each round to stop 2^rounds lineage growth; every " +
-      "per-round join/agg is still Catalyst-planned"))
+      "per-round join/agg is still Catalyst-planned"),
+    "x51_rank_distribution" -> ("keyedRowNumbers two-pass: the range-sorted " +
+      "input is localCheckpoint-ed so the block-offset pass and the final " +
+      "pass see the identical partition layout; both passes are " +
+      "Catalyst-planned over the materialized state"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
