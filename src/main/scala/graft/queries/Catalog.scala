@@ -119,6 +119,10 @@ object Catalog {
     * expression; `get_json_object`/`from_json` run a full Jackson parse per
     * row (~4.5µs vs ~50ns on this shape). */
   val q06 = Q("q06_json_extract",
+    // NOT sort-input-first: the kernel output (a long) is far narrower than
+    // props, so sorting after extraction shuffles 16 B/row instead of the
+    // JSON string — the double kernel eval in the sampling pass is ~50 ns/row
+    // and loses to the extra shuffle bytes (measured: 0.21 s vs 0.39 s)
     (s, d) => t(s, d, "events")
       .select(col("event_id"),
         graft.functions.TextHashFunctions.jsonLong(col("props"), "k").as("k"))
@@ -663,20 +667,27 @@ object Catalog {
   val x39 = Q("x39_tfidf",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(expr(Portable.tokens(SparkD, "text"))).as("token"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val dfreq = toks.select("doc_id", "token").distinct()
+      // document frequency without a distinct shuffle: per-doc token dedup
+      // is ROW-LOCAL (array_distinct before the explode, same move as x47),
+      // leaving one partial-agg exchange over the vocabulary
+      val dfreq = docs
+        .select(explode(array_distinct(
+          expr(Portable.tokens(SparkD, "text")))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("df"))
-      val tf = toks.where(col("doc_id") < 5)
+      val tf = docs.where(col("doc_id") < 5)
+        .select(col("doc_id"),
+          explode(expr(Portable.tokens(SparkD, "text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      // tf is O(probe docs × their vocab) — broadcast it so the big dfreq
+      // side never shuffles for the join
+      val scored = broadcast(tf).join(dfreq, "token").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
-      Relational.topKPerGroup(scored, Seq("doc_id"),
+      reportSort(Relational.topKPerGroup(scored, Seq("doc_id"),
         Seq(col("tfidf").desc, col("token")), 3)
-        .select("doc_id", "rn", "token", "tfidf")
-        .orderBy("doc_id", "rn")
+        .select("doc_id", "rn", "token", "tfidf"),
+        col("doc_id"), col("rn"))
     },
     Some(s"""WITH toks AS (SELECT doc_id,
             |  unnest(${Portable.tokens(DuckD, "text")}) AS token FROM documents),
@@ -812,11 +823,13 @@ object Catalog {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
-      t(s, d, "events")
+      // ONE exchange (q11/x36 fusion): range partitions on user_id satisfy
+      // the window's clustering and pre-order the output
+      t(s, d, "events").repartitionByRange(col("user_id"))
         .select(col("user_id"), col("event_id"),
           round(sum(col("value").cast("decimal(18,6)")).over(w)
             .cast("double"), 4).as("mv3"))
-        .orderBy("user_id", "event_id")
+        .sortWithinPartitions("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id,
            |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
@@ -832,14 +845,18 @@ object Catalog {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      t(s, d, "events")
+      // ONE exchange: the range partitioning feeds the window AND the
+      // per-user aggregate (clustered-by-user_id is satisfied, so no agg
+      // exchange); the hash agg scrambles in-partition order, so a local
+      // re-sort restores the range-partition total order
+      t(s, d, "events").repartitionByRange(col("user_id"))
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev", lag(col("us"), 1).over(w))
         .withColumn("new_s",
           when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
             .otherwise(0L))
         .groupBy("user_id").agg(sum("new_s").as("n_sessions"))
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     },
     Some("""SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL
            |    OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
@@ -1027,16 +1044,18 @@ object Catalog {
   /** Array-function kit over the token arrays: distinct count, lexicographic
     * first/last token per document (sort/distinct/element_at surface). */
   val x52 = Q("x52_array_ops",
-    (s, d) => t(s, d, "documents")
+    // sort-input-first; the empty-doc filter is a CHEAP equivalent predicate
+    // (some non-space char exists ⟺ the token array is non-empty) so what
+    // gets pushed into the scan is a translate, not the token/sort kernel
+    (s, d) => sortedDocs(s, d)
+      .where(length(translate(col("text"), " ", "")) > 0)
       .select(col("doc_id"),
         array_sort(array_distinct(expr(Portable.tokens(SparkD, "text"))))
           .as("sorted"))
-      .where(size(col("sorted")) > 0)
       .select(col("doc_id"),
         size(col("sorted")).cast("bigint").as("n_distinct"),
         element_at(col("sorted"), 1).as("first_tok"),
-        element_at(col("sorted"), size(col("sorted"))).as("last_tok"))
-      .orderBy("doc_id"),
+        element_at(col("sorted"), size(col("sorted"))).as("last_tok")),
     Some(s"""WITH t0 AS (SELECT doc_id,
             |  list_sort(list_distinct(${Portable.tokens(DuckD, "text")})) AS sorted
             |  FROM documents)
@@ -1142,12 +1161,13 @@ object Catalog {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("us"))
         .rangeBetween(-600000000L, 0L)
-      t(s, d, "events")
+      // ONE exchange (q11/x36 fusion)
+      t(s, d, "events").repartitionByRange(col("user_id"))
         .withColumn("us", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"),
           round(sum(col("value").cast("decimal(18,6)")).over(w)
             .cast("double"), 4).as("v10m"))
-        .orderBy("user_id", "event_id")
+        .sortWithinPartitions("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id,
            |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
@@ -1163,13 +1183,14 @@ object Catalog {
     * engines compile identical semantics; DuckDB needs the explicit 'g'
     * flag for global replace (Spark replaces all matches by default). */
   val x59 = Q("x59_text_scrub",
-    (s, d) => t(s, d, "documents")
+    // sort-input-first (sortedDocs): orderBy AFTER the projection would
+    // re-run both regex kernels in the range-sampling pass
+    (s, d) => sortedDocs(s, d)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
           .cast("bigint").as("n_vruns"),
         length(regexp_replace(col("text"), "\\btable\\b", "#"))
-          .cast("bigint").as("scrub_len"))
-      .orderBy("doc_id"),
+          .cast("bigint").as("scrub_len")),
     Some("""SELECT doc_id,
            |  CAST(length(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vruns,
            |  CAST(length(regexp_replace(text, '\btable\b', '#', 'g')) AS BIGINT) AS scrub_len
@@ -1266,8 +1287,13 @@ object Catalog {
     * each signed-up user's funnel depth (1–3). */
   val x62 = Q("x62_funnel",
     (s, d) => {
+      // ONE data exchange: hash-partitioning events by user_id up front
+      // co-partitions every stage — the three per-user aggregates and all
+      // four user_id joins are exchange-free (HashPartitioning(user_id)
+      // satisfies each one's clustering on both sides). The bounded
+      // O(users) report takes the usual reportSort tail.
       val e = t(s, d, "events").select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts")).as("us")).repartition(col("user_id"))
       val s1 = e.where(col("event_type") === "signup")
         .groupBy("user_id").agg(min("us").as("t1"))
       val s2 = e.join(s1, "user_id")
@@ -1276,11 +1302,12 @@ object Catalog {
       val s3 = e.join(s2, "user_id")
         .where(col("event_type") === "purchase" && col("us") > col("t2"))
         .groupBy("user_id").agg(min("us").as("t3"))
-      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      reportSort(s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
         .select(col("user_id"),
           (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
-            + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth"))
-        .orderBy("user_id")
+            + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth")),
+        col("user_id"))
     },
     Some("""WITH e AS (SELECT user_id, event_type,
            |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -1490,7 +1517,9 @@ object Catalog {
     * token count; the distinct count reuses the one-pass [[ShingleSet]]
     * kernel — per-row compute, no shuffle before the output sort. */
   val x69 = Q("x69_repetition",
-    (s, d) => t(s, d, "documents")
+    // sort-input-first: the ShingleSet kernel runs once, post-sort (the
+    // pushed-down n_sh filter only carries the cheaper token-count kernel)
+    (s, d) => sortedDocs(s, d)
       .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"),
         graft.functions.TextHashFunctions.shingleSet(col("text")).as("shs"))
       .select(col("doc_id"),
@@ -1499,8 +1528,7 @@ object Catalog {
       .where(col("n_sh") > 0)
       .select(col("doc_id"), col("n_sh"), col("n_uniq"),
         round(lit(1.0) - col("n_uniq") / (lit(1.0) * col("n_sh")), 4)
-          .as("rep_ratio"))
-      .orderBy("doc_id"),
+          .as("rep_ratio")),
     Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
             |  FROM documents),
             |sh AS (SELECT doc_id,
@@ -1583,16 +1611,22 @@ object Catalog {
     * calendar cross join. */
   val x72 = Q("x72_gapfill",
     (s, d) => {
+      // ONE data exchange (same co-partitioning as x62): daily counts, the
+      // span aggregate, the exploded spine and the left join all cluster by
+      // user_id, so hash-partitioning the events once feeds everything;
+      // the O(users × days) result takes the reportSort tail
       val daily = t(s, d, "events")
-        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .repartition(col("user_id"))
+        .groupBy("user_id", "d")
         .agg(count(lit(1)).as("n"))
       val spine = daily.groupBy("user_id")
         .agg(min("d").as("d0"), max("d").as("d1"))
         .select(col("user_id"),
           explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
-      spine.join(daily, Seq("user_id", "d"), "left")
-        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
-        .orderBy("user_id", "d")
+      reportSort(spine.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n")),
+        col("user_id"), col("d"))
     },
     Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
            |  FROM events GROUP BY 1, 2),
@@ -1616,12 +1650,14 @@ object Catalog {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "events")
+      // ONE exchange (q11/x36 fusion); the window's sort (user_id, event_id)
+      // IS the output order, so no local re-sort remains at all
+      t(s, d, "events").repartitionByRange(col("user_id"))
         .select(col("user_id"), col("event_id"),
           when(col("event_type") === "purchase", col("value")).as("pv"))
         .select(col("user_id"), col("event_id"),
           last("pv", ignoreNulls = true).over(w).as("last_purchase_v"))
-        .orderBy("user_id", "event_id")
+        .sortWithinPartitions("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id,
            |  last_value(CASE WHEN event_type = 'purchase' THEN value END
