@@ -19,6 +19,14 @@ import graft.queries.Catalog
   * first post-warm-up run and 63 ms by the third — profiled round 3); both
   * engines run the identical rule. Execution is forced through the no-op
   * sink so the full plan runs without collecting results to the driver.
+  *
+  * Machine-load sentinel: a fixed floor probe (1-task job + one-exchange
+  * shuffle job, best-of-5) runs before and after the query set and is
+  * published as "floor_pre"/"floor_post". The probe touches no data, so its
+  * time is pure scheduling floor — an ambient-loaded session shows up as an
+  * elevated or asymmetric sentinel instead of silently skewing every query
+  * (the round-4 BENCH published ~1.5× uniform drift with nothing in the
+  * file to flag it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,16 +57,33 @@ object Bench {
     def total(results: Seq[(String, Double)]): String =
       "%.4f".format(results.map(_._2).filter(_ >= 0).sum)
 
+    def floorProbe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        spark.range(1000).toDF("v").groupBy(org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions.col("v"),
+            org.apache.spark.sql.functions.lit(10L))).count()
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      (1 to 5).map(_ => once()).min
+    }
+
     // optional args: query names to bench (local iteration aid; the driver
     // always runs the full set)
     val only = args.toSet
     def pick(names: Seq[String]) = if (only.isEmpty) names else names.filter(only)
     // headline set first ("metric"/"value" keep their round-1 meaning, so
     // totals stay comparable across rounds); extended tier reported beside it
+    val floorPre = floorProbe()
     val head = benchSet(pick(Catalog.benchNames))
     val ext = benchSet(pick(Catalog.benchNamesExtended))
+    val floorPost = floorProbe()
     println(s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
-      s""""extended_total":${total(ext)},"extended_queries":${json(ext)},"sf":"$sfDir"}""")
+      s""""extended_total":${total(ext)},"extended_queries":${json(ext)},""" +
+      s""""floor_pre":${"%.4f".format(floorPre)},"floor_post":${"%.4f".format(floorPost)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

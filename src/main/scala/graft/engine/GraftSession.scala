@@ -43,6 +43,18 @@ object GraftSession {
       // matching DuckDB's read of the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Bound the status-store listener state: with the UI off these stores
+      // exist only for the status APIs, yet default retention (1000 jobs /
+      // 1000 stages / 1000 SQL executions) lets a long-lived session accrue
+      // listener-bus and heap cost per query — measured as Bench's floor
+      // sentinel drifting 0.15 s → 0.30 s over a 77-query × 6-run session,
+      // i.e. every query in the BACK half of a bench run was billed ~2× the
+      // scheduling floor of the front half. Long-lived ETL drivers (the
+      // reference's daily loop) want the same bound.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "10")
 
   /** configure + ad-hoc overrides from SPARK_GRAFT_CONF ("k=v;k=v") — a
     * measurement aid (A/B a conf without recompiling); defaults above are
