@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.tagobjects.Slow
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clusters, Dedup}
+
+/** 10× scale smoke for the dedup tier (round-3/4 verdict carry-over): the
+  * sf0.1 bench corpus is ~5k documents; these tests run the same operators
+  * at 10k → 100k documents and assert the runtime grows near-linearly —
+  * a quadratic regression (all-pairs leak, posting-list blowup) shows up as
+  * a ≥100× step and fails the generous 30× bound loudly. Also the first
+  * at-scale execution of x20's windowed fallback path, which until now had
+  * correctness specs only.
+  *
+  * Corpus construction note: a LARGE corpus with a BOUNDED shingle
+  * vocabulary necessarily repeats shingles across documents, so the natural
+  * at-scale-under-the-cap corpus is dup-class-shaped (disjoint 30-token
+  * windows over a shared token stream, each window copied k times) — which
+  * is exactly the regime the signature-grouping/prefix designs target.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** `nWindows` disjoint 30-token windows (stride 40 over a shared stream,
+    * so distinct windows share no shingle), each duplicated `copies` times. */
+  private def dupCorpus(nWindows: Int, copies: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val stream = Array.fill(nWindows * 40)(s"w${rnd.nextInt(1 << 30)}")
+    val texts = (0 until nWindows)
+      .map(i => stream.slice(i * 40, i * 40 + 30).mkString(" "))
+    (0 until nWindows * copies).map(i => (i.toLong, texts(i % nWindows)))
+      .toDF("doc_id", "text")
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("minhash near-dup scales near-linearly 10k → 100k docs", Slow) {
+    def run(nWindows: Int, seed: Int): (Long, Double) = {
+      val docs = dupCorpus(nWindows, 20, seed)
+      timed(Dedup.minhashNearDupPairs(docs, 0.9).count())
+    }
+    run(100, 1) // warm-up: JIT + codegen for the whole pipeline shape
+    val (n10, t10) = run(500, 2)   // 10k docs
+    val (n100, t100) = run(5000, 3) // 100k docs
+    info(f"minhash 10k: $t10%.1f s ($n10 pairs); 100k: $t100%.1f s ($n100 pairs)")
+    assert(n10 == 500L * (20 * 19 / 2) && n100 == 5000L * (20 * 19 / 2))
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
+  }
+
+  test("ngram Jaccard (broadcast prefix path) scales near-linearly 10k → 100k docs", Slow) {
+    def run(nWindows: Int, seed: Int): (Long, Double) = {
+      val docs = dupCorpus(nWindows, 20, seed)
+      // windows are shingle-disjoint, so output = exact intra-class pairs
+      timed(Dedup.ngramJaccardPairs(docs, 0.8).count())
+    }
+    run(100, 4)
+    val (n10, t10) = run(500, 5)
+    val (n100, t100) = run(5000, 6)
+    info(f"ngram 10k: $t10%.1f s ($n10 pairs); 100k: $t100%.1f s ($n100 pairs)")
+    assert(n10 == 500L * (20 * 19 / 2) && n100 == 5000L * (20 * 19 / 2))
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
+  }
+
+  test("ngram windowed fallback engages past the broadcast cap AT SCALE " +
+      "and matches the broadcast path", Slow) {
+    // 40k near-unique docs, id-suffixed vocabulary: ~40k × 28 ≈ 1.1M distinct
+    // shingles — genuinely OVER MaxBroadcastShingles (2^20), so the default
+    // call must take the join+window fallback; 50 planted last-token edits
+    // are the expected pairs (J ≈ (28-3)/(28+3)... ≥ 0.8 for a 1-token edit
+    // of a 30-token doc: shared = 25 of 28+3 distinct ⇒ J = 25/31 ≈ 0.806)
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40000).map { i =>
+      (i.toLong, (1 to 30).map(_ => s"u${rnd.nextInt(1 << 30)}_$i").mkString(" "))
+    }
+    val planted = (0 until 50).map { j =>
+      val (src, text) = base(j * 777)
+      (40000L + j, (text.split(" ").dropRight(1) :+ "edited").mkString(" "), src)
+    }
+    val docs = (base ++ planted.map(p => (p._1, p._2))).toDF("doc_id", "text")
+
+    val nShingles = Dedup.shingles(docs).select("sh").distinct().count()
+    assert(nShingles > Dedup.MaxBroadcastShingles,
+      s"corpus must exceed the broadcast cap to exercise the fallback ($nShingles)")
+
+    val (got, secs) = timed(
+      Dedup.ngramJaccardPairs(docs, 0.8)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    info(f"windowed fallback, 40k docs / $nShingles shingles: $secs%.1f s")
+    assert(got == planted.map(p => (p._3, p._1)).toSet,
+      s"missing=${(planted.map(p => (p._3, p._1)).toSet -- got).take(5)} " +
+        s"spurious=${(got -- planted.map(p => (p._3, p._1)).toSet).take(5)}")
+  }
+
+  test("fallback ≡ broadcast path on the same under-cap corpus", Slow) {
+    val docs = dupCorpus(300, 5, 21) // 1.5k docs, vocab far under any cap
+    val viaBroadcast = Dedup.ngramJaccardPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaFallback = Dedup.ngramJaccardPairs(docs, 0.8,
+        maxBroadcastShingles = 10) // force the windowed plan
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBroadcast == viaFallback)
+  }
+
+  test("distributed min-label CC handles a 200k-edge graph and matches union-find", Slow) {
+    // 40k path components of diameter 4 (shallow, dup-class-shaped) —
+    // 200k nodes, 160k edges; forces the DISTRIBUTED rounds (not the
+    // driver tier) and checks against the auto tier's union-find output
+    val edges = (0 until 40000).flatMap { c =>
+      val base = c * 5L
+      (0 until 4).map(i => (base + i, base + i + 1))
+    }.toDF("a", "b")
+    val (viaRounds, tDist) = timed(
+      Clusters.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (viaDriver, tDrv) = timed(
+      Clusters.connectedComponentsAuto(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    info(f"200k-node CC: distributed $tDist%.1f s, driver union-find $tDrv%.1f s")
+    assert(viaRounds.size == 200000 && viaRounds == viaDriver)
+    assert(viaRounds.forall { case (n, c) => c == (n / 5) * 5 })
+  }
+}
