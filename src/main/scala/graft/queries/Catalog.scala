@@ -1456,7 +1456,14 @@ object Catalog {
     * bounds (bounded: one row per group) broadcast back onto the stream,
     * values clip with least/greatest, and the summary proves the clip
     * changed exactly the tail. Decimal-exact averaging keeps the result
-    * order-independent. */
+    * order-independent.
+    *
+    * 100 TB routing note (mirrors x33 vs x54): exact `percentile` must
+    * materialize every group's values on one reducer per group — at scale
+    * swap the bounds aggregate to `approx_percentile(value, p, accuracy)`
+    * (the x54 sketch tier; mergeable, one pass, bounded memory). The clip
+    * itself is unchanged — only the bounds estimator routes. Exact is kept
+    * here because the oracle hash-checks exact values. */
   val x67 = Q("x67_winsorize",
     (s, d) => {
       val e = t(s, d, "events")
@@ -1690,7 +1697,10 @@ object Catalog {
 
   /** Share-of-total report: each event type's fraction of its day's volume
     * (ratio-to-report window over a bounded aggregate). The window runs on
-    * the aggregate (O(days × types) rows), never the raw stream. */
+    * the aggregate (O(days × types) rows), never the raw stream — the
+    * partitionBy("d") key is low-cardinality but its INPUT is the bounded
+    * report, so the 100 TB posture holds (contrast x51/x76, whose
+    * low-cardinality windows over raw tables were reshaped away). */
   val x75 = Q("x75_share_of_total",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1717,14 +1727,26 @@ object Catalog {
   val x76 = Q("x76_rank_ties",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("bucket").desc)
-      t(s, d, "customer")
-        .select(col("c_mktsegment"), col("c_custkey"),
-          floor(col("c_acctbal") / 1000).cast("bigint").as("bucket"))
+      // NOT a Window.partitionBy(c_mktsegment) over the full table — the
+      // same 5-key low-parallelism shape x51 dropped. The parallel two-pass
+      // ([[Relational.keyedRowNumbers]], tie-broken by c_custkey) carries
+      // the heavy sort; both tie-aware ranks then come from the BOUNDED
+      // (segment, bucket) aggregate: rank = min row number in the tie
+      // group, dense_rank = position of the bucket among the segment's
+      // distinct buckets (a window over O(segments × buckets) rows only).
+      val ranked = Relational.keyedRowNumbers(
+        t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+            floor(col("c_acctbal") / 1000).cast("bigint").as("bucket")),
+        Seq("c_mktsegment"), Seq(col("bucket").desc, col("c_custkey")))
+      val stats = ranked.groupBy("c_mktsegment", "bucket")
+        .agg(min("__rn").as("rnk"))
+        .withColumn("drnk", row_number().over(
+          Window.partitionBy("c_mktsegment").orderBy(col("bucket").desc))
+          .cast("bigint"))
+      ranked.join(broadcast(stats), Seq("c_mktsegment", "bucket"))
         .select(col("c_mktsegment"), col("c_custkey"), col("bucket"),
-          rank().over(w).cast("bigint").as("rnk"),
-          dense_rank().over(w).cast("bigint").as("drnk"))
+          col("rnk").cast("bigint").as("rnk"), col("drnk"))
         .orderBy("c_mktsegment", "c_custkey")
     },
     Some("""SELECT c_mktsegment, c_custkey,
@@ -1739,7 +1761,12 @@ object Catalog {
   /** Median absolute deviation per group — the robust scale estimate a
     * feature pipeline prefers over stddev under outliers. Two quantile
     * passes: the per-group median (bounded) broadcasts back onto the
-    * stream, then the median of absolute deviations. */
+    * stream, then the median of absolute deviations.
+    *
+    * 100 TB routing note (mirrors x33 vs x54, same as x67): both exact
+    * `percentile` calls swap to `approx_percentile` sketches at scale —
+    * mergeable, one pass, bounded reducer memory — keeping the
+    * broadcast-join shape intact. Exact kept here for the hash oracle. */
   val x77 = Q("x77_mad",
     (s, d) => {
       val e = t(s, d, "events")

@@ -32,7 +32,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x51_rank_distribution" -> ("keyedRowNumbers two-pass: the range-sorted " +
       "input is localCheckpoint-ed so the block-offset pass and the final " +
       "pass see the identical partition layout; both passes are " +
-      "Catalyst-planned over the materialized state"))
+      "Catalyst-planned over the materialized state"),
+    "x76_rank_ties" -> ("keyedRowNumbers two-pass (same as x51) — replaces " +
+      "the 5-key c_mktsegment window over the full customer table"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
