@@ -1287,13 +1287,16 @@ object Catalog {
     * each signed-up user's funnel depth (1–3). */
   val x62 = Q("x62_funnel",
     (s, d) => {
-      // ONE data exchange: hash-partitioning events by user_id up front
-      // co-partitions every stage — the three per-user aggregates and all
-      // four user_id joins are exchange-free (HashPartitioning(user_id)
-      // satisfies each one's clustering on both sides). The bounded
-      // O(users) report takes the usual reportSort tail.
+      // ONE data exchange: hash-partition the slim event projection by
+      // user_id once and MATERIALIZE it (lazy localCheckpoint, the x20
+      // multi-consumer pattern — e feeds four consumers, and without the
+      // checkpoint each reference replans its own scan + exchange). The
+      // checkpoint preserves the partitioning, so the three per-user
+      // aggregates and all four user_id joins downstream are exchange-free.
+      // The bounded O(users) report takes the usual reportSort tail.
       val e = t(s, d, "events").select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us")).repartition(col("user_id"))
+        .localCheckpoint(false)
       val s1 = e.where(col("event_type") === "signup")
         .groupBy("user_id").agg(min("us").as("t1"))
       val s2 = e.join(s1, "user_id")
@@ -1618,15 +1621,19 @@ object Catalog {
     * calendar cross join. */
   val x72 = Q("x72_gapfill",
     (s, d) => {
-      // ONE data exchange (same co-partitioning as x62): daily counts, the
-      // span aggregate, the exploded spine and the left join all cluster by
-      // user_id, so hash-partitioning the events once feeds everything;
-      // the O(users × days) result takes the reportSort tail
+      // ONE data exchange (same co-partitioning as x62): hash-partition by
+      // user_id, aggregate daily counts exchange-free on that clustering,
+      // and MATERIALIZE the bounded O(users × days) aggregate (lazy
+      // localCheckpoint) — it feeds both the span/spine derivation and the
+      // left join, which otherwise each replan their own scan + exchange.
+      // The checkpoint preserves the partitioning, so the spine aggregate
+      // and the (user_id, d) join stay exchange-free too.
       val daily = t(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("d"))
         .repartition(col("user_id"))
         .groupBy("user_id", "d")
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
       val spine = daily.groupBy("user_id")
         .agg(min("d").as("d0"), max("d").as("d1"))
         .select(col("user_id"),
@@ -1852,7 +1859,14 @@ object Catalog {
     "x22_sim_lsh", "x24_text_quality", "x25_text_tokencount",
     "x26_text_fingerprint", "x27_multimodal_decode", "x29_scalar_kit",
     "x36_window_lag",
-    "x41_lev_neardup", "x51_rank_distribution", "x67_winsorize",
+    "x41_lev_neardup", "x51_rank_distribution",
+    // x62/x72 REQUIRE static planning beyond the measured win: their
+    // repartition+localCheckpoint captures the physical partitioning so
+    // downstream aggregates/joins go exchange-free, but under AQE the
+    // checkpoint sees AdaptiveSparkPlan's UnknownPartitioning and every
+    // exchange reappears (PlanShapeSpec pins the fused shape)
+    "x62_funnel", "x72_gapfill",
+    "x67_winsorize",
     "x69_repetition", "x71_knn_label", "x73_forward_fill", "x76_rank_ties",
     "x77_mad", "x78_image_decode")
 

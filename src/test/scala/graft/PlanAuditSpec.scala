@@ -34,7 +34,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "pass see the identical partition layout; both passes are " +
       "Catalyst-planned over the materialized state"),
     "x76_rank_ties" -> ("keyedRowNumbers two-pass (same as x51) — replaces " +
-      "the 5-key c_mktsegment window over the full customer table"))
+      "the 5-key c_mktsegment window over the full customer table"),
+    "x62_funnel" -> ("slim event projection hash-partitioned by user_id and " +
+      "localCheckpoint-ed ONCE for four consumers; partitioning is preserved " +
+      "so every downstream agg/join is exchange-free (PlanShapeSpec pins it)"),
+    "x72_gapfill" -> ("bounded daily aggregate localCheckpoint-ed for the " +
+      "spine derivation and the left join; partitioning preserved, " +
+      "downstream exchange-free (PlanShapeSpec pins it)"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {

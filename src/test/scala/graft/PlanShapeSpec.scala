@@ -142,6 +142,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x20's default path must not rank prefixes with a window:\n$plan")
   }
 
+  test("one-exchange window fusion: window + output order share a single " +
+    "range exchange (q11/x36/x45/x46/x58/x73)") {
+    for (name <- Seq("q11_latest_per_user", "x36_window_lag",
+        "x45_window_frame", "x46_sessionize", "x58_window_range_frame",
+        "x73_forward_fill")) {
+      val plan = planOf(Catalog.queries(name)(spark, sf0001))
+      val dataExchanges = "Exchange (range|hash)partitioning".r
+        .findAllIn(plan).length
+      assert(dataExchanges == 1,
+        s"$name must shuffle its rows exactly once (found $dataExchanges):\n$plan")
+      assert(plan.contains("Window"), s"$name lost its window:\n$plan")
+    }
+  }
+
+  test("co-partitioned pipelines: the one data exchange lives in the " +
+    "checkpoint job; the query plan itself is exchange-free (x62/x72)") {
+    for (name <- Seq("x62_funnel", "x72_gapfill")) {
+      val plan = planOf(Catalog.queries(name)(spark, sf0001))
+      // the repartition(user_id) ran once inside the localCheckpoint
+      // materialization; every consumer reads the partitioning-preserving
+      // RDD scan, so aggregates and user_id joins need NO further shuffle
+      val dataExchanges = "Exchange (range|hash)partitioning".r
+        .findAllIn(plan).length
+      assert(dataExchanges == 0,
+        s"$name's consumers must reuse the checkpoint partitioning " +
+          s"(found $dataExchanges exchanges):\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name lost its checkpointed shared input:\n$plan")
+      assert("Exchange SinglePartition".r.findAllIn(plan).length == 1,
+        s"$name's bounded report tail must be the single-partition sort:\n$plan")
+    }
+  }
+
   test("report queries sort on one partition, no range-sampling exchange; " +
     "table-shaped queries keep the parallel range sort") {
     // bounded report: single-partition sort — no rangepartitioning anywhere
