@@ -1847,19 +1847,29 @@ object Catalog {
     * whose joins are explicit `broadcast()` hints (the strategy is already
     * decided) or whose skew exposure is designed out (x20's prefix
     * df-ordering bounds posting lists by construction). Membership is
-    * MEASURED, not guessed — tools/AqeProbe times every query both ways at
-    * sf0.1; only stable wins ≥ ~0.02 s land here, and queries where
-    * adaptive wins (q05/x17/x28/x30/x35/x39: partition coalescing on
-    * agg-heavy middle stages) stay adaptive. Re-run AqeProbe after plan
-    * reshapes. */
+    * MEASURED, not guessed — tools/AqeProbe (interleaved A/B, flips the
+    * conf between build and action) times every query both ways at sf0.1;
+    * only stable wins ≥ ~0.02 s land here, and queries where adaptive wins
+    * (q05/q13/x28/x30/x35/x39/x41/x50: partition coalescing on agg-heavy
+    * middle stages, runtime broadcast conversions) stay adaptive. Re-run
+    * AqeProbe after plan reshapes. */
   private val staticPlanned: Set[String] = Set(
-    "q01_project_rename", "q02_cast_date", "q11_latest_per_user",
-    "q13_top_tokens", "q14_cosine_topk",
-    "x19_dedup_simhash", "x20_dedup_ngram", "x21_dedup_embedding",
-    "x22_sim_lsh", "x24_text_quality", "x25_text_tokencount",
+    "q01_project_rename", "q02_cast_date", "q06_json_extract",
+    "q11_latest_per_user", "q14_cosine_topk",
+    "x17_dedup_exact",
+    // x18/x34: the LSH band joins are shuffled equi-joins whose bucket
+    // sizes are bounded by construction (signature grouping / band
+    // hashing), so runtime skew-splitting has nothing to split — the
+    // operators stay AQE-compatible for arbitrary corpora; this routes
+    // only the benched catalog entries
+    "x18_dedup_minhash", "x19_dedup_simhash", "x20_dedup_ngram",
+    "x21_dedup_embedding", "x22_sim_lsh", "x23_text_langid",
+    "x24_text_quality", "x25_text_tokencount",
     "x26_text_fingerprint", "x27_multimodal_decode", "x29_scalar_kit",
-    "x36_window_lag",
-    "x41_lev_neardup", "x51_rank_distribution",
+    "x34_dedup_embedding_lsh", "x36_window_lag",
+    "x45_window_frame", "x46_sessionize", "x52_array_ops",
+    "x58_window_range_frame", "x59_text_scrub", "x64_doc_chunks",
+    "x51_rank_distribution",
     // x62/x72 REQUIRE static planning beyond the measured win: their
     // repartition+localCheckpoint captures the physical partitioning so
     // downstream aggregates/joins go exchange-free, but under AQE the
