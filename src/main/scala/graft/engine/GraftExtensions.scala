@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_shingle_set"),
       info("graft_shingle_set", "graft_shingle_set(text) - distinct xxhash64'd 3-gram token shingles"),
       (args: Seq[Expression]) => ShingleSet(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingle_strings"),
+      info("graft_shingle_strings", "graft_shingle_strings(text) - distinct 3-gram token shingles as strings"),
+      (args: Seq[Expression]) => graft.functions.ShingleStrings(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_distinct_tokens"),
+      info("graft_distinct_tokens", "graft_distinct_tokens(text) - distinct whitespace tokens"),
+      (args: Seq[Expression]) => graft.functions.DistinctTokens(args.head)))
     e.injectFunction((FunctionIdentifier("graft_array_eq_count"),
       info("graft_array_eq_count", "graft_array_eq_count(a, b) - positions where two array<bigint> agree"),
       (args: Seq[Expression]) => ArrayEqCount(args(0), args(1))))

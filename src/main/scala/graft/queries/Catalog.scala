@@ -669,11 +669,11 @@ object Catalog {
       val docs = t(s, d, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       // document frequency without a distinct shuffle: per-doc token dedup
-      // is ROW-LOCAL (array_distinct before the explode, same move as x47),
-      // leaving one partial-agg exchange over the vocabulary
+      // is ROW-LOCAL (the one-pass DistinctTokens kernel, same move as
+      // x47), leaving one partial-agg exchange over the vocabulary
       val dfreq = docs
-        .select(explode(array_distinct(
-          expr(Portable.tokens(SparkD, "text")))).as("token"))
+        .select(explode(
+          graft.functions.TextHashFunctions.distinctTokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("df"))
       val tf = docs.where(col("doc_id") < 5)
         .select(col("doc_id"),
@@ -877,15 +877,17 @@ object Catalog {
     * shuffle — one partial-agg exchange, then the top-20 tail is a
     * TakeOrdered merge. */
   val x47 = Q("x47_boilerplate_ngrams",
-    (s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"))
-      toks.select(
-          explode(array_distinct(expr(Dedup.shingleExprSpark("toks")))).as("sh"))
-        .groupBy("sh").agg(count(lit(1)).as("n_docs"))
-        .where(col("n_docs") >= 2)
-        .orderBy(col("n_docs").desc, col("sh")).limit(20)
-    },
+    // string shingles come from the one-pass ShingleStrings kernel (per-doc
+    // dedup inside, ~5× over the HOF transform+array_distinct form — the
+    // whole map side ran on the single-file scan task, so kernel cost was
+    // wall-clock); the document-frequency count then needs only the one
+    // partial-agg exchange and a TakeOrdered tail
+    (s, d) => t(s, d, "documents")
+      .select(explode(
+        graft.functions.TextHashFunctions.shingleStrings(col("text"))).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("sh")).limit(20),
     Some(s"""WITH t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
             |  FROM documents),
             |sh0 AS (SELECT doc_id, unnest(${Dedup.shingleExprDuck("toks")}) AS sh

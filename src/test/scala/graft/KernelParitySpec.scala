@@ -128,6 +128,25 @@ class KernelParitySpec extends AnyFunSuite {
     assert(kq.except(dq).count() == 0 && dq.except(kq).count() == 0)
   }
 
+  test("ShingleStrings / DistinctTokens kernels ≡ declarative HOF forms " +
+    "(as multisets — order differs, consumers explode)") {
+    val declShingles = docs.select(col("doc_id"),
+        expr(Portable.tokens(SparkD, "text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr(Dedup.shingleExprSpark("toks")))).as("sh"))
+    val kernShingles = docs.select(col("doc_id"),
+      explode(TextHashFunctions.shingleStrings(col("text"))).as("sh"))
+    assert(kernShingles.exceptAll(declShingles).count() == 0)
+    assert(declShingles.exceptAll(kernShingles).count() == 0)
+
+    val declToks = docs.select(col("doc_id"), explode(array_distinct(
+      expr(Portable.tokens(SparkD, "text")))).as("tok"))
+    val kernToks = docs.select(col("doc_id"),
+      explode(TextHashFunctions.distinctTokens(col("text"))).as("tok"))
+    assert(kernToks.exceptAll(declToks).count() == 0)
+    assert(declToks.exceptAll(kernToks).count() == 0)
+  }
+
   test("round-2 kernels are reachable from pure SQL (GraftExtensions)") {
     val r = spark.sql(
       """SELECT size(graft_shingle_set('a b c d')) AS ns,
@@ -141,6 +160,14 @@ class KernelParitySpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 4)
     assert(r.getInt(3) == 2)  // {3, 9}
+  }
+
+  test("round-5 string kernels are reachable from pure SQL (GraftExtensions)") {
+    val r = spark.sql(
+      """SELECT graft_shingle_strings('a b c d') AS sh,
+        |  graft_distinct_tokens('x  y x z') AS tk""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) == Seq("x", "y", "z"))
   }
 
   test("graft_sorted_intersect_count skips null elements instead of " +
