@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_distinct_tokens"),
       info("graft_distinct_tokens", "graft_distinct_tokens(text) - distinct whitespace tokens"),
       (args: Seq[Expression]) => graft.functions.DistinctTokens(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_token_pairs"),
+      info("graft_token_pairs", "graft_token_pairs(text) - adjacent token pairs with multiplicity"),
+      (args: Seq[Expression]) => graft.functions.TokenPairs(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_tokens"),
+      info("graft_tokens", "graft_tokens(text) - whitespace tokens with multiplicity"),
+      (args: Seq[Expression]) => graft.functions.AllTokens(args.head)))
     e.injectFunction((FunctionIdentifier("graft_array_eq_count"),
       info("graft_array_eq_count", "graft_array_eq_count(a, b) - positions where two array<bigint> agree"),
       (args: Seq[Expression]) => ArrayEqCount(args(0), args(1))))

@@ -164,6 +164,42 @@ object TokenHasher {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Adjacent token pairs ("a b") WITH multiplicity, one pass — the
+    * BPE/WordPiece merge-round counting input (x65). Empty for documents
+    * under two tokens, so no size filter (and no kernel-bearing pushdown)
+    * is needed upstream. */
+  def tokenPairs(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    foreachToken(s) { (from, until) => starts.add(from); ends.add(until) }
+    val k = starts.size()
+    if (k < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](k - 1)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i + 1 < k) {
+      sb.setLength(0)
+      sb.append(s, starts.get(i), ends.get(i)).append(' ')
+        .append(s, starts.get(i + 1), ends.get(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All tokens as strings, one pass, with multiplicity — the
+    * `filter(split(text,' '), t -> t <> '')` fragment without the
+    * per-token HOF lambda (q13-class term counting). */
+  def allTokens(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    foreachToken(s) { (from, until) =>
+      out.add(UTF8String.fromString(s.substring(from, until)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct tokens as strings, one pass, first-appearance order —
     * `array_distinct(tokens)` without materializing the full token array
     * (the document-frequency input of x39/x47-class queries). */
@@ -188,6 +224,8 @@ object TextHashFunctions {
   def shingleSet(c: Column): Column = B.column(ShingleSet(B.expression(c)))
   def shingleStrings(c: Column): Column = B.column(ShingleStrings(B.expression(c)))
   def distinctTokens(c: Column): Column = B.column(DistinctTokens(B.expression(c)))
+  def tokenPairs(c: Column): Column = B.column(TokenPairs(B.expression(c)))
+  def allTokens(c: Column): Column = B.column(AllTokens(B.expression(c)))
   def shinglePrefix(c: Column,
                     dfMap: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
                     tEff: Double): Column =
@@ -273,6 +311,28 @@ case class ShingleStrings(child: Expression) extends TextHashExpression {
   override def nullSafeEval(input: Any): Any =
     TokenHasher.shingleStrings(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+/** All tokens as array<string>, with multiplicity. */
+case class AllTokens(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+  protected def kernel: String = "allTokens"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.allTokens(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): AllTokens =
+    copy(child = newChild)
+}
+
+/** Adjacent token pairs as array<string>, with multiplicity. */
+case class TokenPairs(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_pairs"
+  protected def kernel: String = "tokenPairs"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.tokenPairs(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): TokenPairs =
     copy(child = newChild)
 }
 

@@ -209,10 +209,13 @@ object Catalog {
     (s, d) => t(s, d, "documents").agg(countDistinct(col("text")).as("n")),
     Some("SELECT COUNT(DISTINCT text) AS n FROM documents"))
 
-  /** Q13 — E5 tokenize/explode/top-20 terms. */
+  /** Q13 — E5 tokenize/explode/top-20 terms (one-pass AllTokens kernel —
+    * the HOF empty-token filter lambda ran per token on the single-file
+    * scan task). */
   val q13 = Q("q13_top_tokens",
     (s, d) => t(s, d, "documents")
-      .select(explode(expr(Portable.tokens(SparkD, "text"))).as("token"))
+      .select(explode(
+        graft.functions.TextHashFunctions.allTokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(20),
     Some("""SELECT token, COUNT(*) AS n FROM (
@@ -1398,12 +1401,12 @@ object Catalog {
     * lexicographic tiebreak, via TakeOrderedAndProject (partial top-k per
     * partition, no full sort). */
   val x65 = Q("x65_bpe_pairs",
+    // one-pass TokenPairs kernel (with multiplicity; empty under 2 tokens,
+    // so no size filter and no kernel-bearing pushdown) — the HOF
+    // transform+concat form ran serially on the single-file scan task
     (s, d) => t(s, d, "documents")
-      .select(expr(Portable.tokens(SparkD, "text")).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-        .as("pair"))
+      .select(explode(
+        graft.functions.TextHashFunctions.tokenPairs(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("pair")).limit(20),
     Some(s"""WITH t AS (SELECT ${Portable.tokens(DuckD, "text")} AS toks

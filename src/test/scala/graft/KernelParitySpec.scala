@@ -145,6 +145,25 @@ class KernelParitySpec extends AnyFunSuite {
       explode(TextHashFunctions.distinctTokens(col("text"))).as("tok"))
     assert(kernToks.exceptAll(declToks).count() == 0)
     assert(declToks.exceptAll(kernToks).count() == 0)
+
+    val declPairs = docs.select(col("doc_id"),
+        expr(Portable.tokens(SparkD, "text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+    val kernPairs = docs.select(col("doc_id"),
+      explode(TextHashFunctions.tokenPairs(col("text"))).as("pair"))
+    assert(kernPairs.exceptAll(declPairs).count() == 0)
+    assert(declPairs.exceptAll(kernPairs).count() == 0)
+
+    val declAll = docs.select(col("doc_id"),
+      explode(expr(Portable.tokens(SparkD, "text"))).as("tok"))
+    val kernAll = docs.select(col("doc_id"),
+      explode(TextHashFunctions.allTokens(col("text"))).as("tok"))
+    assert(kernAll.exceptAll(declAll).count() == 0)
+    assert(declAll.exceptAll(kernAll).count() == 0)
   }
 
   test("round-2 kernels are reachable from pure SQL (GraftExtensions)") {
