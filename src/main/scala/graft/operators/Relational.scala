@@ -133,6 +133,64 @@ object Relational {
       .drop("__pid", "__mid", "__minMid", "__off")
   }
 
+  /** Global running total (cumulative sum over a total order) WITHOUT the
+    * single-partition window Spark would otherwise plan — `sum(v) OVER
+    * (ORDER BY …)` with no PARTITION BY funnels the whole input through ONE
+    * task, the worst scale shape there is. Same two-pass skeleton as
+    * [[keyedRowNumbers]]:
+    *
+    *  1. parallel range sort on `order`; state locally checkpointed.
+    *  2. one slim pass collects each partition's value sum (≤ `parts`
+    *     numbers on the driver); exclusive prefix sums become per-partition
+    *     offsets; a final per-partition linear scan emits
+    *     `__cum` = offset + in-partition running total (inclusive).
+    *
+    * The in-partition prefix scan is genuinely sequential per partition —
+    * the documented `mapPartitions` tier (SURVEY.md §2.10 case d): no
+    * declarative form expresses "scan my partition in its sort order"
+    * without an exchange. Output rows append `__cum` (long) to the input
+    * columns; ordering within partitions follows `order`, partitions are
+    * range-split — a downstream aggregate or sort sees the usual
+    * distributed layout, never one giant task. `valueCol` must be a long
+    * column (token counts, byte sizes, row weights). */
+  def orderedRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+                          parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val sorted = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // materialized by the sums pass below
+    val pidIdx = sorted.schema.fieldIndex("__pid")
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val partSums: Array[(Int, Long)] = sorted
+      .select(col("__pid"), col(valueCol)).rdd.mapPartitions { it =>
+        var pid = -1; var s = 0L; var any = false
+        it.foreach { r => pid = r.getInt(0); s += r.getLong(1); any = true }
+        if (any) Iterator((pid, s)) else Iterator.empty
+      }.collect()
+    val offsets = new Array[Long](p)
+    var acc = 0L
+    partSums.sortBy(_._1).foreach { case (pid, s) =>
+      offsets(pid) = acc; acc += s
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields.filterNot(_.name == "__pid") :+
+        org.apache.spark.sql.types.StructField("__cum",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val outRdd = sorted.rdd.mapPartitions { it =>
+      var cum = 0L; var first = true
+      it.map { r =>
+        if (first) { cum = bc.value(r.getInt(pidIdx)); first = false }
+        cum += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.patch(pidIdx, Nil, 1) :+ cum)
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Bucketized range join: pairs with equal keys and
     * `rightTs ∈ [leftTs + lowerUs, leftTs + upperUs]` (µs, inclusive).
     *

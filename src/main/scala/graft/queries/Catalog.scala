@@ -1821,6 +1821,48 @@ object Catalog {
            |FROM documents ORDER BY asset_id""".stripMargin),
     bench = false)
 
+  /** Sequence packing (concatenate-and-chunk): lay the corpus out in
+    * doc_id order and cut it into fixed 512-token context windows — the
+    * layout step between curation and tokenization in a training-data
+    * pipeline. Each document's bin is the window containing its START
+    * offset; the report aggregates per bin.
+    *
+    * The global running token total comes from
+    * [[Relational.orderedRunningTotal]] — the scale-safe two-pass — and
+    * NOT from `sum(n) OVER (ORDER BY doc_id)`, which Spark would plan as a
+    * single-partition window over the whole corpus (the one-task shape the
+    * x51-class audit exists to keep out). The oracle uses exactly that
+    * window form — DuckDB's single-node executor is the right place for
+    * it. */
+  val x79 = Q("x79_sequence_packing",
+    (s, d) => {
+      val nTok = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(expr(Portable.tokens(SparkD, "text"))).cast("bigint")
+            .as("n_tokens"))
+      reportSortFused(
+        Relational.orderedRunningTotal(nTok, Seq(col("doc_id")), "n_tokens")
+          .withColumn("bin", expr("(__cum - n_tokens) div 512"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc")),
+        col("bin"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+            |    CAST(length(${Portable.tokens(DuckD, "text")}) AS BIGINT)
+            |      AS n_tokens
+            |  FROM documents),
+            |c AS (SELECT doc_id, n_tokens,
+            |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+            |SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+            |  COUNT(*) AS n_docs,
+            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1839,7 +1881,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78)
+    x78, x79)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -94,7 +94,9 @@ class CatalogSpec extends AnyFunSuite {
       "drnk"),
     "x77_mad" -> Seq("event_type", "med", "mad"),
     "x78_image_decode" -> Seq("asset_id", "width", "height",
-      "mean_r", "mean_g", "mean_b"))
+      "mean_r", "mean_g", "mean_b"),
+    "x79_sequence_packing" -> Seq("bin", "n_docs", "total_tokens",
+      "first_doc", "last_doc"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -57,6 +57,28 @@ class OperatorsSpec extends AnyFunSuite {
       ("a", 2, 5, 1L, 1L), ("b", 1, 7, 1L, 1L)))
   }
 
+  test("orderedRunningTotal ≡ global running-sum window on the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, SparkTestSession.sf0001)
+      .select(col("event_id"), col("user_id"))
+    val got = Relational.orderedRunningTotal(ev, Seq(col("event_id")),
+      "user_id", parts = 7)
+    val want = ev.withColumn("__cum", sum("user_id").over(
+      Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    assert(got.except(want).count() == 0)
+    assert(got.count() == want.count())
+  }
+
+  test("orderedRunningTotal: empty input and single partition") {
+    val empty = spark.range(0).toDF("v").withColumn("k", col("v"))
+    assert(Relational.orderedRunningTotal(empty, Seq(col("k")), "v").count() == 0)
+    val one = Seq((1L, 5L), (2L, 7L), (3L, 2L)).toDF("k", "v")
+    val got = Relational.orderedRunningTotal(one, Seq(col("k")), "v", parts = 1)
+      .select("k", "__cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 5L), (2L, 12L), (3L, 14L)))
+  }
+
   test("saltedDistinctCount is exactly COUNT(DISTINCT) on the real corpus") {
     val ev = graft.sources.Tables.events(spark, SparkTestSession.sf0001)
     val salted = Relational.saltedDistinctCount(ev,

@@ -38,7 +38,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "so every downstream agg/join is exchange-free (PlanShapeSpec pins it)"),
     "x72_gapfill" -> ("bounded daily aggregate localCheckpoint-ed for the " +
       "spine derivation and the left join; partitioning preserved, " +
-      "downstream exchange-free (PlanShapeSpec pins it)"))
+      "downstream exchange-free (PlanShapeSpec pins it)"),
+    "x79_sequence_packing" -> ("orderedRunningTotal two-pass: the global " +
+      "cumulative sum needs a per-partition sequential prefix scan (the " +
+      "documented mapPartitions tier) — the declarative alternative is a " +
+      "single-partition window over the whole corpus"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
