@@ -49,15 +49,20 @@ object Clusters {
     * instead of O(diameter) join rounds each paying a full job. This is the
     * same adaptive posture as broadcast-vs-shuffle join selection — and
     * like it, the decision is a runtime size check, not a guess: over-cap
-    * edge sets (web-scale dup pressure) route to the distributed min-label
-    * rounds unchanged. Output contract identical to
-    * [[connectedComponents]]. */
+    * edge sets (web-scale dup pressure) route to the distributed
+    * star-contraction rounds, which converge in O(log n) for any component
+    * shape. Output contract identical to [[connectedComponents]]. */
   def connectedComponentsAuto(edges: DataFrame,
                               maxDriverEdges: Int = MaxDriverEdges): DataFrame = {
     val slim = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
     graft.engine.Actions.boundedRows(slim, maxDriverEdges) match {
-      case None => connectedComponents(edges)
+      // over-cap fallback: the STARS variant, not min-label — an unknown
+      // web-scale graph can carry chain-shaped components whose diameter
+      // exceeds min-label's round bound, while star contraction is
+      // O(log n) for any shape. `slim` (not `edges`) keeps the output
+      // schema BIGINT on both routes regardless of the caller's id type.
+      case None => connectedComponentsStars(slim)
       case Some(rows) =>
         // textbook union-find with path compression; every union points the
         // LARGER root at the smaller, so each component's terminal root is

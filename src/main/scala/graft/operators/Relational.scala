@@ -79,6 +79,15 @@ object Relational {
   def keyedRowNumbers(df: DataFrame, keys: Seq[String], order: Seq[Column],
                       parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // block runs are detected via external-value equality on the driver;
+    // binary keys compare by reference there (one block per ROW — an
+    // O(input) driver collect), so refuse them loudly
+    keys.foreach { k =>
+      require(!df.schema(k).dataType
+          .isInstanceOf[org.apache.spark.sql.types.BinaryType],
+        s"keyedRowNumbers: key '$k' is BINARY — its external form has no " +
+          "value equality; hash it to a comparable type first")
+    }
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     val sortExprs = keys.map(col) ++ order
     val sorted = df.repartitionByRange(p, sortExprs: _*)
@@ -128,7 +137,14 @@ object Relational {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(augmented).asJava),
       blockSchema)
-    sorted.join(broadcast(blockDf), "__pid" +: keys)
+    // null-SAFE key equality: a NULL key is an ordinary group for
+    // Window.partitionBy, so it must match its block row here too (a
+    // name-based equi-join would silently drop every null-keyed row)
+    val bdf = broadcast(blockDf)
+    val joinCond = ((sorted("__pid") === bdf("__pid")) +: keys.map(k =>
+      sorted(k) <=> bdf(k))).reduce(_ && _)
+    keys.foldLeft(sorted.join(bdf, joinCond).drop(bdf("__pid")))(
+        (d, k) => d.drop(bdf(k)))
       .withColumn("__rn", col("__mid") - col("__minMid") + col("__off") + 1)
       .drop("__pid", "__mid", "__minMid", "__off")
   }
@@ -152,7 +168,9 @@ object Relational {
     * columns; ordering within partitions follows `order`, partitions are
     * range-split — a downstream aggregate or sort sees the usual
     * distributed layout, never one giant task. `valueCol` must be a long
-    * column (token counts, byte sizes, row weights). */
+    * column (token counts, byte sizes, row weights); NULL values add 0 to
+    * the running total — the same treatment a running `SUM(v) OVER` window
+    * gives them. */
   def orderedRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
                           parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -166,7 +184,11 @@ object Relational {
     val partSums: Array[(Int, Long)] = sorted
       .select(col("__pid"), col(valueCol)).rdd.mapPartitions { it =>
         var pid = -1; var s = 0L; var any = false
-        it.foreach { r => pid = r.getInt(0); s += r.getLong(1); any = true }
+        it.foreach { r =>
+          pid = r.getInt(0)
+          if (!r.isNullAt(1)) s += r.getLong(1)
+          any = true
+        }
         if (any) Iterator((pid, s)) else Iterator.empty
       }.collect()
     val offsets = new Array[Long](p)
@@ -183,7 +205,7 @@ object Relational {
       var cum = 0L; var first = true
       it.map { r =>
         if (first) { cum = bc.value(r.getInt(pidIdx)); first = false }
-        cum += r.getLong(vIdx)
+        if (!r.isNullAt(vIdx)) cum += r.getLong(vIdx)
         org.apache.spark.sql.Row.fromSeq(
           r.toSeq.patch(pidIdx, Nil, 1) :+ cum)
       }

@@ -78,7 +78,18 @@ class ClustersSpec extends AnyFunSuite {
       .connectedComponentsAuto(edges.toDF("a", "b"), maxDriverEdges = cap)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(auto(100) == want) // under cap: driver union-find
-    assert(auto(2) == want)   // over cap: routes to distributed min-label
+    assert(auto(2) == want)   // over cap: routes to distributed star rounds
+  }
+
+  test("auto tier: both routes emit BIGINT labels regardless of input id type") {
+    import org.apache.spark.sql.functions.col
+    val intEdges = Seq((1, 2), (3, 4)).toDF("a", "b")
+      .select(col("a").cast("int"), col("b").cast("int"))
+    for (cap <- Seq(100, 1)) {
+      val out = Clusters.connectedComponentsAuto(intEdges, maxDriverEdges = cap)
+      assert(out.schema.fields.map(_.dataType.simpleString).toSeq ==
+        Seq("bigint", "bigint"), s"cap=$cap")
+    }
   }
 
   test("self-loop-only nodes are singleton components in BOTH algorithms") {

@@ -184,9 +184,13 @@ class KernelParitySpec extends AnyFunSuite {
   test("round-5 string kernels are reachable from pure SQL (GraftExtensions)") {
     val r = spark.sql(
       """SELECT graft_shingle_strings('a b c d') AS sh,
-        |  graft_distinct_tokens('x  y x z') AS tk""".stripMargin).collect()(0)
+        |  graft_distinct_tokens('x  y x z') AS tk,
+        |  graft_token_pairs('a b a') AS pr,
+        |  graft_tokens(' a  b a ') AS al""".stripMargin).collect()(0)
     assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(r.getSeq[String](1) == Seq("x", "y", "z"))
+    assert(r.getSeq[String](2) == Seq("a b", "b a"))
+    assert(r.getSeq[String](3) == Seq("a", "b", "a"))
   }
 
   test("graft_sorted_intersect_count skips null elements instead of " +

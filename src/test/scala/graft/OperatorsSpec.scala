@@ -44,6 +44,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.count() == want.count())
   }
 
+  test("keyedRowNumbers: NULL keys are an ordinary group (window parity)") {
+    val df = Seq((Some("a"), 3), (None, 5), (None, 1), (Some("a"), 9))
+      .toDF("k", "v")
+    val got = Relational.keyedRowNumbers(df, Seq("k"), Seq(col("v")), parts = 3)
+      .select("k", "v", "__rn", "__n").collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (Some("a"), 3, 1L, 2L), (Some("a"), 9, 2L, 2L),
+      (None, 1, 1L, 2L), (None, 5, 2L, 2L)))
+  }
+
+  test("keyedRowNumbers refuses BINARY keys loudly") {
+    val df = Seq((Array[Byte](1), 1)).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      Relational.keyedRowNumbers(df, Seq("k"), Seq(col("v"))))
+  }
+
+  test("orderedRunningTotal treats NULL values as 0 (running-SUM parity)") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L))).toDF("k", "v")
+    val got = Relational.orderedRunningTotal(df, Seq(col("k")), "v", parts = 2)
+      .select("k", "__cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 5L), (2L, 5L), (3L, 7L)))
+  }
+
   test("keyedRowNumbers: multi-key grouping and single-row keys") {
     val df = Seq(("a", 1, 30), ("a", 1, 10), ("a", 2, 5), ("b", 1, 7))
       .toDF("k1", "k2", "v")
