@@ -74,6 +74,14 @@ object LaunchPipeline {
       offset += pageSize
       n += 1
     }
+    // FAIL rather than truncate: the raw landing is at-most-once, so a
+    // silently shortened page set would become the day's permanent record
+    // (also the guard against a server whose `next` never nulls out)
+    if (more)
+      throw new IllegalStateException(
+        s"fetchAllPages: still more pages after $maxPages for [$start, $end) " +
+          "— raise maxPages or investigate the source's pagination cursor; " +
+          "landing a truncated day would be permanent (at-most-once raw zone)")
     pages.result()
   }
 
@@ -103,11 +111,24 @@ object LaunchPipeline {
     }
   }
 
-  /** Entry point A (SURVEY.md §3.1): fetch one day's launches, land raw. */
+  /** Entry point A (SURVEY.md §3.1): fetch one day's launches, land raw.
+    * An already-landed day is detected BEFORE the fetch (backfills over
+    * mostly-landed ranges would otherwise re-pay the full paginated fetch
+    * against a rate-limited API just to discard it); the create-no-overwrite
+    * in putRaw still holds at-most-once under concurrent racers. */
   def ingest(zones: Zones, runDate: LocalDate, fetch: PageFetcher): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(zones.raw(runDate))
+    if (p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p))
+      return false
     val pages = fetchAllPages(fetch, runDate, runDate.plusDays(1))
     // Land page bodies as a JSON-lines document (one envelope per line);
-    // the reader uses Ll2.schema either way.
+    // the reader uses Ll2.schema either way. A multi-line body would make
+    // its lines unparseable under PERMISSIVE json-lines reading — an EMPTY
+    // day with no error — so refuse it loudly here.
+    pages.foreach(pg => require(!pg.contains('\n') && !pg.contains('\r'),
+      "ingest: page body contains newlines — the raw zone is JSON-lines " +
+        "(one envelope per line); configure the fetcher to return compact " +
+        "single-line JSON"))
     putRaw(zones, runDate, pages.mkString("\n"))
   }
 
@@ -135,17 +156,34 @@ object LaunchPipeline {
         col("r.image.license.name").as("license"),
         to_date(to_timestamp(col("r.net"))).as("net"))
 
+  /** The `net` ISO-8601→DATE truncation in [[launchEvents]] is defined in
+    * UTC (the reference's pandas `.dt.date` over Zulu timestamps). Under a
+    * non-UTC session zone, `to_date(to_timestamp(...))` shifts events near
+    * midnight into the NEIGHBORING day's partition — and the dynamic
+    * overwrite would then clobber that day's data. Fail loudly instead of
+    * corrupting. */
+  private def requireUtcSession(spark: SparkSession, where: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"$where: session timeZone is '$tz' but the net→DATE truncation is " +
+        "defined in UTC; a non-UTC zone shifts events across day partitions " +
+        "and dynamic overwrite would clobber the neighbor day. Set " +
+        "spark.sql.session.timeZone=UTC (GraftSession does).")
+  }
+
   /** Entry point B (SURVEY.md §3.2): raw → processed, hive-partitioned by
     * `net`. Dynamic partition overwrite replaces only the partitions present
     * in this run's data — the idempotent-rerun fix for the reference's
     * pyarrow append (C6, SURVEY.md §2.2).
     */
-  def transform(spark: SparkSession, zones: Zones, runDate: LocalDate): Unit =
+  def transform(spark: SparkSession, zones: Zones, runDate: LocalDate): Unit = {
+    requireUtcSession(spark, "transform")
     launchEvents(readRaw(spark, zones, runDate))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("net")
       .parquet(zones.processed)
+  }
 
   // --------------------------------------------------------------- publish
 

@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   * stay byte-identical (same contract as [[Merge.upsertByKey]], proven in
   * spec), so the operation is safe to run continuously beside readers of
   * other partitions.
-  */
+  *
+  * WRITER EXCLUSION (required): compaction is read-then-overwrite on the
+  * partitions it touches — rows written to one of those partitions by a
+  * CONCURRENT writer (e.g. the upsert sink merging into the same date)
+  * between the snapshot read and the overwrite would be lost. Raw-parquet
+  * layouts have no transaction log to detect the conflict, so the operator
+  * must be scheduled when no writer can touch the candidate partitions
+  * (e.g. compact only partitions older than the stream's watermark — closed
+  * dates a date-partitioned CDC feed no longer updates). */
 object Maintenance {
 
   /** Rewrite every partition of `path` that holds at least `minFiles`
@@ -40,12 +48,10 @@ object Maintenance {
         .count(_.getPath.getName.endsWith(".parquet")) >= minFiles
     }.map(_.getPath.getName.substring(prefix.length)).toSeq
     if (rawNames.isEmpty) return Nil
-    val values = rawNames.filterNot(_ == NullDir).map(esc.unescapePathName)
-    val pred = {
-      val base = if (values.isEmpty) lit(false)
-        else col(partitionCol).isin(values: _*)
-      if (rawNames.contains(NullDir)) base || col(partitionCol).isNull else base
-    }
+    val values: Seq[Any] = rawNames.filterNot(_ == NullDir)
+      .map(esc.unescapePathName)
+    val pred = Merge.partitionPredicate(col(partitionCol),
+      if (rawNames.contains(NullDir)) values :+ null else values)
     // materialize before the write: Spark (correctly) refuses a plan that
     // reads from the same path it is overwriting
     val compacted = spark.read.parquet(path)

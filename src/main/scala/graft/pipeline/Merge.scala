@@ -53,16 +53,22 @@ object Merge {
       if (partitionStableKeys) updateParts
       else {
         // partitions currently holding an updated key must be rewritten too
-        // (the key's old copy lives there)
+        // (the key's old copy lives there); null-safe equality so a
+        // null-keyed row's partition is found like any other
         val holding = targetAll
-          .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
+          .join(updates.select(col(key).as("__mk")).distinct(),
+            targetAll(key) <=> col("__mk"), "left_semi")
           .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
         (updateParts ++ holding).distinct
       }
     val target = targetAll
       .where(partitionPredicate(col(partitionCol), parts)) // pruned scan
+    // null-SAFE anti join: SQL's `null = null` is null, so a plain key
+    // equi-join would let a stored null-key row survive every merge and the
+    // table would gain a duplicate null-key row per batch
     val survivors = target.join(
-      updates.select(col(key)).distinct(), Seq(key), "left_anti")
+      updates.select(col(key).as("__mk")).distinct(),
+      target(key) <=> col("__mk"), "left_anti")
     // materialize before the write: Spark (correctly) refuses a plan that
     // reads from the same path it is overwriting
     val merged = survivors.unionByName(updates).localCheckpoint()

@@ -87,8 +87,11 @@ object EventStreams {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
-                s.totalValue + e.value))
+              // math.min on start: a late (but within-watermark) event can
+              // PRECEDE the stored session start, and must extend the
+              // interval backwards just as a fresh event extends it forward
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                s.n + 1, s.totalValue + e.value))
             case Some(s) =>
               closed ::= close(s)
               cur = Some(SessionState(t, t, 1, e.value))
@@ -203,7 +206,14 @@ object EventStreams {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(path), spark.sessionState.newHadoopConf())
         val p = new org.apache.hadoop.fs.Path(path)
-        if (!fs.exists(p) || fs.listStatus(p).isEmpty)
+        // "table exists" = some non-hidden entry: a crashed first write can
+        // leave only _temporary behind, which must count as FIRST batch (a
+        // parquet read of it would fail un-retryably, wedging the sink)
+        val tableExists = fs.exists(p) && fs.listStatus(p).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (!tableExists)
           latest.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
         else {
           // cross-batch monotonicity guard: keep an incoming row only when
@@ -220,8 +230,12 @@ object EventStreams {
               col(partitionCol), batchParts))
             .select(col(key).as("__k"), col(seqCol).as("__stored_seq"))
           val cols = latest.columns
+          // null-SAFE key equality: a null key is a legal key value here; a
+          // plain === join would never match it against its stored row, so
+          // an older redelivery of a null-key row would bypass the guard
+          // (and Merge's anti-join, fixed the same way, would duplicate it)
           val guarded = latest.join(
-              stored, latest(key) === col("__k"), "left")
+              stored, latest(key) <=> col("__k"), "left")
             .where(col("__stored_seq").isNull ||
               col(seqCol) > col("__stored_seq"))
             .select(cols.map(latest(_)): _*)

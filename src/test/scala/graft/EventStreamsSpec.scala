@@ -172,6 +172,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization extends the session START backwards for a late " +
+    "in-gap event (math.min counterpart of the end's math.max)") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_sessions_late").toString
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // batch 1: the session opens at min 10
+    Seq(Event(1, ts(10), 1, "a", 1.0)).toDF().coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[Event].toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val sessions = EventStreams.sessionize(src.as[Event],
+      gapMinutes = 30, watermark = "1 hour")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event at min 5 — within the watermark, within the
+      // gap of the stored end — must pull session_start back to min 5
+      Seq(Event(2, ts(5), 1, "a", 2.0)).toDF()
+        .coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      // advance the watermark far past the gap, then once more so the
+      // event-time timeout fires
+      Seq(Event(3, ts(700), 2, "a", 0.0)).toDF()
+        .coalesce(1).write.parquet(s"$dir/b3")
+      q.processAllAvailable()
+      Seq(Event(4, ts(1400), 2, "a", 0.0)).toDF()
+        .coalesce(1).write.parquet(s"$dir/b4")
+      q.processAllAvailable()
+      val closed = spark.table("sessions_late")
+        .where(col("user_id") === 1).collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Timestamp]("session_start") == ts(5),
+        "late in-gap event must extend the session interval backwards")
+      assert(closed(0).getAs[Timestamp]("session_end") == ts(10))
+      assert(closed(0).getAs[Int]("n_events") == 2)
+      assert(closed(0).getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("windowed counts drop events later than the watermark (append mode)") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_late").toString

@@ -83,6 +83,22 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("null KEY rows upsert as one logical key (null-safe anti join — a " +
+    "plain equi-join would duplicate them every merge)") {
+    val dir = Files.createTempDirectory("graft_merge_nullkey").toString
+    Seq((Some(1L), "a", "d1"), (None, "n0", "d1"))
+      .toDF("id", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val updates = Seq((None: Option[Long], "n1", "d1")).toDF("id", "v", "p")
+    Merge.upsertByKey(spark, dir, updates, "id", "p")
+    Merge.upsertByKey(spark, dir,
+      Seq((None: Option[Long], "n2", "d1")).toDF("id", "v", "p"), "id", "p")
+    val got = spark.read.parquet(dir)
+      .select("v").as[String].collect().toSet
+    // the null-key row is REPLACED each time, never accumulated
+    assert(got == Set("a", "n2"))
+  }
+
   test("partitionStableKeys=false removes a key's old copy when the update " +
     "moves it to another partition, and drops a fully-drained partition") {
     val dir = freshTable() // d1:{1,2} d2:{3} d3:{4}
