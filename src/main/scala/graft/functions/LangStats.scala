@@ -56,24 +56,18 @@ object LangStats {
     val s = u.toString
     val nLangs = wordSets.length
     val out = new Array[Long](nLangs + 2)
-    val n = s.length
-    var start = 0
-    var i = 0
-    while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        if (i > start) { // non-empty token
-          out(nLangs) += 1          // n_tokens
-          out(nLangs + 1) += i - start // tok_chars
-          val tok = s.substring(start, i)
-          var l = 0
-          while (l < nLangs) {
-            if (wordSets(l).contains(tok)) out(l) += 1
-            l += 1
-          }
-        }
-        start = i + 1
+    // TokenHasher.foreachToken is THE tokenizer (single-space split, empties
+    // dropped) — reused so a tokenization change can never desync language
+    // stats from the other kernels KernelParitySpec pins together.
+    TokenHasher.foreachToken(s) { (from, until) =>
+      out(nLangs) += 1              // n_tokens
+      out(nLangs + 1) += until - from // tok_chars
+      val tok = s.substring(from, until)
+      var l = 0
+      while (l < nLangs) {
+        if (wordSets(l).contains(tok)) out(l) += 1
+        l += 1
       }
-      i += 1
     }
     new GenericArrayData(out)
   }

@@ -35,7 +35,7 @@ object TokenHasher {
     h % HashP
   }
 
-  @inline private def foreachToken(s: String)(f: (Int, Int) => Unit): Unit = {
+  @inline private[functions] def foreachToken(s: String)(f: (Int, Int) => Unit): Unit = {
     val n = s.length
     var start = 0
     var i = 0
@@ -103,38 +103,59 @@ object TokenHasher {
     acc
   }
 
+  /** Token offsets in one pass, unboxed: starts/ends int arrays plus count.
+    * The per-document hot-path buffers — boxed ArrayList[Integer] here costs
+    * two Integer allocations per token on a kernel whose point is avoiding
+    * per-token allocation. */
+  private final class TokenOffsets(s: String) {
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var n = 0
+    foreachToken(s) { (from, until) =>
+      if (n == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+      }
+      starts(n) = from; ends(n) = until; n += 1
+    }
+  }
+
   /** Distinct xxhash64'd 3-gram token shingles, one pass, SORTED ascending.
     * Hash values are EXACTLY Spark's `xxhash64(concat_ws(' ', t1, t2, t3))`
     * (same XxHash64 kernel, same seed 42), so this interchanges freely with
-    * the declarative shingle pipeline. Per-doc distinct happens here (hash
-    * set), removing the need for a distinct shuffle downstream; the sorted
-    * order lets [[SortedIntersectCount]] verify candidate pairs with an
+    * the declarative shingle pipeline. Per-doc distinct happens here
+    * (sort + in-place dedup — no hash-set nodes), removing the need for a
+    * distinct shuffle downstream; the sorted order lets
+    * [[SortedIntersectCount]] verify candidate pairs with an
     * allocation-free merge scan. */
   def shingleHashes(u: UTF8String): ArrayData = {
     val s = u.toString
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    foreachToken(s) { (from, until) => starts.add(from); ends.add(until) }
-    val k = starts.size()
+    val t = new TokenOffsets(s)
+    val k = t.n
     if (k < 3) return new GenericArrayData(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val hashes = new Array[Long](k - 2)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i + 2 < k) {
       sb.setLength(0)
-      sb.append(s, starts.get(i), ends.get(i)).append(' ')
-        .append(s, starts.get(i + 1), ends.get(i + 1)).append(' ')
-        .append(s, starts.get(i + 2), ends.get(i + 2))
-      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      sb.append(s, t.starts(i), t.ends(i)).append(' ')
+        .append(s, t.starts(i + 1), t.ends(i + 1)).append(' ')
+        .append(s, t.starts(i + 2), t.ends(i + 2))
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         UTF8String.fromString(sb.toString),
-        org.apache.spark.sql.types.StringType, 42L))
+        org.apache.spark.sql.types.StringType, 42L)
       i += 1
     }
-    val out = new Array[Long](seen.size())
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    java.util.Arrays.sort(out)
+    java.util.Arrays.sort(hashes)
+    var last = 0
+    i = 1
+    while (i < hashes.length) {
+      if (hashes(i) != hashes(last)) { last += 1; hashes(last) = hashes(i) }
+      i += 1
+    }
+    val out =
+      if (last + 1 == hashes.length) hashes
+      else java.util.Arrays.copyOf(hashes, last + 1)
     new GenericArrayData(out)
   }
 
@@ -145,19 +166,17 @@ object TokenHasher {
     * UTF8String slicing (~5× on the bench corpus). */
   def shingleStrings(u: UTF8String): ArrayData = {
     val s = u.toString
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    foreachToken(s) { (from, until) => starts.add(from); ends.add(until) }
-    val k = starts.size()
+    val t = new TokenOffsets(s)
+    val k = t.n
     if (k < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i + 2 < k) {
       sb.setLength(0)
-      sb.append(s, starts.get(i), ends.get(i)).append(' ')
-        .append(s, starts.get(i + 1), ends.get(i + 1)).append(' ')
-        .append(s, starts.get(i + 2), ends.get(i + 2))
+      sb.append(s, t.starts(i), t.ends(i)).append(' ')
+        .append(s, t.starts(i + 1), t.ends(i + 1)).append(' ')
+        .append(s, t.starts(i + 2), t.ends(i + 2))
       seen.add(UTF8String.fromString(sb.toString))
       i += 1
     }
@@ -170,18 +189,16 @@ object TokenHasher {
     * is needed upstream. */
   def tokenPairs(u: UTF8String): ArrayData = {
     val s = u.toString
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    foreachToken(s) { (from, until) => starts.add(from); ends.add(until) }
-    val k = starts.size()
+    val t = new TokenOffsets(s)
+    val k = t.n
     if (k < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[AnyRef](k - 1)
     val sb = new java.lang.StringBuilder(48)
     var i = 0
     while (i + 1 < k) {
       sb.setLength(0)
-      sb.append(s, starts.get(i), ends.get(i)).append(' ')
-        .append(s, starts.get(i + 1), ends.get(i + 1))
+      sb.append(s, t.starts(i), t.ends(i)).append(' ')
+        .append(s, t.starts(i + 1), t.ends(i + 1))
       out(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
@@ -257,6 +274,11 @@ case class MinHashSig(child: Expression) extends TextHashExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
   protected def kernel: String = "minhashSigData"
+
+  // Null even for a NON-null input (token-free doc); the inherited
+  // child.nullable would let the optimizer fold away the IsNotNull guard
+  // dedupMinhash depends on.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     TokenHasher.minhashSigData(input.asInstanceOf[UTF8String])

@@ -32,11 +32,12 @@ object Tables {
         .foreach(relationCache.remove)
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw nanos
-      // (spark.sql.legacy.parquet.nanosAsLong). Truncate ns→µs — the same
-      // conversion DuckDB applies when it reads this file — so downstream
-      // timestamp semantics agree with the oracle.
+      // (spark.sql.legacy.parquet.nanosAsLong). Floor ns→µs — `div` truncates
+      // toward zero, which would round PRE-epoch (negative) nanos up by 1 µs
+      // relative to DuckDB's floor conversion of the same file.
       if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
       else df
     })
   }

@@ -109,11 +109,16 @@ final class LaunchScanBuilder(options: Map[String, String])
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Accepted filters are NOT re-applied post-scan (DSv2 contract), so
+    // repeated conjuncts on the same bound must FOLD to the tightest value —
+    // a last-assignment overwrite would silently widen the interval.
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual("net", v) if asInstant(v).isDefined =>
-        netGte = asInstant(v); true
+        val i = asInstant(v).get
+        netGte = Some(netGte.filter(_.isAfter(i)).getOrElse(i)); true
       case LessThan("net", v) if asInstant(v).isDefined =>
-        netLt = asInstant(v); true
+        val i = asInstant(v).get
+        netLt = Some(netLt.filter(_.isBefore(i)).getOrElse(i)); true
       case _ => false
     }
     pushed = accepted
@@ -155,16 +160,20 @@ final class LaunchScan(options: Map[String, String],
   override def planInputPartitions(): Array[InputPartition] = {
     // Probe page 0 on the driver for the envelope count, then one partition
     // per page so executors fetch pages in parallel. A pushed limit caps the
-    // planned pages and the last page's row budget.
+    // planned pages and the last page's row budget. The probed body ships
+    // inside partition 0 (≤ one page of JSON) so its reader does not
+    // re-download the identical URL.
     val transport = Transport(options.getOrElse("transport", "http"))
-    val first = new ObjectMapper().readTree(transport.get(pageUrl(0)))
+    val firstBody = transport.get(pageUrl(0))
+    val first = new ObjectMapper().readTree(firstBody)
     val count0 = first.path("count").asLong(0L)
     val count = limit.map(l => math.min(count0, l.toLong)).getOrElse(count0)
     val pages = math.max(1, math.ceil(count.toDouble / pageSize).toInt)
     (0 until pages).map { p =>
       val budget = math.min(pageSize.toLong, count - p.toLong * pageSize).toInt
       LaunchPage(pageUrl(p * pageSize),
-        if (limit.isDefined) budget else Int.MaxValue): InputPartition
+        if (limit.isDefined) budget else Int.MaxValue,
+        if (p == 0) Some(firstBody) else None): InputPartition
     }.toArray
   }
 
@@ -173,7 +182,8 @@ final class LaunchScan(options: Map[String, String],
       required.fieldNames)
 }
 
-final case class LaunchPage(url: String, maxRows: Int) extends InputPartition
+final case class LaunchPage(url: String, maxRows: Int,
+                            prefetched: Option[String] = None) extends InputPartition
 
 final class LaunchReaderFactory(transportName: String, fields: Array[String])
     extends PartitionReaderFactory {
@@ -189,7 +199,8 @@ final class LaunchPageReader(page: LaunchPage, transport: Transport,
     extends PartitionReader[InternalRow] {
 
   private lazy val results: Iterator[JsonNode] = {
-    val root = new ObjectMapper().readTree(transport.get(page.url))
+    val body = page.prefetched.getOrElse(transport.get(page.url))
+    val root = new ObjectMapper().readTree(body)
     root.path("results").elements().asScala
   }
   private var current: JsonNode = _

@@ -55,6 +55,27 @@ class HttpLaunchSourceSpec extends AnyFunSuite {
       plan.contains("PushedFilters") || plan.contains("LaunchScan"))
   }
 
+  test("duplicate net conjuncts fold to the TIGHTEST bound, not the last one") {
+    FakeTransport.reset()
+    // Accepted pushed filters are never re-applied post-scan (DSv2 contract),
+    // so if the looser of two >= bounds won the overwrite, out-of-range rows
+    // would silently flow through. Only the tightest-interval URL is
+    // registered: a widened interval fails loudly as a missing fixture.
+    val range = "net__gte=2024-12-01T00:00:00Z&net__lt=2024-12-02T00:00:00Z"
+    val p0 = s"$base?mode=list&limit=100&offset=0&$range"
+    FakeTransport.register(p0, page(1,
+      Seq(launch("a", "2024-12-01T01:00:00Z")), None))
+    val df = spark.read.format(fmt)
+      .option("url", base).option("transport", "fake").load()
+      .where(col("net") >= lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .where(col("net") >= lit(java.sql.Timestamp.valueOf("2024-12-01 00:00:00")))
+      .where(col("net") < lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+      .where(col("net") < lit(java.sql.Timestamp.valueOf("2024-12-02 00:00:00")))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("a"))
+    val reqs = FakeTransport.requested.toArray(Array.empty[String])
+    assert(reqs.nonEmpty && reqs.forall(_.contains(range)))
+  }
+
   test("unsupported predicates remain as post-scan filters, results stay correct") {
     FakeTransport.reset()
     val p0 = s"$base?mode=list&limit=100&offset=0"

@@ -311,4 +311,18 @@ class KernelParitySpec extends AnyFunSuite {
     assert(sig(0).isNullAt(1) && sig(1).isNullAt(1))
     assert(!sig(2).isNullAt(1) && !sig(3).isNullAt(1))
   }
+
+  test("MinHashSig stays nullable over a NON-nullable input (IsNotNull guard survives)") {
+    import spark.implicits._
+    // coalesce with a literal makes the child non-nullable; the sig must
+    // still be declared nullable or the optimizer folds away the
+    // IsNotNull(sig) guard dedupMinhash relies on for token-free docs.
+    val df = Seq("a b c", "   ", "").toDF("t")
+      .select(coalesce(col("t"), lit("")).as("t"))
+    assert(!df.schema("t").nullable) // precondition: child really non-nullable
+    val sigs = df.select(TextHashFunctions.minhashSig(col("t")).as("sig"))
+    assert(sigs.schema("sig").nullable)
+    assert(sigs.where(col("sig").isNotNull).count() == 1)
+    assert(sigs.where(col("sig").isNull).count() == 2)
+  }
 }
