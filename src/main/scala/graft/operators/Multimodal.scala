@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * codec (`javax.imageio`, in the `java.desktop` module — no external
   * dependency) inside the `mapPartitions` seam and recovers geometry +
   * exact per-channel means; [[synthesizePng]] produces the matching
-  * oracle-predictable fixtures through the same real encoder. The
-  * audio/video steps remain declarative stand-ins ([[decodeColumns]],
-  * [[frameSample]]): their codecs genuinely aren't in the JDK, but the
-  * schema/partitioning/batch plumbing around them is real and tested.
+  * oracle-predictable fixtures through the same real encoder.
+  *
+  * AUDIO decode is REAL too: [[decodeWav]] runs the JDK's WAV/PCM codec
+  * (`javax.sound.sampled`, also `java.desktop`) to recover format, frame
+  * count and exact amplitude stats from container bytes;
+  * [[synthesizeWav]] encodes the matching fixtures. Only VIDEO remains a
+  * declarative stand-in ([[frameSample]]): the JDK genuinely ships no
+  * video codec, but the schema/partitioning/batch plumbing is real and
+  * tested.
   *
   * At scale: binary payloads ride in parquet binary columns; the decode pass
   * is a narrow per-partition map (no shuffle), so it pipelines with the scan.
@@ -158,6 +163,103 @@ object Multimodal {
           }
           val n = w.toLong * h
           Row(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic WAV fixtures from the documents table: each doc_id
+    * becomes a constant-amplitude PCM16 mono WAV (8 kHz) whose sample
+    * count and amplitude are pure arithmetic on the id — so an oracle can
+    * predict, in SQL, exactly what a correct decoder must recover from the
+    * container bytes. Encoding runs the JDK's REAL WAV writer per row (a
+    * narrow map, no shuffle); PCM is lossless, so the round trip through
+    * [[decodeWav]] is exact. The constant fill is the same oracle trick as
+    * [[synthesizePng]]'s solid color: the decoder can't know the arithmetic,
+    * so a byte-order, sign or container-parse mistake still mismatches. */
+  def synthesizeWav(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (64 + id % 192).toInt
+        val v = (id % 1999 - 999).toShort
+        val pcm = new Array[Byte](n * 2) // PCM16LE mono
+        var i = 0
+        while (i < n) {
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          /* signed = */ true, /* bigEndian = */ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode over a binary payload column: `javax.sound.sampled`
+    * parses the WAV/AIFF/AU container and the pass emits format (rate,
+    * channels, bit depth), frame count and exact amplitude stats over the
+    * PCM16 samples. Narrow `mapPartitions` (pipelines with the scan, no
+    * shuffle); an undecodable or non-PCM16 payload yields null metrics
+    * rather than failing the batch. The mean is exact: sample sums fit a
+    * Long far below 2^53, so the final division is correctly rounded. */
+  def decodeWav(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("mean_amp", DoubleType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val nullRow = (id: Long) => Row(id, null, null, null, null, null, null)
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) nullRow(id)
+          else {
+            val data = ais.readAllBytes()
+            val ch = fmt.getChannels
+            val big = fmt.isBigEndian
+            val n = data.length / 2
+            var sum = 0L
+            var peak = 0
+            var i = 0
+            while (i < n) {
+              val b0 = data(2 * i) & 0xff
+              val b1 = data(2 * i + 1) & 0xff
+              val s = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+              sum += s
+              val a = if (s < 0) -s else s
+              if (a > peak) peak = a
+              i += 1
+            }
+            Row(id, fmt.getSampleRate.toInt, ch, 16, (n / ch).toLong,
+              if (n == 0) null else sum.toDouble / n, peak)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => nullRow(id)
+          case _: java.io.IOException => nullRow(id)
         }
       }
     }(enc)

@@ -1866,6 +1866,29 @@ object Catalog {
             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** REAL audio decode (the audio half of x27's plumbing made real, the
+    * x78 pattern): constant-amplitude PCM16 mono WAVs encoded by the JDK's
+    * WAV writer (`javax.sound.sampled`), then decoded back to recover
+    * format, frame count and exact amplitude stats. The oracle predicts
+    * the decoder's output from the id arithmetic alone — a wrong container
+    * parse, byte order or sign handling hash-mismatches. Both encode and
+    * decode are genuine codec work on container bytes. */
+  val x80 = Q("x80_audio_decode",
+    // input-ordered (see x78): the real WAV encode + decode run once above
+    // the sort instead of twice under orderBy's sampling pass
+    (s, d) => Multimodal.decodeWav(
+        Multimodal.synthesizeWav(
+          t(s, d, "documents").select("doc_id").orderBy("doc_id"))),
+    Some("""SELECT doc_id AS asset_id,
+           |  CAST(8000 AS INT) AS sample_rate,
+           |  CAST(1 AS INT) AS channels,
+           |  CAST(16 AS INT) AS bits,
+           |  CAST(64 + doc_id % 192 AS BIGINT) AS n_samples,
+           |  CAST(doc_id % 1999 - 999 AS DOUBLE) AS mean_amp,
+           |  CAST(abs(doc_id % 1999 - 999) AS INT) AS peak
+           |FROM documents ORDER BY asset_id""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1884,7 +1907,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79)
+    x78, x79, x80)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -96,7 +96,9 @@ class CatalogSpec extends AnyFunSuite {
     "x78_image_decode" -> Seq("asset_id", "width", "height",
       "mean_r", "mean_g", "mean_b"),
     "x79_sequence_packing" -> Seq("bin", "n_docs", "total_tokens",
-      "first_doc", "last_doc"))
+      "first_doc", "last_doc"),
+    "x80_audio_decode" -> Seq("asset_id", "sample_rate", "channels", "bits",
+      "n_samples", "mean_amp", "peak"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -351,4 +351,37 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getDouble(5) == ((id * 13) % 256).toDouble, s"mean_b id=$id")
     }
   }
+
+  test("multimodal: synthesizeWav → decodeWav round trip matches the " +
+    "id arithmetic the x80 oracle predicts") {
+    val docs = Seq((0L, "t", "s", "src", 1L), (7L, "t", "s", "src", 1L),
+      (998L, "t", "s", "src", 1L), (999L, "t", "s", "src", 1L), // v = -1, 0
+      (1998L, "t", "s", "src", 1L)) // v = +999 (positive extreme)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.decodeWav(Multimodal.synthesizeWav(docs))
+      .orderBy("asset_id").collect()
+    for (r <- got) {
+      val id = r.getLong(0)
+      val v = (id % 1999 - 999).toInt
+      assert(r.getInt(1) == 8000, s"sample_rate id=$id")
+      assert(r.getInt(2) == 1, s"channels id=$id")
+      assert(r.getInt(3) == 16, s"bits id=$id")
+      assert(r.getLong(4) == 64 + id % 192, s"n_samples id=$id")
+      assert(r.getDouble(5) == v.toDouble, s"mean_amp id=$id")
+      assert(r.getInt(6) == math.abs(v), s"peak id=$id")
+    }
+  }
+
+  test("multimodal: undecodable or non-PCM16 audio payload yields null " +
+    "metrics, not a task failure") {
+    val assets = Seq(
+      (1L, "definitely not a wav".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.emptyByteArray)).toDF("asset_id", "payload")
+    val rows = Multimodal.decodeWav(assets).orderBy("asset_id").collect()
+    for (r <- rows) {
+      assert(r.isNullAt(1) && r.isNullAt(4) && r.isNullAt(5),
+        s"expected null metrics for asset ${r.getLong(0)}")
+    }
+  }
 }
