@@ -1928,6 +1928,10 @@ object Catalog {
   private val staticPlanned: Set[String] = Set(
     "q01_project_rename", "q02_cast_date", "q06_json_extract",
     "q11_latest_per_user", "q14_cosine_topk",
+    // q16: explicit broadcast join + window over the broadcast output —
+    // nothing for AQE to re-decide (stable +0.03-0.05 s static win probed
+    // 3×; q03 measured unstable and stays adaptive)
+    "q16_join_window",
     "x17_dedup_exact",
     // x18/x34: the LSH band joins are shuffled equi-joins whose bucket
     // sizes are bounded by construction (signature grouping / band
