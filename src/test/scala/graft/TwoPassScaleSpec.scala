@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.tagobjects.Slow
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Scale smoke for the round-5 two-pass operators (`keyedRowNumbers`,
+  * `orderedRunningTotal`) — the shapes that replace single-partition and
+  * low-cardinality-partition windows (x51/x79). The bench corpus exercises
+  * them at ~150k rows; these run 100k → 1M and assert (a) EXACT output via
+  * closed forms no window comparison could check at this size, and (b)
+  * near-linear runtime — a shape regression that re-serializes the sort
+  * (one task, or one task per key value) shows up as a superlinear step.
+  *
+  * Closed-form construction: over `id` in [0, N), key = id % 5 and order by
+  * id make the in-key rank id/5 + 1 exactly; weight w = id makes the global
+  * running total id(id+1)/2 exactly.
+  */
+class TwoPassScaleSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("keyedRowNumbers is exact (closed form) and near-linear 100k → 1M rows", Slow) {
+    def run(n: Long): (Long, Double) = {
+      val df = spark.range(n).select(col("id"),
+        (col("id") % 5).cast("string").as("k"))
+      val ranked = Relational.keyedRowNumbers(df, Seq("k"), Seq(col("id")))
+      // rank within key = id/5 + 1 and every group holds n/5 rows — count
+      // the rows VIOLATING either, in one distributed pass (no collect)
+      timed(ranked.where(col("__rn") =!= expr("id div 5") + 1 ||
+        col("__n") =!= lit(n / 5)).count())
+    }
+    run(10000) // warm-up: JIT + codegen for the two-pass shape
+    val (bad10, t10) = run(100000)
+    val (bad100, t100) = run(1000000)
+    info(f"keyedRowNumbers 100k: $t10%.1f s; 1M: $t100%.1f s")
+    assert(bad10 == 0 && bad100 == 0)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x rows: $t10%.1f s -> $t100%.1f s")
+  }
+
+  test("orderedRunningTotal is exact (closed form) and near-linear 100k → 1M rows", Slow) {
+    def run(n: Long): (Long, Double) = {
+      val df = spark.range(n).select(col("id"), col("id").as("w"))
+      val cum = Relational.orderedRunningTotal(df, Seq(col("id")), "w")
+      // inclusive running total of 0..id = id(id+1)/2
+      timed(cum.where(col("__cum") =!= expr("id * (id + 1) div 2")).count())
+    }
+    run(10000)
+    val (bad10, t10) = run(100000)
+    val (bad100, t100) = run(1000000)
+    info(f"orderedRunningTotal 100k: $t10%.1f s; 1M: $t100%.1f s")
+    assert(bad10 == 0 && bad100 == 0)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x rows: $t10%.1f s -> $t100%.1f s")
+  }
+}
