@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_json_long"),
       info("graft_json_long", "graft_json_long(json, 'key') - single-scan integer field extraction"),
       (args: Seq[Expression]) => JsonLongField(args(0),
-        args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
+        stringLiteralArg("graft_json_long", "key", args, 1))))
     e.injectFunction((FunctionIdentifier("graft_shingle_set"),
       info("graft_shingle_set", "graft_shingle_set(text) - distinct xxhash64'd 3-gram token shingles"),
       (args: Seq[Expression]) => ShingleSet(args.head)))
@@ -64,9 +64,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_band_keys"),
       info("graft_band_keys", "graft_band_keys(v, bands, rowsPerBand, dim) - hyperplane-LSH band keys over array<double>"),
       (args: Seq[Expression]) => HyperplaneBandKeys(args(0),
-        intArg(args(1)), intArg(args(2)), intArg(args(3)))))
+        intArg("graft_band_keys", "bands", args, 1),
+        intArg("graft_band_keys", "rowsPerBand", args, 2),
+        intArg("graft_band_keys", "dim", args, 3))))
   }
 
-  private def intArg(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
+  // The builders below eval() their config arguments at ANALYSIS time, so
+  // anything but a non-null foldable literal must fail with a real message —
+  // a raw eval() would surface as an opaque NPE / 'Cannot evaluate
+  // expression' / IndexOutOfBounds from inside the analyzer.
+  private def literalArg(fn: String, arg: String,
+                         args: Seq[Expression], i: Int): Any = {
+    require(args.length > i,
+      s"$fn: missing argument '$arg' (expected at position ${i + 1})")
+    require(args(i).foldable,
+      s"$fn: argument '$arg' must be a literal, got ${args(i).sql}")
+    val v = args(i).eval()
+    require(v != null, s"$fn: argument '$arg' must not be NULL")
+    v
+  }
+
+  private def stringLiteralArg(fn: String, arg: String,
+                               args: Seq[Expression], i: Int): String =
+    literalArg(fn, arg, args, i) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a string literal, got $other")
+    }
+
+  private def intArg(fn: String, arg: String,
+                     args: Seq[Expression], i: Int): Int =
+    literalArg(fn, arg, args, i) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+    }
 }

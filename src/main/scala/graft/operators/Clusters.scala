@@ -54,8 +54,13 @@ object Clusters {
     * shape. Output contract identical to [[connectedComponents]]. */
   def connectedComponentsAuto(edges: DataFrame,
                               maxDriverEdges: Int = MaxDriverEdges): DataFrame = {
+    // drop null endpoints (including non-numeric ids nulled by the cast)
+    // BEFORE the route decision: the stars route's least/greatest filters
+    // would silently discard them anyway, while Row.getLong on the driver
+    // route would NPE — the two routes must agree on one contract
     val slim = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"))
+        col("b").cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
     graft.engine.Actions.boundedRows(slim, maxDriverEdges) match {
       // over-cap fallback: the STARS variant, not min-label — an unknown
       // web-scale graph can carry chain-shaped components whose diameter
@@ -218,7 +223,7 @@ object Clusters {
 
     var cur = probe(e)
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = cur._1 == 0L // probe already counted the edges — no extra job
     while (!converged && rounds < maxRounds) {
       e = smallStar(largeStar(e)).localCheckpoint(false) // probe materializes
       val next = probe(e)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Portable, VectorFunctions}
@@ -76,9 +76,9 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.TextHashFunctions.simhash(col(textCol)).as("simhash"))
 
-  /** One row per doc with the packed 16-minhash signature AND every band key
-    * derived from it — a single signature-kernel scan feeds both candidate
-    * generation and verification (no second pass over the corpus).
+  /** The band-key columns `k0..k{Bands-1}` over a packed minhash signature
+    * column — THE one derivation every consumer (near-dup pairs, X18Probe)
+    * must share, or banding changes silently desync them.
     *
     * Band keys are `xxhash64` of the band's 8 minhashes (8-byte join keys)
     * rather than the oracle's concat-string keys: a hash collision across
@@ -87,15 +87,10 @@ object Dedup {
     * band agrees exactly) is a true oracle row anyway — so the output set is
     * identical while the shuffle/sort runs on fixed-width longs instead of
     * ~60-char strings. */
-  def minhashKeyed(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val sig = docs.select(col("doc_id"),
-      graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
-    val keyCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
-      xxhash64(parts: _*).as(s"k$b")
-    }
-    sig.select(col("doc_id") +: col("sig") +: keyCols: _*)
+  def bandKeyCols(sigCol: Column): Seq[Column] = (0 until Bands).map { b =>
+    val parts = (0 until RowsPerBand)
+      .map(r => element_at(sigCol, b * RowsPerBand + r + 1))
+    xxhash64(parts: _*).as(s"k$b")
   }
 
   /** Full MinHash near-dup detection: LSH candidates verified by signature
@@ -104,7 +99,7 @@ object Dedup {
     * 1/16 — exactly representable).
     *
     * Plan shape, designed for the 100 TB posture:
-    *  - ONE signature scan (minhashKeyed); each exploded band row carries the
+    *  - ONE signature scan (keys via [[bandKeyCols]]); each exploded band row carries the
     *    packed signature plus the earlier bands' keys, so verification needs
     *    no join back to a signature table — the round-1 version broadcast the
     *    full-corpus signature table twice, a guaranteed driver OOM at scale.
@@ -135,13 +130,8 @@ object Dedup {
         graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
       .where(col("sig").isNotNull)
     val groups = sigOf.groupBy("sig").agg(collect_list("doc_id").as("ids"))
-    val keyCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
-      xxhash64(parts: _*).as(s"k$b")
-    }
     val keyed = groups.select(col("sig") +: col("ids") +:
-      array_min(col("ids")).as("gmin") +: keyCols: _*)
+      array_min(col("ids")).as("gmin") +: bandKeyCols(col("sig")): _*)
 
     val intra = groups.where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -167,10 +157,8 @@ object Dedup {
     val r = bandRows.select(col("band") +: col("bkey") +:
       col("sig").as("sig_b") +: col("ids").as("ids_b") +: col("gmin").as("gmin_b") +:
       earlier.map(b => col(s"k$b").as(s"kb$b")): _*)
-    val firstMatch = (0 until Bands).map { b =>
-      (0 until b).map(i => col(s"ka$i") =!= col(s"kb$i"))
-        .foldLeft(col("band") === b)(_ && _)
-    }.reduce(_ || _)
+    val firstMatch = Similarity.firstMatchingBand(Bands,
+      i => col(s"ka$i") =!= col(s"kb$i"))
     import org.apache.spark.sql.{GraftSqlBridge => B}
     val agree = B.column(graft.functions.ArrayEqCount(
       B.expression(col("sig_a")), B.expression(col("sig_b"))))
@@ -376,10 +364,8 @@ object Dedup {
     val r = rows.select(col("band") +: col("key") +:
       col("vec_id").as("b") +: col("v").as("vb") +: col("nrm").as("nb") +:
       earlier.map(b => col(s"k$b").as(s"kb$b")): _*)
-    val firstMatch = (0 until S.Bands).map { b =>
-      (0 until b).map(i => col(s"ka$i") =!= col(s"kb$i"))
-        .foldLeft(col("band") === b)(_ && _)
-    }.reduce(_ || _)
+    val firstMatch = S.firstMatchingBand(S.Bands,
+      i => col(s"ka$i") =!= col(s"kb$i"))
     l.join(r, Seq("band", "key"))
       .where(col("a") < col("b") && firstMatch)
       .select(col("a"), col("b"),

@@ -77,7 +77,10 @@ object Multimodal {
     * the payload, one row per frame (explode). Pure column arithmetic —
     * binary `substring` slices without decoding; a real demuxer would swap in
     * at exactly this projection. */
-  def frameSample(assets: DataFrame, n: Int): DataFrame =
+  def frameSample(assets: DataFrame, n: Int): DataFrame = {
+    // sequence(0, n-1) counts DOWN for n <= 0 (emitting bogus indices 0, -1)
+    // and frame_idx*len/n would divide by zero under ANSI mode — fail fast
+    require(n >= 1, s"frameSample needs at least one frame, got $n")
     assets.select(col("asset_id"), col("payload"),
         length(col("payload")).cast("bigint").as("byte_len"))
       .where(col("byte_len") > 0)
@@ -89,6 +92,7 @@ object Multimodal {
         expr(s"substring(payload, CAST(offset AS INT) + 1, " +
           s"GREATEST(CAST(byte_len / $n AS INT), 1))"))
       .drop("payload")
+  }
 
   /** Deterministic PNG fixtures from the documents table: each doc_id
     * becomes a solid-fill RGB PNG whose geometry and fill color are pure
@@ -143,9 +147,13 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        // ImageIO.read returns null only for UNRECOGNIZED formats; a payload
+        // with valid magic bytes but a corrupt body THROWS — catch it so one
+        // bad asset degrades to null metrics instead of failing the batch
         val img =
           if (bytes.isEmpty) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
         if (img == null) Row(id, null, null, null, null, null)
         else {
           val w = img.getWidth

@@ -80,13 +80,21 @@ object Relational {
                       parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     // block runs are detected via external-value equality on the driver;
-    // binary keys compare by reference there (one block per ROW — an
-    // O(input) driver collect), so refuse them loudly
+    // binary values compare by REFERENCE there (one block per ROW — an
+    // O(input) driver collect), so refuse them loudly, at any nesting depth
+    def containsBinary(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.BinaryType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsBinary(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsBinary(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        containsBinary(m.keyType) || containsBinary(m.valueType)
+      case _ => false
+    }
     keys.foreach { k =>
-      require(!df.schema(k).dataType
-          .isInstanceOf[org.apache.spark.sql.types.BinaryType],
-        s"keyedRowNumbers: key '$k' is BINARY — its external form has no " +
-          "value equality; hash it to a comparable type first")
+      require(!containsBinary(df.schema(k).dataType),
+        s"keyedRowNumbers: key '$k' contains BINARY — its external form has " +
+          "no value equality; hash it to a comparable type first")
     }
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     val sortExprs = keys.map(col) ++ order
@@ -100,6 +108,17 @@ object Relational {
     // linear per-partition scan replaces the groupBy's exchange + the AQE
     // stage jobs it would schedule. Driver receives one tuple per block.
     val nKeys = keys.length
+    // boxed java.lang.Double/Float equals() distinguishes -0.0 from 0.0 while
+    // Spark's sort and <=> treat them equal — normalize so one logical key
+    // never splits into two adjacent driver blocks (whose block rows would
+    // BOTH null-safe-join every such row and duplicate output)
+    val normKey: Any => Any = {
+      case d: java.lang.Double if d.doubleValue() == 0.0 =>
+        java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue() == 0.0f =>
+        java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
     val blockStats: Array[(Int, Seq[Any], Long, Long)] = sorted
       .select(("__pid" +: "__mid" +: keys).map(col): _*)
       .rdd.mapPartitions { it =>
@@ -107,7 +126,7 @@ object Relational {
         var curKey: Seq[Any] = null
         var pid = -1; var minMid = 0L; var cnt = 0L
         it.foreach { r =>
-          val k = (2 until 2 + nKeys).map(r.get)
+          val k = (2 until 2 + nKeys).map(i => normKey(r.get(i)))
           if (curKey == null || k != curKey) {
             if (curKey != null) out += ((pid, curKey, minMid, cnt))
             curKey = k; pid = r.getInt(0); minMid = r.getLong(1); cnt = 0L
@@ -174,6 +193,12 @@ object Relational {
   def orderedRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
                           parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // the partition scans below read the value via getLong — anything else
+    // would ClassCastException deep inside an executor task, so check here
+    require(df.schema(valueCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"orderedRunningTotal: value column '$valueCol' must be BIGINT, got " +
+        s"${df.schema(valueCol).dataType.simpleString} — cast('bigint') first")
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
@@ -262,20 +287,31 @@ object Relational {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                payload: Seq[(String, String)] = Seq.empty): DataFrame = {
+    // null-ts right rows are unmatchable (rightTs <= leftTs is unknown) and
+    // would otherwise sort nulls-first and leak payload into 'no prior row'
+    // outputs
     val r2 = right.select(
       (keys.map(col) :+ col(rightTs).as("__t")) ++
         payload.map { case (c, o) => col(c).as(o) }: _*)
+      .where(col("__t").isNotNull)
       .withColumn("__side", lit(0))
     val l2 = left.withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
     val u = l2.unionByName(r2, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc) // right sorts before left at equal ts
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (("asof_ts", "__t") +: payload.map { case (_, o) => (o, o) })
-      .foldLeft(u) { case (df, (out, src)) =>
-        df.withColumn(out,
-          last(when(col("__side") === 0, col(src)), ignoreNulls = true).over(w))
+    // ONE struct per right row, carried as a unit: the matched row's payload
+    // travels WITH its timestamp even when a payload field is NULL —
+    // per-column last(..., ignoreNulls) would skip the null and resurrect a
+    // STALE older payload next to the newer asof_ts
+    val carry = struct(col("__t").as("asof_ts") +:
+      payload.map { case (_, o) => col(o) }: _*)
+    val packed = u.withColumn("__carry",
+      last(when(col("__side") === 0, carry), ignoreNulls = true).over(w))
+    val unpacked = (("asof_ts", "asof_ts") +: payload.map { case (_, o) => (o, o) })
+      .foldLeft(packed) { case (df, (out, fld)) =>
+        df.withColumn(out, col(s"__carry.$fld"))
       }
-    carried.where(col("__side") === 1).drop("__t", "__side")
+    unpacked.where(col("__side") === 1).drop("__t", "__side", "__carry")
   }
 }

@@ -88,6 +88,18 @@ object Similarity {
         (0 until Bands).map(b => element_at(col("bks"), b + 1).as(s"k$b")): _*)
   }
 
+  /** First-matching-band predicate shared by every banded-LSH operator:
+    * keep a joined pair only at its FIRST matching band — the band-b branch
+    * requires every earlier band to MISMATCH (per `differs(i)`), so a pair
+    * matching in several bands survives exactly once and no distinct
+    * shuffle is needed. The dedup-without-distinct invariant is subtle
+    * enough that the three operators encoding it must share one copy. */
+  private[operators] def firstMatchingBand(bands: Int,
+                                           differs: Int => Column): Column =
+    (0 until bands).map { b =>
+      (0 until b).map(differs).foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
+
   /** One row per (vector, band): vec_id, carried cols, band, key. */
   private[operators] def bandRows(keyed: DataFrame, carry: Seq[String]): DataFrame =
     keyed.select(col("vec_id") +: carry.map(col) :+
@@ -243,14 +255,10 @@ object Similarity {
             col(s"k$b").bitwiseXOR(m).as("key")))): _*)).as("bk"): _*)
       .select(col("qid") +: col("qv") +: earlier.map(b => col(s"qk$b")) :+
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
-    // first matching band wins: band b rows require every earlier band to be
-    // outside probe distance (within a band at most one probe key can equal
-    // the candidate key, so each pair survives exactly once)
-    val firstMatch = (0 until Bands).map { b =>
-      (0 until b).map(i =>
-          expr(s"bit_count(qk$i ^ ck$i) > $probe"))
-        .foldLeft(col("band") === b)(_ && _)
-    }.reduce(_ || _)
+    // first matching band wins; 'differs' here = outside probe distance
+    // (within a band at most one probe key can equal the candidate key)
+    val firstMatch = firstMatchingBand(Bands,
+      i => expr(s"bit_count(qk$i ^ ck$i) > $probe"))
     val scored = cand.join(broadcast(probes), Seq("band", "key"))
       .where(col("vec_id") =!= col("qid") && firstMatch)
       .select(col("qid"), col("vec_id"),

@@ -29,12 +29,8 @@ object X18Probe {
       val nGroups = time("sig agg count")(groups.count())
       println(s"[probe] distinct sigs: $nGroups")
 
-      val keyCols = (0 until Dedup.Bands).map { b =>
-        val parts = (0 until Dedup.RowsPerBand)
-          .map(r => element_at(col("sig"), b * Dedup.RowsPerBand + r + 1))
-        xxhash64(parts: _*).as(s"k$b")
-      }
-      val keyed = groups.select(col("sig") +: col("ids") +: keyCols: _*)
+      val keyed = groups.select(col("sig") +: col("ids") +:
+        Dedup.bandKeyCols(col("sig")): _*)
       val bandRows = keyed.select(col("sig"), col("ids"),
         explode(array((0 until Dedup.Bands).map(b =>
           struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))

@@ -130,6 +130,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1) && got(2).isNullAt(2)) // no prior row for k=20
   }
 
+  test("asOfJoin: NULL payload on the matched row stays NULL (no stale " +
+    "carry) and NULL-ts right rows never match") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val left = Seq((1L, 10L, ts(30)), (2L, 20L, ts(30)))
+      .toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, ts(10), "older"),                      // k=10: older row, non-null
+      (10L, ts(20), null.asInstanceOf[String]),    // k=10: MATCHED row, null payload
+      (20L, null.asInstanceOf[Timestamp], "ghost") // k=20: null ts — unmatchable
+    ).toDF("k", "rts", "tag")
+    val got = Relational.asOfJoin(left, right, Seq("k"), "ts", "rts",
+        payload = Seq("tag" -> "matched_tag"))
+      .select("event_id", "asof_ts", "matched_tag").orderBy("event_id").collect()
+    // the matched row (ts=20) has a NULL tag: a per-column ignoreNulls carry
+    // would resurrect 'older' here — the whole right row must win as a unit
+    assert(got(0).getTimestamp(1) == ts(20), "asof_ts must be the matched row's")
+    assert(got(0).isNullAt(2), "matched row's NULL payload must stay NULL")
+    // a right row with NULL rts cannot be 'the most recent prior row'
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2),
+      "null-ts right rows must not match (or leak payload)")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
@@ -325,7 +348,11 @@ class OperatorsSpec extends AnyFunSuite {
     val assets = Seq(
       (1L, bos.toByteArray),
       (2L, "not an image".getBytes("UTF-8")),
-      (3L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload")
+      (3L, null.asInstanceOf[Array[Byte]]),
+      // RECOGNIZED format but corrupt body: ImageIO.read THROWS here (it
+      // returns null only for unrecognized formats) — must degrade to null
+      // metrics, not fail the task
+      (4L, bos.toByteArray.take(24))).toDF("asset_id", "payload")
     val rows = Multimodal.decodeImages(assets).orderBy("asset_id").collect()
     assert(rows(0).getInt(1) == 3 && rows(0).getInt(2) == 2)
     assert(rows(0).getDouble(3) == px.map(_._3).sum / 6.0)
@@ -333,6 +360,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(5) == px.map(_._5).sum / 6.0)
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(3))
   }
 
   test("multimodal: synthesizePng → decodeImages round trip matches the " +
