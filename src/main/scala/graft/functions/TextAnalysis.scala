@@ -84,6 +84,22 @@ object TextAnalysis {
         round(col("en_hits") / (lit(1.0) * col("n_tokens")), 4).as("stopword_ratio"),
         expr(qualityScore("n_tokens", "en_hits")).as("quality"))
 
+  /** doc_id, lang_pred, quality (token-bearing docs only) from ONE LangStats
+    * pass — the curation composite's [[languageId]] ⋈ [[quality]] without
+    * scanning the corpus twice, running the kernel twice, or paying a
+    * doc-level shuffled join to recombine two projections of the same row. */
+  def langQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        TextHashFunctions.langStats(col(textCol)).as("st"))
+      .select(col("doc_id") +:
+        (profiles.zipWithIndex.map { case ((l, _), i) =>
+          element_at(col("st"), i + 1).cast("int").as(s"${l}_hits") } :+
+          element_at(col("st"), profiles.length + 1).cast("int").as("n_tokens")): _*)
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"),
+        expr(langPick("en_hits", "de_hits", "fr_hits", "es_hits")).as("lang_pred"),
+        expr(qualityScore("n_tokens", "en_hits")).as("quality"))
+
   /** doc_id, ws_tokens, re_tokens, n_chars. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),

@@ -30,6 +30,24 @@ object Catalog {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Register a scratch path for recursive deletion at JVM exit (q08's
+    * roundtrip output: the returned DataFrame reads it lazily, so it cannot
+    * be deleted inside the build). One hook, shared set. */
+  private val scratchPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => scratchPaths.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+  private def removeOnExit(path: String): Unit = {
+    scratchHook
+    scratchPaths.add(path): Unit
+  }
+
   /** Total sort for bounded REPORT outputs — row count O(groups), O(k), or
     * O(threshold-filtered pairs), never O(input): a single-partition sort
     * produces the identical total order while skipping `orderBy`'s
@@ -142,8 +160,12 @@ object Catalog {
   val q08 = Q("q08_roundtrip",
     (s, d) => {
       val day = "2024-01-02"
-      // per-invocation unique dir: concurrent harness runs must not collide
+      // per-invocation unique dir: concurrent harness runs must not collide.
+      // Deleted at JVM exit — the read below is lazy, so the directory must
+      // outlive the build, but without the hook every invocation leaked a
+      // written-twice day partition into /tmp forever.
       val out = s"${sys.props("java.io.tmpdir")}/graft_q08_${java.util.UUID.randomUUID}"
+      removeOnExit(out)
       val part = t(s, d, "events")
         .withColumn("dt", to_date(col("ts")))
         .where(col("dt") === lit(java.sql.Date.valueOf(day)))
@@ -181,8 +203,12 @@ object Catalog {
     (s, d) => Relational.antiJoinKeys(
         t(s, d, "customer"), t(s, d, "orders"), "c_custkey", "o_custkey")
       .select("c_custkey").orderBy("c_custkey"),
-    Some("""SELECT c_custkey FROM customer
-           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    // NOT EXISTS, not NOT IN: a single NULL o_custkey would make NOT IN
+    // return zero rows while the left-anti join (and this form) still
+    // returns every unmatched customer
+    Some("""SELECT c_custkey FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |  WHERE o.o_custkey = c.c_custkey)
            |ORDER BY c_custkey""".stripMargin))
 
   /** Q11 — E3 dedup-keep-latest. ts is ordered at µs on both sides (DuckDB
@@ -938,9 +964,10 @@ object Catalog {
     (s, d) => {
       val docs = t(s, d, "documents")
       val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
-      val lang = TextAnalysis.languageId(docs).select("doc_id", "lang_pred")
-      val qual = TextAnalysis.quality(docs).select("doc_id", "quality")
-      keep.join(lang, "doc_id").join(qual, "doc_id")
+      // one LangStats pass yields both lang_pred and quality (the inner
+      // joins with languageId ⋈ quality kept exactly the token-bearing
+      // docs, which langQuality's n_tokens > 0 filter reproduces)
+      keep.join(TextAnalysis.langQuality(docs), "doc_id")
         .where(col("quality") >= 0.5)
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_kept"),
@@ -1341,13 +1368,17 @@ object Catalog {
     * runs, engines, and partitionings (unlike rand()-based sampling), the
     * property a training pipeline needs to downweight over-represented
     * strata (here: 5% of views, 10% of clicks, 50% of errors, all of the
-    * rest). Knuth multiplicative hash in exact BIGINT arithmetic (safe for
-    * keys < ~3.4e9 under ANSI overflow checking); per-stratum keep counts
-    * plus id-range fingerprints verify the identical row selection. */
+    * rest). Knuth multiplicative hash in exact BIGINT arithmetic; the key is
+    * reduced mod 1e9+7 BEFORE the multiply (a no-op for today's id range,
+    * identical on both engines) so the product stays under 2^63 for ANY
+    * bigint key — without it, ids past ~3.4e9 (trivial at the 100 TB
+    * posture) overflow and ANSI mode kills the query. Per-stratum keep
+    * counts plus id-range fingerprints verify the identical row selection. */
   val x63 = Q("x63_stratified_sample",
     (s, d) => t(s, d, "events")
       .withColumn("h",
-        (col("event_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L))
+        ((col("event_id") % lit(1000000007L)) * lit(2654435761L))
+          % lit(1000000007L) % lit(1000L))
       .withColumn("keep_pm",
         when(col("event_type") === "view", 50L)
           .when(col("event_type") === "click", 100L)
@@ -1361,7 +1392,8 @@ object Catalog {
     Some("""SELECT event_type, COUNT(*) AS n_kept, min(event_id) AS min_id,
            |  max(event_id) AS max_id
            |FROM (SELECT event_type, event_id,
-           |    ((event_id * 2654435761) % 1000000007) % 1000 AS h FROM events)
+           |    (((event_id % 1000000007) * 2654435761) % 1000000007) % 1000
+           |      AS h FROM events)
            |WHERE h < CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 100
            |  WHEN 'error' THEN 500 ELSE 1000 END
            |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -1963,6 +1995,12 @@ object Catalog {
     sys.env.get("SPARK_GRAFT_CONF").exists(
       _.contains("spark.sql.adaptive.enabled"))
 
+  /** NOTE for external callers: building a query SETS the session's
+    * `spark.sql.adaptive.enabled` to that query's measured planning mode and
+    * leaves it set — Spark reads the flag at execution start, not build, so
+    * restoring it here would undo the route before the caller's action runs.
+    * Run your own ad-hoc work on a separate session (or re-set the flag)
+    * after touching these builders. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, d: String) =>
       // per-query planning mode; runners act on the query right after
