@@ -1921,6 +1921,58 @@ object Catalog {
            |FROM documents ORDER BY asset_id""".stripMargin),
     bench = false)
 
+  /** N-gram language-model quality score (the CCNet-style perplexity proxy
+    * a curation pipeline uses to rank documents): estimate a bigram LM from
+    * the corpus itself — p(w2|w1) = c(w1 w2) / Σ_w c(w1 w) — then score each
+    * document by its mean bigram log-probability. Every doc bigram exists in
+    * the corpus (it contributes to the counts), so the MLE needs no
+    * smoothing and no zero-probability guard.
+    *
+    * Scale shape: one TokenPairs kernel scan → bigram-count aggregate (one
+    * shuffle, vocab²-bounded) → prefix totals BY AGGREGATING THE COUNT TABLE
+    * (never re-scanning the corpus) → the per-instance join runs
+    * co-partitioned on the bigram key. Determinism: ln values are rounded
+    * to 6 decimals and summed as DECIMAL — exact, order-independent — and
+    * the output is that exact sum cast to double (correctly rounded from
+    * the same decimal on both engines). A rounded MEAN was tried and
+    * REJECTED: sum-of-6-decimals / n lands exactly on x.xxxx5 boundaries,
+    * where Spark rounds the exact binary double and DuckDB rounds the
+    * ×10⁴-scaled double — a measured 1-ulp disagreement at sf0.1 (row 677:
+    * −3.4063 vs −3.4064). Callers derive the mean from (sum, n). */
+  val x81 = Q("x81_lm_score",
+    (s, d) => {
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id"), explode(
+          graft.functions.TextHashFunctions.tokenPairs(col("text"))).as("bg"))
+      val bgCounts = pairs.groupBy("bg").agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val pref = bgCounts.groupBy("w1").agg(sum("c2").as("c1"))
+      val lm = bgCounts.join(pref, "w1")
+        .select(col("bg"),
+          round(log(col("c2") / col("c1")), 6).cast("decimal(18,6)").as("lp"))
+      pairs.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("lp").cast("double").as("logp_sum"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents),
+            |p AS (SELECT doc_id, unnest(list_transform(range(1, length(toks)),
+            |    i -> concat(toks[i], ' ', toks[i + 1]))) AS bg
+            |  FROM t WHERE length(toks) >= 2),
+            |c AS (SELECT bg, COUNT(*) AS c2 FROM p GROUP BY 1),
+            |lm AS (SELECT bg,
+            |    CAST(round(ln(c2 / c1), 6) AS DECIMAL(18,6)) AS lp
+            |  FROM (SELECT bg, c2,
+            |      SUM(c2) OVER (PARTITION BY split_part(bg, ' ', 1)) AS c1
+            |    FROM c))
+            |SELECT doc_id, COUNT(*) AS n_bigrams,
+            |  CAST(SUM(lp) AS DOUBLE) AS logp_sum
+            |FROM p JOIN lm USING (bg)
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1939,7 +1991,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80)
+    x78, x79, x80, x81)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

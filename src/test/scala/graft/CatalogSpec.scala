@@ -98,7 +98,8 @@ class CatalogSpec extends AnyFunSuite {
     "x79_sequence_packing" -> Seq("bin", "n_docs", "total_tokens",
       "first_doc", "last_doc"),
     "x80_audio_decode" -> Seq("asset_id", "sample_rate", "channels", "bits",
-      "n_samples", "mean_amp", "peak"))
+      "n_samples", "mean_amp", "peak"),
+    "x81_lm_score" -> Seq("doc_id", "n_bigrams", "logp_sum"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
