@@ -51,11 +51,15 @@ object Bench {
           name -> -1.0
       }
     }
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would print
+    // 0,8812 and invalidate the one JSON line the driver parses
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def json(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+      results.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString("{", ",", "}")
     def total(results: Seq[(String, Double)]): String =
-      "%.4f".format(results.map(_._2).filter(_ >= 0).sum)
+      fmt(results.map(_._2).filter(_ >= 0).sum)
 
     def floorProbe(): Double = {
       def once(): Double = {
@@ -83,7 +87,7 @@ object Bench {
     val floorPost = floorProbe()
     println(s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
       s""""extended_total":${total(ext)},"extended_queries":${json(ext)},""" +
-      s""""floor_pre":${"%.4f".format(floorPre)},"floor_post":${"%.4f".format(floorPost)},"sf":"$sfDir"}""")
+      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,9 +60,18 @@ object FloorProbe {
           .orderBy($"g"))),
       "scan" -> (() => noop(spark.read.parquet(s"$sfDir/region.parquet")))
     )
-    val r = probes.map { case (n, f) => n -> best5(f()) }
-    println(r.map { case (n, s) => s""""$n":${"%.4f".format(s)}""" }
-      .mkString("{", ",", "}"))
+    val r = probes.map { case (n, f) =>
+      // Catalog.queries' wrapper routes x18/x20 to STATIC planning and
+      // deliberately leaves the session flag set — restore AQE after every
+      // probe so the generic floor probes measure the documented posture
+      // (AQE on), not whatever the previous probe's query routed to
+      val v = n -> best5(f())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      v
+    }
+    println(r.map { case (n, s) =>
+      s""""$n":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(s))}"""
+    }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

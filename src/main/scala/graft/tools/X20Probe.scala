@@ -26,10 +26,17 @@ object X20Probe {
 
     for (round <- 1 to 3) {
       println(s"[probe] --- round $round")
+      // boundedRows, not a plain collect: the operator caps the driver set
+      // at MaxBroadcastShingles for a reason, and the probe must not OOM
+      // where the production path routes to the fallback
       val entries = time("df agg+collect") {
-        packed.select(explode(col("shs")).as("sh"))
-          .groupBy("sh").agg(count(lit(1)).as("df"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        graft.engine.Actions.boundedRows(
+            packed.select(explode(col("shs")).as("sh"))
+              .groupBy("sh").agg(count(lit(1)).as("df")),
+            graft.operators.Dedup.MaxBroadcastShingles)
+          .getOrElse(sys.error(
+            "probe corpus exceeds the broadcast cap — use the fallback path"))
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       }
       println(s"[probe] distinct shingles: ${entries.length}")
       val dfMap = spark.sparkContext.broadcast(
@@ -55,6 +62,7 @@ object X20Probe {
         graft.operators.Dedup.ngramJaccardPairs(docs, 0.8, "text", 0).write
           .mode("overwrite").format("noop").save()
       }
+      dfMap.destroy() // consumed within this round — don't accumulate ~MBs/round
       (full, fullOld)
     }
     spark.stop()

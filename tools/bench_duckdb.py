@@ -7,7 +7,7 @@ Usage: bench_duckdb.py <sf_dir> <oracle_sql.json> [names...]
 Queries without an oracle entry (x28/x54) are skipped, mirroring the
 "shared set" the ratio is computed over.
 """
-import sys, json, time
+import os, sys, json, time
 import duckdb
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
@@ -15,7 +15,11 @@ only = set(sys.argv[3:])
 oracle = json.load(open(oracle_path))
 
 con = duckdb.connect()
-con.execute(f"SET threads TO 32")
+# same core budget as the Spark side (local[N] from SPARK_GRAFT_CPUS) —
+# a hardcoded 32 would silently skew the cross-engine ratio whenever the
+# driver benches with a different count
+threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+con.execute(f"SET threads TO {threads}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -71,18 +75,26 @@ def bench_set(names):
                       file=sys.stderr)
             continue  # no-oracle queries are not part of the shared set
         sql = oracle[name]
-        con.execute(sql).fetchall()  # warm-up
-        best = min(
-            (lambda t0: (con.execute(sql).fetchall(), time.perf_counter() - t0)[1])(
-                time.perf_counter())
-            for _ in range(5))
-        res[name] = round(best, 4)
+        try:
+            con.execute(sql).fetchall()  # warm-up
+            best = min(
+                (lambda t0: (con.execute(sql).fetchall(), time.perf_counter() - t0)[1])(
+                    time.perf_counter())
+                for _ in range(5))
+            res[name] = round(best, 4)
+        except Exception as e:
+            # mirror graft.Bench's -1.0 sentinel: one regressed oracle must
+            # not abort the whole run and lose the round's DuckDB line
+            print(f"bench_duckdb: {name} FAILED: {str(e)[:200]}",
+                  file=sys.stderr)
+            res[name] = -1.0
     return res
 
 res = bench_set(BENCH)
 ext = bench_set(EXTENDED)
-total = round(sum(res.values()), 4)
+# -1.0 sentinels (failed queries) are excluded from totals, like graft.Bench
+total = round(sum(v for v in res.values() if v >= 0), 4)
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
                   "queries": res,
-                  "extended_total": round(sum(ext.values()), 4),
+                  "extended_total": round(sum(v for v in ext.values() if v >= 0), 4),
                   "extended_queries": ext, "sf": sf_dir}))

@@ -38,6 +38,12 @@ names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.pat
 fails = []
 for name in names:
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        # residue of a failed/aborted Verify write: a crash here would skip
+        # every remaining query; count it as THIS query's failure instead
+        print(f"{name:24s} NO PARQUET FILES (failed verify dump?)")
+        fails.append(name)
+        continue
     got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
     if name not in oracle:
         print(f"{name:24s} rows={len(got):6d}  (no oracle: rows-only)")
