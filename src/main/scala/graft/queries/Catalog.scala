@@ -1941,13 +1941,18 @@ object Catalog {
     * −3.4063 vs −3.4064). Callers derive the mean from (sum, n). */
   val x81 = Q("x81_lm_score",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val pairs = t(s, d, "documents")
         .select(col("doc_id"), explode(
           graft.functions.TextHashFunctions.tokenPairs(col("text"))).as("bg"))
       val bgCounts = pairs.groupBy("bg").agg(count(lit(1)).as("c2"))
         .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val pref = bgCounts.groupBy("w1").agg(sum("c2").as("c1"))
-      val lm = bgCounts.join(pref, "w1")
+      // prefix totals as an unordered window over the count table — ONE
+      // exchange by w1 and no join, vs aggregate + join-back (two exchanges
+      // of the count table). w1 cardinality = vocabulary, so the window
+      // partitioning is high-cardinality at any scale (x51-audit clean).
+      val lm = bgCounts
+        .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
         .select(col("bg"),
           round(log(col("c2") / col("c1")), 6).cast("decimal(18,6)").as("lp"))
       pairs.join(lm, "bg")
