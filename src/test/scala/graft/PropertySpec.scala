@@ -262,4 +262,77 @@ class PropertySpec extends AnyFunSuite {
       assert(gotStars == expected, s"stars: seed=$seedBase edges=$edges")
     }
   }
+
+  test("asOfJoin matches a driver-side reference on generated data " +
+    "(null payloads, null timestamps, no prior row)") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1704067200000L + m * 60000L)
+    // UNIQUE (k, rts) per right row so the payload winner is unambiguous
+    // (asOfJoin documents ties on (k, ts) as unspecified-payload)
+    val rightGen = for {
+      k <- Gen.chooseNum(0L, 3L)
+      m <- Gen.chooseNum(0L, 40L)
+      pay <- Gen.option(Gen.alphaLowerStr.map(_.take(4)))
+      nullTs <- Gen.prob(0.15)
+    } yield (k, if (nullTs) null else ts(m), pay.orNull)
+    val leftGen = for {
+      k <- Gen.chooseNum(0L, 4L) // k=4 has no right rows at all
+      m <- Gen.chooseNum(0L, 40L)
+    } yield (k, ts(m))
+    for (seedBase <- Seq(1000, 2000, 3000)) {
+      val right = (1 to 30).flatMap(i =>
+          rightGen.apply(Gen.Parameters.default, Seed((seedBase + i).toLong)))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, rts)
+      val left = (1 to 20).flatMap(i =>
+        leftGen.apply(Gen.Parameters.default, Seed((seedBase + 500 + i).toLong)))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val got = graft.operators.Relational.asOfJoin(
+          left.toDF("event_id", "k", "ts"), right.toDF("k", "rts", "tag"),
+          Seq("k"), "ts", "rts", payload = Seq("tag" -> "tag"))
+        .select("event_id", "asof_ts", "tag").collect()
+        .map(r => (r.getLong(0),
+          Option(r.getTimestamp(1)), Option(r.getString(2)))).toSet
+      val expected = left.map { case (id, k, t) =>
+        val prior = right.filter(r =>
+          r._1 == k && r._2 != null && !r._2.after(t))
+        if (prior.isEmpty) (id, None, None)
+        else {
+          val m = prior.maxBy(_._2.getTime)
+          (id, Some(m._2), Option(m._3))
+        }
+      }.toSet
+      assert(got == expected, s"seed=$seedBase")
+    }
+  }
+
+  test("keyedRowNumbers ≡ Window row_number/count over generated keys " +
+    "(null keys, 0.0 vs -0.0 doubles)") {
+    import org.apache.spark.sql.expressions.Window
+    val keyGen: Gen[java.lang.Double] = Gen.oneOf(
+      Seq[java.lang.Double](0.0, -0.0, 1.5, -3.25, null))
+    for (seedBase <- Seq(10, 20, 30)) {
+      val rows = (1 to 60).flatMap(i =>
+          keyGen.apply(Gen.Parameters.default, Seed((seedBase + i).toLong)))
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val df = rows.toDF("k", "v")
+      val gotRows = graft.operators.Relational
+        .keyedRowNumbers(df, Seq("k"), Seq(col("v")))
+        .select("v", "__rn", "__n").collect()
+      val got = gotRows
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val w = Window.partitionBy("k").orderBy("v")
+      val expected = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("k")))
+        .select("v", "rn", "n").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // row-count equality BEFORE the map compare: -0.0 block-splitting
+      // produced DUPLICATE output rows (every ±0.0 row matching two block
+      // rows), which the keyed map would silently collapse
+      assert(gotRows.length == rows.size, s"seed=$seedBase: output row " +
+        s"count ${gotRows.length} != input ${rows.size}")
+      assert(got == expected, s"seed=$seedBase")
+    }
+  }
 }
