@@ -1978,6 +1978,33 @@ object Catalog {
             |GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** REAL video decode (completing the multimodal triple): standard
+    * Motion-JPEG AVIs written through the real JPEG encoder, then demuxed
+    * by a hand-rolled RIFF/AVI container parse and frame-decoded with
+    * `javax.imageio`. The oracle predicts container metadata (geometry,
+    * frame count, frame interval) and every frame's 16-level channel
+    * buckets from id arithmetic alone — solid frames at bucket centers
+    * survive the small JPEG round-trip error, so a wrong container walk,
+    * frame order, or channel decode hash-mismatches. */
+  val x82 = Q("x82_video_decode",
+    // input-ordered (see x78): encode+demux+decode run once above the sort
+    (s, d) => Multimodal.decodeAvi(
+        Multimodal.synthesizeAvi(
+          t(s, d, "documents").select("doc_id").orderBy("doc_id"))),
+    Some("""WITH fr AS (SELECT doc_id,
+           |    unnest(range(0, CAST(2 + doc_id % 4 AS BIGINT))) AS f
+           |  FROM documents)
+           |SELECT doc_id AS asset_id, f AS frame_idx,
+           |  CAST(32 + 16 * (doc_id % 4) AS INT) AS width,
+           |  CAST(32 + 16 * ((doc_id * 3) % 4) AS INT) AS height,
+           |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+           |  CAST(40000 AS BIGINT) AS us_per_frame,
+           |  CAST((doc_id + f) % 16 AS INT) AS r_bucket,
+           |  CAST((doc_id * 3 + f) % 16 AS INT) AS g_bucket,
+           |  CAST((doc_id * 7 + f) % 16 AS INT) AS b_bucket
+           |FROM fr ORDER BY asset_id, frame_idx""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -1996,7 +2023,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81)
+    x78, x79, x80, x81, x82)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

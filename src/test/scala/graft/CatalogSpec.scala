@@ -99,7 +99,9 @@ class CatalogSpec extends AnyFunSuite {
       "first_doc", "last_doc"),
     "x80_audio_decode" -> Seq("asset_id", "sample_rate", "channels", "bits",
       "n_samples", "mean_amp", "peak"),
-    "x81_lm_score" -> Seq("doc_id", "n_bigrams", "logp_sum"))
+    "x81_lm_score" -> Seq("doc_id", "n_bigrams", "logp_sum"),
+    "x82_video_decode" -> Seq("asset_id", "frame_idx", "width", "height",
+      "n_frames", "us_per_frame", "r_bucket", "g_bucket", "b_bucket"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

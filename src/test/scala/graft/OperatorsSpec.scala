@@ -400,6 +400,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: synthesizeAvi → decodeAvi round trip matches the " +
+    "id arithmetic the x82 oracle predicts") {
+    val docs = Seq((0L, "t", "s", "src", 1L), (7L, "t", "s", "src", 1L),
+      (15L, "t", "s", "src", 1L), (499L, "t", "s", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.decodeAvi(Multimodal.synthesizeAvi(docs))
+      .orderBy("asset_id", "frame_idx").collect()
+    // one row per (doc, frame)
+    assert(got.length == Seq(0L, 7L, 15L, 499L).map(id => 2 + id % 4).sum)
+    for (r <- got) {
+      val id = r.getLong(0); val f = r.getLong(1)
+      assert(r.getInt(2) == (32 + 16 * (id % 4)).toInt, s"width id=$id")
+      assert(r.getInt(3) == (32 + 16 * ((id * 3) % 4)).toInt, s"height id=$id")
+      assert(r.getLong(4) == 2 + id % 4, s"n_frames id=$id")
+      assert(r.getLong(5) == 40000L, s"us_per_frame id=$id")
+      assert(r.getInt(6) == ((id + f) % 16).toInt, s"r_bucket id=$id f=$f")
+      assert(r.getInt(7) == ((id * 3 + f) % 16).toInt, s"g_bucket id=$id f=$f")
+      assert(r.getInt(8) == ((id * 7 + f) % 16).toInt, s"b_bucket id=$id f=$f")
+    }
+  }
+
+  test("multimodal: non-AVI or corrupt-frame video payload yields null " +
+    "metrics, not a task failure") {
+    val assets = Seq(
+      (1L, "definitely not an avi".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, "RIFF".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val rows = Multimodal.decodeAvi(assets).orderBy("asset_id").collect()
+    assert(rows.length == 3)
+    for (r <- rows) assert(r.isNullAt(2) && r.isNullAt(6),
+      s"expected null metrics for asset ${r.getLong(0)}")
+  }
+
   test("multimodal: undecodable or non-PCM16 audio payload yields null " +
     "metrics, not a task failure") {
     val assets = Seq(
