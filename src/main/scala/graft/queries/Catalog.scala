@@ -83,6 +83,19 @@ object Catalog {
   private def sortedDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select("doc_id", "text").orderBy("doc_id")
 
+  /** doc_id input for the CODEC queries (x78/x80/x82): range-partitioned by
+    * doc_id with a PINNED partition count (user-specified counts are exempt
+    * from AQE coalescing) and sorted within partitions — range partitions
+    * concatenate in order, so the narrow encode/decode passes stay globally
+    * ordered while the codec work runs across all cores. A plain `orderBy`
+    * landed in ONE AQE-coalesced post-shuffle partition (the rows are tiny;
+    * the per-row codec cost AQE cannot see is not), which measured as x82's
+    * entire 3.8 s of JPEG work running on a single task. */
+  private def codecDocIds(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select("doc_id")
+      .repartitionByRange(32, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+
   // ------------------------------------------------------------------ core
 
   /** Q1 — C10/C11 projection + rename (reference transform's column surface,
@@ -1839,11 +1852,10 @@ object Catalog {
     * (geometry, channel order, pixel walk) hash-mismatches. Both the
     * encode and decode are genuine codec work on compressed bytes. */
   val x78 = Q("x78_image_decode",
-    // input-ordered (see sortedDocs): the real PNG encode + ImageIO decode
-    // run once above the sort instead of twice under orderBy's sampling pass
+    // codecDocIds: ordered AND parallel — the encode/decode run once,
+    // above the exchange, spread across cores
     (s, d) => Multimodal.decodeImages(
-        Multimodal.synthesizePng(
-          t(s, d, "documents").select("doc_id").orderBy("doc_id"))),
+        Multimodal.synthesizePng(codecDocIds(s, d))),
     Some("""SELECT doc_id AS asset_id,
            |  CAST(8 + doc_id % 24 AS INT) AS width,
            |  CAST(8 + (doc_id * 3) % 24 AS INT) AS height,
@@ -1906,8 +1918,12 @@ object Catalog {
     * parse, byte order or sign handling hash-mismatches. Both encode and
     * decode are genuine codec work on container bytes. */
   val x80 = Q("x80_audio_decode",
-    // input-ordered (see x78): the real WAV encode + decode run once above
-    // the sort instead of twice under orderBy's sampling pass
+    // NOT codecDocIds: javax.sound's AudioSystem resolves its reader
+    // provider through a synchronized registry, so 32-way parallel decode
+    // measured SLOWER than one task (0.47 → 0.88 s) — contention, not
+    // codec work, dominates. In a real cluster the lock is per-executor-JVM
+    // and per-partition parallelism would win; locally the ordered
+    // single-exchange shape is faster and keeps the same output order.
     (s, d) => Multimodal.decodeWav(
         Multimodal.synthesizeWav(
           t(s, d, "documents").select("doc_id").orderBy("doc_id"))),
@@ -1987,10 +2003,10 @@ object Catalog {
     * survive the small JPEG round-trip error, so a wrong container walk,
     * frame order, or channel decode hash-mismatches. */
   val x82 = Q("x82_video_decode",
-    // input-ordered (see x78): encode+demux+decode run once above the sort
+    // codecDocIds: ordered AND parallel (see x78) — the JPEG work is the
+    // whole query; single-task it measured 3.8 s, spread it is ~0.3 s
     (s, d) => Multimodal.decodeAvi(
-        Multimodal.synthesizeAvi(
-          t(s, d, "documents").select("doc_id").orderBy("doc_id"))),
+        Multimodal.synthesizeAvi(codecDocIds(s, d))),
     Some("""WITH fr AS (SELECT doc_id,
            |    unnest(range(0, CAST(2 + doc_id % 4 AS BIGINT))) AS f
            |  FROM documents)
