@@ -131,6 +131,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** ImageIO.read that NEVER propagates: returns null for unrecognized
+    * formats (ImageIO's own contract), corrupt bodies (IOException), and
+    * the RuntimeExceptions the JDK readers are known to throw on crafted
+    * headers (IndexOutOfBounds/NegativeArraySize/CMMException, …). One
+    * bad asset must degrade to null metrics, never fail the batch. */
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Per-channel pixel sums, one `getRGB` ROW fetch per scanline (the
+    * per-pixel getRGB call pays a ColorModel conversion + bounds check per
+    * pixel — measured dominant in the decode loop). Sums fit a Long far
+    * below 2^53, so downstream double division is correctly rounded. */
+  private def rgbSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val buf = new Array[Int](w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, buf, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = buf(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** REAL image decode over a binary payload column: `javax.imageio` parses
     * the compressed PNG/JPEG/BMP/GIF bytes and the pass emits geometry plus
     * exact per-channel pixel means. Narrow `mapPartitions` (pipelines with
@@ -153,28 +187,12 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        // ImageIO.read returns null only for UNRECOGNIZED formats; a payload
-        // with valid magic bytes but a corrupt body THROWS — catch it so one
-        // bad asset degrades to null metrics instead of failing the batch
-        val img =
-          if (bytes.isEmpty) null
-          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+        val img = readImageOrNull(bytes)
         if (img == null) Row(id, null, null, null, null, null)
         else {
           val w = img.getWidth
           val h = img.getHeight
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (sr, sg, sb) = rgbSums(img)
           val n = w.toLong * h
           Row(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
         }
@@ -248,9 +266,11 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val fmt = ais.getFormat
+          // channels < 1 is expressible in a crafted fmt chunk (the JDK
+          // reader does not validate it) and would divide by zero below
           if (fmt.getEncoding !=
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              fmt.getSampleSizeInBits != 16) nullRow(id)
+              fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) nullRow(id)
           else {
             val data = ais.readAllBytes()
             val ch = fmt.getChannels
@@ -425,60 +445,68 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val b = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        if (b.length < 12 || Riff.fourCC(b, 0) != "RIFF" ||
-            Riff.fourCC(b, 8) != "AVI ") Seq(nullRow(id))
-        else {
-          var avih: Option[(Long, Long, Int, Int)] = None // usPF, n, w, h
-          val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-          def walk(from: Int, until: Int): Unit = {
-            var off = from
-            while (off + 8 <= until) {
-              val cc = Riff.fourCC(b, off)
-              val size = Riff.u32(b, off + 4).toInt
-              val body = off + 8
-              cc match {
-                case "LIST" => walk(body + 4, body + size) // skip list type
-                case "avih" if size >= 40 =>
-                  avih = Some((Riff.u32(b, body), Riff.u32(b, body + 16),
-                    Riff.u32(b, body + 32).toInt, Riff.u32(b, body + 36).toInt))
-                case c if c.endsWith("dc") || c.endsWith("db") =>
-                  frames += java.util.Arrays.copyOfRange(b, body, body + size)
-                case _ => ()
+        // the whole per-asset parse is guarded: size fields are untrusted
+        // bytes, and any surviving surprise must become a null row, never a
+        // task failure
+        try {
+          if (b.length < 12 || Riff.fourCC(b, 0) != "RIFF" ||
+              Riff.fourCC(b, 8) != "AVI ") Seq(nullRow(id))
+          else {
+            var avih: Option[(Long, Long, Int, Int)] = None // usPF, n, w, h
+            val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            def walk(from: Int, until: Int, depth: Int): Unit = {
+              // bounded recursion: crafted nested LISTs must not overflow
+              // the stack (StackOverflowError is fatal — uncatchable here)
+              if (depth > 32)
+                throw new java.io.IOException("RIFF nesting too deep")
+              var off = from
+              val lim = math.min(until, b.length)
+              while (off + 8 <= lim) {
+                val cc = Riff.fourCC(b, off)
+                val body = off + 8
+                // CLAMP the declared size to the remaining buffer: an
+                // adversarial/corrupt field (e.g. 0xFFFFFFF8, which wraps
+                // to a negative Int) would otherwise stall the loop at a
+                // fixed offset or index past the array
+                val size = math.min(Riff.u32(b, off + 4),
+                  (b.length - body).toLong).toInt
+                cc match {
+                  case "LIST" if size >= 4 =>
+                    walk(body + 4, body + size, depth + 1)
+                  case "avih" if size >= 40 =>
+                    avih = Some((Riff.u32(b, body), Riff.u32(b, body + 16),
+                      Riff.u32(b, body + 32).toInt, Riff.u32(b, body + 36).toInt))
+                  case c if c.endsWith("dc") || c.endsWith("db") =>
+                    frames += java.util.Arrays.copyOfRange(b, body, body + size)
+                  case _ => ()
+                }
+                off = body + size + (size % 2) // size ≥ 0 ⇒ advances ≥ 8 bytes
               }
-              off = body + size + (size % 2) // chunks are word-aligned
+            }
+            walk(12, math.min(b.length.toLong, 8L + Riff.u32(b, 4)).toInt, 0)
+            avih match {
+              case None => Seq(nullRow(id))
+              case Some((usPf, n, w, h)) if frames.isEmpty =>
+                // valid header, no frame chunks: keep the asset PRESENT
+                // (metadata recovered, frame metrics null) — vanishing
+                // entirely would be indistinguishable from 'not processed'
+                Seq(Row(id, null, w, h, n, usPf, null, null, null))
+              case Some((usPf, n, w, h)) =>
+                frames.zipWithIndex.map { case (jpeg, f) =>
+                  val img = readImageOrNull(jpeg)
+                  if (img == null)
+                    Row(id, f.toLong, w, h, n, usPf, null, null, null)
+                  else {
+                    val (sr, sg, sb) = rgbSums(img)
+                    val np = img.getWidth.toLong * img.getHeight
+                    Row(id, f.toLong, w, h, n, usPf,
+                      (sr / np / 16).toInt, (sg / np / 16).toInt,
+                      (sb / np / 16).toInt)
+                  }
+                }.toSeq
             }
           }
-          walk(12, math.min(b.length, 8 + Riff.u32(b, 4).toInt))
-          avih match {
-            case None => Seq(nullRow(id))
-            case Some((usPf, n, w, h)) =>
-              frames.zipWithIndex.map { case (jpeg, f) =>
-                val img =
-                  try javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(jpeg))
-                  catch { case _: java.io.IOException => null }
-                if (img == null)
-                  Row(id, f.toLong, w, h, n, usPf, null, null, null)
-                else {
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  var y = 0
-                  while (y < img.getHeight) {
-                    var x = 0
-                    while (x < img.getWidth) {
-                      val p = img.getRGB(x, y)
-                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  val np = img.getWidth.toLong * img.getHeight
-                  Row(id, f.toLong, w, h, n, usPf,
-                    (sr / np / 16).toInt, (sg / np / 16).toInt,
-                    (sb / np / 16).toInt)
-                }
-              }.toSeq
-          }
-        }
+        } catch { case scala.util.control.NonFatal(_) => Seq(nullRow(id)) }
       }
     }(enc)
   }
@@ -498,11 +526,13 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val p = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val f = Array.tabulate(4) { i =>
-          if (p.isEmpty) 0f
-          else (p.iterator.zipWithIndex
-            .filter(_._2 % 4 == i).map(_._1.toInt & 0xff).sum % 997) / 997f
-        }
+        // one primitive pass, Long lanes: an Int sum overflows (negative
+        // feature) past ~34 MB of high-valued bytes — in scope, the
+        // scaladoc says payloads are MBs each
+        val sums = new Array[Long](4)
+        var i = 0
+        while (i < p.length) { sums(i % 4) += p(i) & 0xff; i += 1 }
+        val f = Array.tabulate(4)(i => (sums(i) % 997).toFloat / 997f)
         Row(id, f)
       }
     }(enc)

@@ -421,16 +421,64 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: non-AVI or corrupt-frame video payload yields null " +
-    "metrics, not a task failure") {
+  test("multimodal: non-AVI, corrupt, or adversarial video payloads yield " +
+    "null metrics, not a hang or task failure") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    // size field 0xFFFFFFF8 wraps to Int -8: with an unclamped walker the
+    // chunk offset never advances (infinite executor spin)
+    val sizeWrap = cc("RIFF") ++ le32(100) ++ cc("AVI ") ++
+      cc("avih") ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](40)(0)
+    // declared avih size 40 but only 8 body bytes present: an unclamped
+    // reader indexes past the array
+    val truncated = cc("RIFF") ++ le32(0x1000) ++ cc("AVI ") ++
+      cc("avih") ++ le32(40) ++ Array.fill[Byte](8)(0)
+    // deeply nested LISTs: a depth-unbounded recursive walker overflows
+    // the stack (fatal, uncatchable)
+    val deep = cc("RIFF") ++ le32(12L * 4000 + 4) ++ cc("AVI ") ++
+      (1 to 4000).flatMap(_ => cc("LIST") ++ le32(12L * 4000) ++ cc("hdrl"))
+        .toArray
     val assets = Seq(
       (1L, "definitely not an avi".getBytes("UTF-8")),
       (2L, null.asInstanceOf[Array[Byte]]),
-      (3L, "RIFF".getBytes("UTF-8"))).toDF("asset_id", "payload")
+      (3L, "RIFF".getBytes("UTF-8")),
+      (4L, sizeWrap), (5L, truncated), (6L, deep)).toDF("asset_id", "payload")
     val rows = Multimodal.decodeAvi(assets).orderBy("asset_id").collect()
-    assert(rows.length == 3)
-    for (r <- rows) assert(r.isNullAt(2) && r.isNullAt(6),
+    assert(rows.length == 6)
+    for (r <- rows) assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8),
       s"expected null metrics for asset ${r.getLong(0)}")
+  }
+
+  test("multimodal: a frame-less but well-formed AVI stays PRESENT in the " +
+    "output with its container metadata") {
+    // synthesize a real AVI, then drop its movi frame chunks by rewriting
+    // them to a padding fourCC the demux ignores
+    val one = Seq((3L, "t", "s", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val avi = Multimodal.synthesizeAvi(one).collect()(0).getAs[Array[Byte]](1)
+    val gutted = avi.clone()
+    def find(pat: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + pat.length <= gutted.length &&
+        !pat.indices.forall(j => gutted(i + j) == pat(j))) i += 1
+      if (i + pat.length <= gutted.length) i else -1
+    }
+    var at = find("00dc".getBytes("US-ASCII"), 0)
+    while (at >= 0) {
+      gutted(at) = 'J'; gutted(at + 1) = 'U'  // 'JUNK'-style ignored chunk
+      gutted(at + 2) = 'N'; gutted(at + 3) = 'K'
+      at = find("00dc".getBytes("US-ASCII"), at + 4)
+    }
+    val got = Multimodal.decodeAvi(
+      Seq((3L, gutted)).toDF("asset_id", "payload")).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.isNullAt(1)) // no frames
+    assert(r.getInt(2) == (32 + 16 * (3 % 4)) &&
+      r.getLong(4) == 2 + 3 % 4 && r.getLong(5) == 40000L,
+      "container metadata must survive a frame-less AVI")
   }
 
   test("multimodal: undecodable or non-PCM16 audio payload yields null " +
