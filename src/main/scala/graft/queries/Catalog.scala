@@ -96,6 +96,12 @@ object Catalog {
       .repartitionByRange(32, col("doc_id"))
       .sortWithinPartitions("doc_id")
 
+  /** Cap on the bigram-LM entries x81 will pull to the driver and broadcast
+    * (same role and magnitude as [[Dedup.MaxBroadcastShingles]]): ~60 MB of
+    * (bigram, logprob) rows. A corpus whose bigram vocabulary exceeds this
+    * keeps the fully-distributed shuffle-join plan. */
+  private val MaxBroadcastLmEntries: Int = 1 << 20
+
   // ------------------------------------------------------------------ core
 
   /** Q1 — C10/C11 projection + rename (reference transform's column surface,
@@ -1954,7 +1960,19 @@ object Catalog {
     * REJECTED: sum-of-6-decimals / n lands exactly on x.xxxx5 boundaries,
     * where Spark rounds the exact binary double and DuckDB rounds the
     * ×10⁴-scaled double — a measured 1-ulp disagreement at sf0.1 (row 677:
-    * −3.4063 vs −3.4064). Callers derive the mean from (sum, n). */
+    * −3.4063 vs −3.4064). Callers derive the mean from (sum, n).
+    *
+    * Routing (round 5, x20's gated-broadcast pattern): the LM table is
+    * vocab²-bounded but the corpus is not, so the scoring join is routed at
+    * build time by an ACTUAL size probe — `Actions.boundedRows` collects the
+    * LM in one job (static: count + window run as chained stages of that
+    * job). Under the cap the LM rides back as a LocalRelation broadcast-hash
+    * join: the scoring side never shuffles by bigram and the whole query is
+    * lm-build + score-agg + output sort. Over the cap (a web-scale
+    * vocabulary) the original shuffle join comes back UNDER AQE — a hot
+    * bigram ("of the") skews the pairs-side exchange, which is exactly
+    * runtime skew-split territory. The 7-job adaptive shape this replaces
+    * measured 0.54 s with every job under 0.13 s — pure replan floor. */
   val x81 = Q("x81_lm_score",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1962,20 +1980,70 @@ object Catalog {
         .select(col("doc_id"), explode(
           graft.functions.TextHashFunctions.tokenPairs(col("text"))).as("bg"))
       val bgCounts = pairs.groupBy("bg").agg(count(lit(1)).as("c2"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      // prefix totals as an unordered window over the count table — ONE
-      // exchange by w1 and no join, vs aggregate + join-back (two exchanges
-      // of the count table). w1 cardinality = vocabulary, so the window
-      // partitioning is high-cardinality at any scale (x51-audit clean).
-      val lm = bgCounts
-        .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
-        .select(col("bg"),
-          round(log(col("c2") / col("c1")), 6).cast("decimal(18,6)").as("lp"))
-      pairs.join(lm, "bg")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum("lp").cast("double").as("logp_sum"))
-        .orderBy("doc_id")
+      graft.engine.Actions.boundedRows(bgCounts, MaxBroadcastLmEntries) match {
+        case Some(rows) =>
+          // under-cap route: the probe job was ONE exchange (the bigram
+          // count agg); the w1 prefix totals and log-probs are O(vocab²)
+          // driver arithmetic on rows already in hand. lp replicates
+          // Spark's round(log(c2/c1), 6) bit-for-bit: Math.log IS Spark's
+          // LOG, and BigDecimal.valueOf(_).setScale(6, HALF_UP) IS Spark's
+          // ROUND-on-double (Decimal.fromDecimal path).
+          val counts = rows.map(r => (r.getString(0), r.getLong(1)))
+          val c1 = new scala.collection.mutable.HashMap[String, Long]()
+          counts.foreach { case (bg, c2) =>
+            val w1 = bg.substring(0, bg.indexOf(' '))
+            c1.update(w1, c1.getOrElse(w1, 0L) + c2)
+          }
+          val lmRows: Array[org.apache.spark.sql.Row] = counts.map {
+            case (bg, c2) =>
+              val w1 = bg.substring(0, bg.indexOf(' '))
+              val lp = java.math.BigDecimal
+                .valueOf(math.log(c2.toDouble / c1(w1).toDouble))
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+              org.apache.spark.sql.Row(bg, lp)
+          }
+          val lmSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bg",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lp",
+              org.apache.spark.sql.types.DecimalType(18, 6))))
+          val local = s.createDataFrame(
+            java.util.Arrays.asList(lmRows: _*), lmSchema)
+          // one-exchange fusion (the q11/x36 pattern, applied to an
+          // aggregate): range-partition the RAW scan by doc_id — the sort
+          // sampling sees plain scan rows, so the TokenPairs kernel runs
+          // once — then explode and the broadcast join preserve the
+          // partitioning, RangePartitioning(doc_id) satisfies the
+          // aggregate's ClusteredDistribution (no agg exchange), and the
+          // narrow within-partition sort restores the total output order.
+          sortedDocs(s, d)
+            .select(col("doc_id"), explode(
+              graft.functions.TextHashFunctions.tokenPairs(col("text")))
+              .as("bg"))
+            .join(broadcast(local), "bg")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_bigrams"),
+              sum("lp").cast("double").as("logp_sum"))
+            .sortWithinPartitions("doc_id")
+        case None =>
+          // over-cap fallback (web-scale vocabulary): fully distributed —
+          // prefix totals as an unordered window over the count table (ONE
+          // exchange by w1, no join-back; w1 cardinality = vocabulary, so
+          // the window key is high-cardinality at any scale, x51-audit
+          // clean), then a shuffle join, adaptive for skew-splitting.
+          val lm = bgCounts
+            .withColumn("w1", substring_index(col("bg"), " ", 1))
+            .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
+            .select(col("bg"),
+              round(log(col("c2") / col("c1")), 6).cast("decimal(18,6)")
+                .as("lp"))
+          if (!aqeOverridden) s.conf.set("spark.sql.adaptive.enabled", "true")
+          pairs.join(lm, "bg")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_bigrams"),
+              sum("lp").cast("double").as("logp_sum"))
+            .orderBy("doc_id")
+      }
     },
     Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
             |  FROM documents),
@@ -2086,7 +2154,11 @@ object Catalog {
     "x62_funnel", "x72_gapfill",
     "x67_winsorize",
     "x69_repetition", "x71_knn_label", "x73_forward_fill", "x76_rank_ties",
-    "x77_mad", "x78_image_decode")
+    "x77_mad", "x78_image_decode",
+    // x81: the gated-broadcast route (see the builder) makes the main plan
+    // an lm-probe job + broadcast-join/agg job — nothing left for AQE to
+    // re-decide; the over-cap fallback re-enables AQE itself at build time
+    "x81_lm_score")
 
   /** An explicit SPARK_GRAFT_CONF override of the AQE flag disables the
     * per-query route entirely — the A/B escape hatch must win, not be
