@@ -374,6 +374,46 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** SemDeDup — semantic dedup scoped to embedding-space clusters (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): assign every vector to its
+    * nearest centroid, then compare pairs ONLY within a cell; a vector with
+    * any lower-id cell-mate at cosine ≥ threshold is a semantic duplicate
+    * (keep-lowest-id — the same priority rule as the exact/MinHash tiers).
+    * Returns the per-cell report (cell, n_vectors, n_dropped, n_kept).
+    *
+    * Scale posture: cross-cell pairs are never formed — that is the
+    * algorithm's contract (the paper dedups within k-means clusters only),
+    * not an approximation knob bolted on. Pair work is Σ|cell|² and the
+    * join key cardinality equals the centroid count k, BOTH of which scale
+    * by raising k with the corpus (k ≈ n / target-cell-size in the paper's
+    * regime; the trained-centroid seam is [[Similarity.kmeansCentroids]]).
+    * The centroid ranking is one broadcast cross join + per-vector window
+    * ([[Similarity.cellsRanked]]); the cell table feeds three consumers
+    * (both pair sides and the size report), so it is lazily checkpointed
+    * once instead of re-running the assignment window per consumer. */
+  def semanticDedup(emb: DataFrame, cents: DataFrame,
+                    threshold: Double): DataFrame = {
+    val cells = Similarity.cellsRanked(emb, cents)
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .localCheckpoint(false)
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_v"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id") &&
+        VectorFunctions.cosine4(col("a_v"), col("b_v")) >= lit(threshold))
+      .select(col("cell"), col("b_id")).distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n_vectors"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
   /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap
     * the probe side; the unbounded scale path is embeddingNearDupLsh).
     *

@@ -129,17 +129,27 @@ object Similarity {
     ivfTopKWith(emb, cents, maxQueryId, k, nprobe)
   }
 
-  /** IVF-flat over an explicit centroid table `(cid, cv)` — the seam the
-    * trained path shares with the deterministic one. */
-  def ivfTopKWith(emb: DataFrame, cents: DataFrame, maxQueryId: Long,
-                  k: Int, nprobe: Int): DataFrame = {
+  /** Centroid-preference ranking behind every IVF-shaped consumer
+    * ([[ivfTopKWith]]'s cells and probes, [[graft.operators.Dedup
+    * .semanticDedup]]'s clusters): one broadcast of the centroid table into
+    * a scored cross join, one per-vector window ranking centroids by dot
+    * (ties to the lowest cid). `crn = 1` is the cell assignment; `crn ≤ p`
+    * is the probe set. The window key is vec_id — maximal cardinality. */
+  def cellsRanked(emb: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scoredCells = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         V.dot(col("embedding"), col("cv")).as("cdot"))
     val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid"))
-    val ranked = scoredCells.withColumn("crn", row_number().over(w))
+    scoredCells.withColumn("crn", row_number().over(w))
+  }
+
+  /** IVF-flat over an explicit centroid table `(cid, cv)` — the seam the
+    * trained path shares with the deterministic one. */
+  def ivfTopKWith(emb: DataFrame, cents: DataFrame, maxQueryId: Long,
+                  k: Int, nprobe: Int): DataFrame = {
+    val ranked = cellsRanked(emb, cents)
     val cells = ranked.where(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
     val probes = ranked.where(col("vec_id") < maxQueryId && col("crn") <= nprobe)

@@ -2089,6 +2089,44 @@ object Catalog {
            |FROM fr ORDER BY asset_id, frame_idx""".stripMargin),
     bench = false)
 
+  /** SemDeDup semantic dedup (Abbas et al. 2023) over the embeddings table:
+    * nearest-centroid cell assignment (x48's deterministic centroid table,
+    * shared seam with the IVF tier), within-cell keep-lowest-id cosine
+    * dedup at τ = 0.4, per-cell report. See [[Dedup.semanticDedup]] for the
+    * scale contract (pair work Σ|cell|², never cross-cell; the cell-key
+    * cardinality is the centroid count k, which the algorithm grows with
+    * the corpus — locally k = 8 over 2k vectors; at 100 TB the trained
+    * [[Similarity.kmeansCentroids]] path sets k ≈ n / target-cell-size). */
+  val x83 = Q("x83_semantic_dedup",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      reportSortFused(Dedup.semanticDedup(emb, cents, 0.4), col("cell"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+           |sc AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS crn
+           |  FROM e, c),
+           |cells AS (SELECT vec_id, v, nrm, cid AS cell FROM sc WHERE crn = 1),
+           |dups AS (SELECT DISTINCT a.cell, b.vec_id AS b_id
+           |  FROM cells a JOIN cells b ON a.cell = b.cell
+           |    AND a.vec_id < b.vec_id
+           |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+           |    >= 0.4),
+           |agg AS (SELECT cell, COUNT(*) AS n_vectors FROM cells GROUP BY 1),
+           |dagg AS (SELECT cell, COUNT(*) AS n_dropped FROM dups GROUP BY 1)
+           |SELECT agg.cell, n_vectors,
+           |  CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+           |  CAST(n_vectors - COALESCE(n_dropped, 0) AS BIGINT) AS n_kept
+           |FROM agg LEFT JOIN dagg USING (cell)
+           |ORDER BY agg.cell""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2107,7 +2145,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82)
+    x78, x79, x80, x81, x82, x83)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

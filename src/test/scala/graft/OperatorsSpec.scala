@@ -265,6 +265,23 @@ class OperatorsSpec extends AnyFunSuite {
       ivf(0).getDouble(3) == 1.0) // twin lands in the same cell → rank 1
   }
 
+  test("semanticDedup drops within-cell near-dups, never cross-cell pairs") {
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("cid", "cv")
+    val emb = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),     // cell 0
+      (11L, Array(0.99f, 0.05f, 0f, 0f)), // cell 0, cos(10,11) ≈ 0.999 → dropped
+      (12L, Array(0f, 1f, 0f, 0f)),     // cell 1
+      (13L, Array(0.72f, 0.69f, 0f, 0f)), // cell 0 (boundary, x-axis wins)
+      (14L, Array(0.69f, 0.72f, 0f, 0f))  // cell 1: cos(13,14) ≈ 0.999 but
+                                          // CROSS-cell → both kept
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(emb, cents, 0.9)
+      .orderBy("cell").collect().toSeq
+    assert(got == Seq(Row(0L, 3L, 1L, 2L), Row(1L, 2L, 0L, 2L)))
+  }
+
   test("lsh band keys: identical vectors share every band key, opposite vectors none") {
     val emb = Seq(
       (0L, Array.fill(64)(1f)),

@@ -18,7 +18,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q14_cosine_topk" -> "crossJoin with a broadcast single-row query vector",
     "x39_tfidf" -> "crossJoin with a broadcast 1-row corpus-count aggregate",
     "x48_ann_ivf" -> "crossJoin with the broadcast 8-row centroid table",
-    "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set")
+    "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set",
+    "x83_semantic_dedup" -> ("crossJoin with the broadcast k-row centroid " +
+      "table (inside the checkpointed cell-assignment lineage)"))
 
   /** Queries allowed an ExistingRDD scan, with why. */
   val rddAllowed: Map[String, String] = Map(
@@ -42,7 +44,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "x79_sequence_packing" -> ("orderedRunningTotal two-pass: the global " +
       "cumulative sum needs a per-partition sequential prefix scan (the " +
       "documented mapPartitions tier) — the declarative alternative is a " +
-      "single-partition window over the whole corpus"))
+      "single-partition window over the whole corpus"),
+    "x83_semantic_dedup" -> ("cell-assignment table feeds three consumers " +
+      "(both within-cell pair sides and the size report); one lazy " +
+      "localCheckpoint replaces three broadcast-crossJoin+window runs — " +
+      "every consumer is still Catalyst-planned"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
