@@ -2127,6 +2127,74 @@ object Catalog {
            |ORDER BY agg.cell""".stripMargin),
     bench = false)
 
+  /** Token-budget mixture sampling — the data-mixing step ahead of
+    * training: sample every source toward an equal share of a global token
+    * budget (here 25% of corpus tokens, uniform weights). Per-source token
+    * totals set a deterministic per-mille keep rate in exact BIGINT
+    * arithmetic (capped at keep-all for under-represented sources), applied
+    * via x63's Knuth multiplicative hash of doc_id — reproducible across
+    * runs, engines and partitionings, unlike rand() sampling. Report:
+    * per-source docs/tokens before the gate, the rate, and the sampled
+    * docs/tokens. Scale shape: two corpus passes (totals, then the
+    * rate-gated sample aggregate), each one scan + one source-bounded
+    * aggregate; the rate table rides a broadcast; nothing driver-side. */
+  val x84 = Q("x84_mixture_sample",
+    (s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"), col("source"),
+        size(expr(Portable.tokens(SparkD, "text"))).cast("bigint")
+          .as("n_toks"))
+      val bySource = toks.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").cast("bigint").as("toks_total"))
+      val totals = bySource.agg(sum("toks_total").cast("bigint").as("grand"),
+        count(lit(1)).as("n_sources"))
+      val rates = bySource.crossJoin(broadcast(totals))
+        .withColumn("rate_pm", least(lit(1000L),
+          expr("(1000 * (grand div 4)) div (n_sources * toks_total)")))
+        .select("source", "n_docs", "toks_total", "rate_pm")
+      val sampled = toks
+        .withColumn("h",
+          ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+            % lit(1000000007L) % lit(1000L))
+        .join(broadcast(rates.select("source", "rate_pm")), "source")
+        .where(col("h") < col("rate_pm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("n_toks").cast("bigint").as("toks_sampled"))
+      reportSortFused(
+        rates.join(sampled, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("toks_total"),
+            col("rate_pm"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled")),
+        col("source"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+            |    CAST(length(${Portable.tokens(DuckD, "text")}) AS BIGINT)
+            |      AS n_toks
+            |  FROM documents),
+            |bs AS (SELECT source, COUNT(*) AS n_docs,
+            |    CAST(SUM(n_toks) AS BIGINT) AS toks_total FROM t GROUP BY 1),
+            |tot AS (SELECT CAST(SUM(toks_total) AS BIGINT) AS grand,
+            |    COUNT(*) AS n_sources FROM bs),
+            |r AS (SELECT bs.source, bs.n_docs, bs.toks_total,
+            |    least(CAST(1000 AS BIGINT),
+            |      (1000 * (grand // 4)) // (n_sources * toks_total))
+            |      AS rate_pm
+            |  FROM bs, tot),
+            |smp AS (SELECT t.source, COUNT(*) AS n_sampled,
+            |    CAST(SUM(t.n_toks) AS BIGINT) AS toks_sampled
+            |  FROM t JOIN r USING (source)
+            |  WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007)
+            |    % 1000 < rate_pm
+            |  GROUP BY 1)
+            |SELECT r.source, n_docs, toks_total, rate_pm,
+            |  CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
+            |  CAST(COALESCE(toks_sampled, 0) AS BIGINT) AS toks_sampled
+            |FROM r LEFT JOIN smp USING (source)
+            |ORDER BY r.source""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2145,7 +2213,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83)
+    x78, x79, x80, x81, x82, x83, x84)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -102,7 +102,9 @@ class CatalogSpec extends AnyFunSuite {
     "x81_lm_score" -> Seq("doc_id", "n_bigrams", "logp_sum"),
     "x82_video_decode" -> Seq("asset_id", "frame_idx", "width", "height",
       "n_frames", "us_per_frame", "r_bucket", "g_bucket", "b_bucket"),
-    "x83_semantic_dedup" -> Seq("cell", "n_vectors", "n_dropped", "n_kept"))
+    "x83_semantic_dedup" -> Seq("cell", "n_vectors", "n_dropped", "n_kept"),
+    "x84_mixture_sample" -> Seq("source", "n_docs", "toks_total", "rate_pm",
+      "n_sampled", "toks_sampled"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

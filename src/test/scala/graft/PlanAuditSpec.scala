@@ -20,7 +20,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x48_ann_ivf" -> "crossJoin with the broadcast 8-row centroid table",
     "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set",
     "x83_semantic_dedup" -> ("crossJoin with the broadcast k-row centroid " +
-      "table (inside the checkpointed cell-assignment lineage)"))
+      "table (inside the checkpointed cell-assignment lineage)"),
+    "x84_mixture_sample" -> ("crossJoin with the broadcast 1-row " +
+      "grand-total aggregate (the x39 pattern)"))
 
   /** Queries allowed an ExistingRDD scan, with why. */
   val rddAllowed: Map[String, String] = Map(
