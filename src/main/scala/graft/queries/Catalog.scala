@@ -2195,6 +2195,51 @@ object Catalog {
             |ORDER BY r.source""".stripMargin),
     bench = false)
 
+  /** Cross-document repeated-passage removal — the C4/RefinedWeb dedup step
+    * that drops a PASSAGE wherever its exact text already appeared earlier
+    * in the corpus (x64's chunking composed with x17's keep-first rule, as
+    * one operator): documents are cut into non-overlapping 30-token
+    * chunks, each chunk keyed by its md5 (identical bytes both engines —
+    * the 16-byte digest is what shuffles, never the passage text), and a
+    * per-key window keeps the first (doc_id, off) occurrence. Report: per
+    * document, chunks and duplicates. Scale shape: one slim digest shuffle
+    * for the window (key cardinality = distinct passages), one doc_id agg;
+    * the x51-audit is clean on both keys. */
+  val x85 = Q("x85_passage_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), expr(Portable.tokens(SparkD, "text"))
+          .as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, n, 30)")).as("off"))
+        .select(col("doc_id"), col("off").cast("bigint").as("off"),
+          md5(concat_ws(" ", slice(col("toks"), col("off"), lit(30))))
+            .as("h"))
+      val w = Window.partitionBy("h").orderBy("doc_id", "off")
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")}
+            |    AS toks FROM documents),
+            |t2 AS (SELECT doc_id, toks, length(toks) AS n FROM t
+            |  WHERE length(toks) > 0),
+            |c AS (SELECT doc_id, CAST(off AS BIGINT) AS off,
+            |    md5(array_to_string(toks[off:least(off + 29, n)], ' ')) AS h
+            |  FROM t2, unnest(range(1, n + 1, 30)) AS u(off)),
+            |w AS (SELECT doc_id, off, row_number() OVER (PARTITION BY h
+            |    ORDER BY doc_id, off) AS rn FROM c)
+            |SELECT doc_id, COUNT(*) AS n_chunks,
+            |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_dupes
+            |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2213,7 +2258,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84)
+    x78, x79, x80, x81, x82, x83, x84, x85)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -104,7 +104,8 @@ class CatalogSpec extends AnyFunSuite {
       "n_frames", "us_per_frame", "r_bucket", "g_bucket", "b_bucket"),
     "x83_semantic_dedup" -> Seq("cell", "n_vectors", "n_dropped", "n_kept"),
     "x84_mixture_sample" -> Seq("source", "n_docs", "toks_total", "rate_pm",
-      "n_sampled", "toks_sampled"))
+      "n_sampled", "toks_sampled"),
+    "x85_passage_dedup" -> Seq("doc_id", "n_chunks", "n_dupes"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

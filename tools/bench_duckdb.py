@@ -55,7 +55,8 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (73, "forward_fill"), (74, "debounce"), (75, "share_of_total"),
     (76, "rank_ties"), (77, "mad"), (78, "image_decode"),
     (79, "sequence_packing"), (80, "audio_decode"), (81, "lm_score"),
-    (82, "video_decode"), (83, "semantic_dedup"), (84, "mixture_sample")]]
+    (82, "video_decode"), (83, "semantic_dedup"), (84, "mixture_sample"),
+    (85, "passage_dedup")]]
 
 
 # queries declared WITHOUT an oracle by design (rows-only checks) — the only
