@@ -392,26 +392,86 @@ object Dedup {
     * ([[Similarity.cellsRanked]]); the cell table feeds three consumers
     * (both pair sides and the size report), so it is lazily checkpointed
     * once instead of re-running the assignment window per consumer. */
-  def semanticDedup(emb: DataFrame, cents: DataFrame,
-                    threshold: Double): DataFrame = {
-    val cells = Similarity.cellsRanked(emb, cents)
-      .where(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  /** Centroid-table broadcast cap for [[semanticDedup]]'s kernel route:
+    * ~64 MB of k × 64-dim double vectors — covers the paper-regime k for
+    * IVF/SemDeDup; a larger centroid table falls back to the fully
+    * distributed cross-join + window assignment. */
+  val MaxBroadcastCentroids: Int = 1 << 17
+
+  def semanticDedup(emb: DataFrame, cents: DataFrame, threshold: Double,
+                    saltParts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    // Cell assignment routes on an ACTUAL centroid-table size probe (one
+    // tiny job): under the cap, assignment is the NearestCentroid codegen
+    // kernel — k sequential dots per row against a broadcast matrix, no
+    // cross join, no ranking window, no exchange. Over the cap, the
+    // declarative cellsRanked plan (broadcast cross join + per-vector
+    // window) keeps the operator correct for unbounded centroid tables.
+    //
+    // double-cast and norm are computed ONCE per vector, before the
+    // checkpoint — the naive per-pair cosine4 evaluates THREE 64-dim dots
+    // per pair (a·b plus both norms); with |cell|² pairs per cell that
+    // tripling is the dominant cost. Numerically identical: the same
+    // sqrt(dot(v,v)) doubles divide the same pair dot.
+    val assigned = graft.engine.Actions.boundedRows(
+        cents.select(col("cid"),
+          VectorFunctions.asDouble(col("cv")).as("cv")),
+        MaxBroadcastCentroids) match {
+      case Some(rows) =>
+        val sorted = rows
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        val bc = emb.sparkSession.sparkContext.broadcast(
+          (sorted.map(_._1), sorted.map(_._2)))
+        emb.select(col("vec_id"),
+            VectorFunctions.asDouble(col("embedding")).as("v"))
+          .withColumn("cell", B.column(graft.functions.NearestCentroid(
+            B.expression(col("v")), bc)))
+      case None =>
+        Similarity.cellsRanked(emb, cents)
+          .where(col("crn") === 1)
+          .select(col("vec_id"),
+            VectorFunctions.asDouble(col("embedding")).as("v"),
+            col("cid").as("cell"))
+    }
+    // the cell table feeds three consumers (both pair sides + the size
+    // report): one lazy narrow materialization instead of three assignment
+    // passes (k dots per row each)
+    val cells = assigned
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
       .localCheckpoint(false)
+    // Salted pair join: colocating by cell alone caps parallelism at k
+    // cells — fine at corpus scale (k ≥ cores by construction), a 3-task
+    // bottleneck locally where k = 8 < 32. The b side is replicated
+    // saltParts ways and the a side routes to salt a_id % saltParts, so
+    // every within-cell pair still meets EXACTLY once while the scoring
+    // stage spreads over k × saltParts keys. At scale set saltParts = 1
+    // (no replication) — the knob trades shuffle volume for parallelism
+    // only where cells are fewer than cores.
+    val salts = array((0 until saltParts).map(i => lit(i.toLong)): _*)
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),
-      col("embedding").as("a_v"))
+      col("v").as("a_v"), col("nrm").as("na"),
+      (col("vec_id") % lit(saltParts.toLong)).as("s"))
     val b = cells.select(col("cell"), col("vec_id").as("b_id"),
-      col("embedding").as("b_v"))
-    val dropped = a.join(b, Seq("cell"))
+      col("v").as("b_v"), col("nrm").as("nb"))
+      .withColumn("s", explode(salts))
+    val hits = a.join(b, Seq("cell", "s"))
       .where(col("a_id") < col("b_id") &&
-        VectorFunctions.cosine4(col("a_v"), col("b_v")) >= lit(threshold))
-      .select(col("cell"), col("b_id")).distinct()
-      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
-    cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
-      .join(dropped, Seq("cell"), "left")
-      .select(col("cell"), col("n_vectors"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        round(VectorFunctions.dot(col("a_v"), col("b_v"))
+          / (col("na") * col("nb")), 4) >= lit(threshold))
+      .select(col("cell"), col("b_id"))
+    // ONE aggregation produces the whole report: the pair hits union the
+    // vector rows (tagged b_id = null), then per cell n_vectors counts the
+    // null tags and n_dropped count-distincts the hit ids (nulls ignored).
+    // This replaces a distinct pass + a separate size branch + a join-back
+    // — two exchanges and an aggregation pipeline fewer.
+    hits.unionByName(cells.select(col("cell"),
+        lit(null).cast("long").as("b_id")))
+      .groupBy("cell")
+      .agg(count(when(col("b_id").isNull, 1)).as("n_vectors"),
+        countDistinct(col("b_id")).as("n_dropped"))
+      .select(col("cell"), col("n_vectors"), col("n_dropped"),
+        (col("n_vectors") - col("n_dropped")).as("n_kept"))
   }
 
   /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap

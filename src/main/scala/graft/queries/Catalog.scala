@@ -2309,7 +2309,11 @@ object Catalog {
     // x81: the gated-broadcast route (see the builder) makes the main plan
     // an lm-probe job + broadcast-join/agg job — nothing left for AQE to
     // re-decide; the over-cap fallback re-enables AQE itself at build time
-    "x81_lm_score")
+    "x81_lm_score",
+    // x83: the salted pair join is CPU-bound on byte-tiny inputs — AQE's
+    // size-based coalescing folds the scoring stage back onto one task
+    // (the x82-codec blindness); static keeps the salt's parallelism
+    "x83_semantic_dedup")
 
   /** An explicit SPARK_GRAFT_CONF override of the AQE flag disables the
     * per-query route entirely — the A/B escape hatch must win, not be

@@ -19,8 +19,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x39_tfidf" -> "crossJoin with a broadcast 1-row corpus-count aggregate",
     "x48_ann_ivf" -> "crossJoin with the broadcast 8-row centroid table",
     "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set",
-    "x83_semantic_dedup" -> ("crossJoin with the broadcast k-row centroid " +
-      "table (inside the checkpointed cell-assignment lineage)"),
+    "x83_semantic_dedup" -> ("over-cap fallback only: crossJoin with the " +
+      "broadcast centroid table (the default route is the NearestCentroid " +
+      "kernel — no join at all)"),
     "x84_mixture_sample" -> ("crossJoin with the broadcast 1-row " +
       "grand-total aggregate (the x39 pattern)"))
 
@@ -49,8 +50,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "single-partition window over the whole corpus"),
     "x83_semantic_dedup" -> ("cell-assignment table feeds three consumers " +
       "(both within-cell pair sides and the size report); one lazy " +
-      "localCheckpoint replaces three broadcast-crossJoin+window runs — " +
-      "every consumer is still Catalyst-planned"))
+      "localCheckpoint replaces three NearestCentroid assignment passes " +
+      "(k dots per row each) — every consumer is still Catalyst-planned"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {

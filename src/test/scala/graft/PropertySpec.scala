@@ -263,6 +263,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup matches a driver-side reference (kernel argmax " +
+    "assignment ≡ window ORDER BY cdot DESC, cid ASC; within-cell pairs only)") {
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 8; val n = 60; val k = 3; val tau = 0.6
+      val vecs = Array.fill(n)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      val dv = vecs.map(_.map(_.toDouble))
+      // driver reference: strict > keeps the FIRST (lowest-cid) maximum
+      val cellOf = dv.map { v =>
+        var best = 0; var bd = Double.NegativeInfinity
+        for (c <- 0 until k) {
+          val d = ddot(v, dv(c)); if (d > bd) { bd = d; best = c }
+        }
+        best.toLong
+      }
+      def cos4(a: Int, b: Int): Double =
+        java.math.BigDecimal.valueOf(
+          ddot(dv(a), dv(b)) / (math.sqrt(ddot(dv(a), dv(a))) *
+            math.sqrt(ddot(dv(b), dv(b)))))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val dropped = (0 until n).filter(b =>
+        (0 until b).exists(a => cellOf(a) == cellOf(b) && cos4(a, b) >= tau))
+      val expected = cellOf.zipWithIndex
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cell, members) =>
+          val nd = members.count(m => dropped.contains(m._2)).toLong
+          Row(cell, members.length.toLong, nd, members.length - nd)
+        }
+      val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toSeq.toDF("vec_id", "embedding")
+      val cents = (0 until k).map(i => (i.toLong, vecs(i)))
+        .toDF("cid", "cv")
+      val got = graft.operators.Dedup.semanticDedup(emb, cents, tau)
+        .orderBy("cell").collect().toSeq
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("asOfJoin matches a driver-side reference on generated data " +
     "(null payloads, null timestamps, no prior row)") {
     import java.sql.Timestamp
