@@ -2140,18 +2140,46 @@ object Catalog {
     * aggregate; the rate table rides a broadcast; nothing driver-side. */
   val x84 = Q("x84_mixture_sample",
     (s, d) => {
+      // one kernel pass: the (doc_id, source, n_toks) projection feeds both
+      // the totals aggregate and the sample pass — lazily checkpointed so
+      // the tokens kernel runs once (the probe below is the first action,
+      // so its map stage doubles as the checkpoint writer, x20's trick)
       val toks = t(s, d, "documents").select(col("doc_id"), col("source"),
         size(expr(Portable.tokens(SparkD, "text"))).cast("bigint")
           .as("n_toks"))
+        .localCheckpoint(false)
       val bySource = toks.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_toks").cast("bigint").as("toks_total"))
-      val totals = bySource.agg(sum("toks_total").cast("bigint").as("grand"),
-        count(lit(1)).as("n_sources"))
-      val rates = bySource.crossJoin(broadcast(totals))
-        .withColumn("rate_pm", least(lit(1000L),
-          expr("(1000 * (grand div 4)) div (n_sources * toks_total)")))
-        .select("source", "n_docs", "toks_total", "rate_pm")
+      // per-source rows are bounded by source cardinality; collect them in
+      // one job and do the grand-total/rate arithmetic on the driver in the
+      // SAME exact BIGINT semantics the SQL oracle runs (Java long division
+      // ≡ `div` ≡ `//` for the non-negative operands here). Over the cap
+      // the sources are too many to report anyway — fail loudly.
+      val srcRows = graft.engine.Actions.boundedRows(bySource, 1 << 20)
+        .getOrElse(throw new IllegalStateException(
+          "x84_mixture_sample: more than 2^20 sources — the per-source " +
+            "report itself is unbounded; aggregate sources upstream"))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val grand = srcRows.map(_._3).sum
+      val nSources = srcRows.length.toLong
+      val rateRows: Array[org.apache.spark.sql.Row] = srcRows.map {
+        case (src, nDocs, toksTotal) =>
+          val rate = math.min(1000L, 1000L * (grand / 4) /
+            (nSources * toksTotal))
+          org.apache.spark.sql.Row(src, nDocs, toksTotal, rate)
+      }
+      val rateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("toks_total",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rate_pm",
+          org.apache.spark.sql.types.LongType)))
+      val rates = s.createDataFrame(
+        java.util.Arrays.asList(rateRows: _*), rateSchema)
       val sampled = toks
         .withColumn("h",
           ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))

@@ -21,9 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set",
     "x83_semantic_dedup" -> ("over-cap fallback only: crossJoin with the " +
       "broadcast centroid table (the default route is the NearestCentroid " +
-      "kernel — no join at all)"),
-    "x84_mixture_sample" -> ("crossJoin with the broadcast 1-row " +
-      "grand-total aggregate (the x39 pattern)"))
+      "kernel — no join at all)"))
 
   /** Queries allowed an ExistingRDD scan, with why. */
   val rddAllowed: Map[String, String] = Map(
@@ -51,7 +49,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "x83_semantic_dedup" -> ("cell-assignment table feeds three consumers " +
       "(both within-cell pair sides and the size report); one lazy " +
       "localCheckpoint replaces three NearestCentroid assignment passes " +
-      "(k dots per row each) — every consumer is still Catalyst-planned"))
+      "(k dots per row each) — every consumer is still Catalyst-planned"),
+    "x84_mixture_sample" -> ("the (doc_id, source, n_toks) projection " +
+      "feeds the totals probe and the sample pass; one lazy localCheckpoint " +
+      "replaces a second tokens-kernel corpus scan"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
