@@ -474,6 +474,37 @@ object Dedup {
         (col("n_vectors") - col("n_dropped")).as("n_kept"))
   }
 
+  /** Cross-document repeated-passage removal — the C4/RefinedWeb passage
+    * dedup step: cut every document into non-overlapping `chunkTokens`-token
+    * chunks, key each chunk by its md5 (the 16-byte digest is what shuffles,
+    * never the passage text), and keep the first (doc_id, off) occurrence of
+    * each distinct passage. Returns the per-document report
+    * (doc_id, n_chunks, n_dupes), unordered — callers sort.
+    *
+    * Scale shape: one slim digest shuffle for the keep-first window (key
+    * cardinality = distinct passages) and one doc_id aggregate — both keys
+    * maximal-cardinality, no pair joins anywhere. */
+  def passageDedup(docs: DataFrame, chunkTokens: Int = 30,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val step = chunkTokens
+    val chunks = docs
+      .select(col("doc_id"), expr(Portable.tokens(SparkD, textCol))
+        .as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, n, $step)")).as("off"))
+      .select(col("doc_id"), col("off").cast("bigint").as("off"),
+        md5(concat_ws(" ", slice(col("toks"), col("off"), lit(chunkTokens))))
+          .as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id", "off")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"))
+  }
+
   /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap
     * the probe side; the unbounded scale path is embeddingNearDupLsh).
     *

@@ -2165,8 +2165,12 @@ object Catalog {
       val nSources = srcRows.length.toLong
       val rateRows: Array[org.apache.spark.sql.Row] = srcRows.map {
         case (src, nDocs, toksTotal) =>
-          val rate = math.min(1000L, 1000L * (grand / 4) /
-            (nSources * toksTotal))
+          // a zero-token source trivially fits any budget: keep-all, and
+          // don't divide by zero (mirrors the oracle's CASE guard)
+          val rate =
+            if (toksTotal == 0L) 1000L
+            else math.min(1000L, 1000L * (grand / 4) /
+              (nSources * toksTotal))
           org.apache.spark.sql.Row(src, nDocs, toksTotal, rate)
       }
       val rateSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2206,9 +2210,10 @@ object Catalog {
             |tot AS (SELECT CAST(SUM(toks_total) AS BIGINT) AS grand,
             |    COUNT(*) AS n_sources FROM bs),
             |r AS (SELECT bs.source, bs.n_docs, bs.toks_total,
-            |    least(CAST(1000 AS BIGINT),
-            |      (1000 * (grand // 4)) // (n_sources * toks_total))
-            |      AS rate_pm
+            |    CASE WHEN toks_total = 0 THEN CAST(1000 AS BIGINT)
+            |      ELSE least(CAST(1000 AS BIGINT),
+            |        (1000 * (grand // 4)) // (n_sources * toks_total))
+            |      END AS rate_pm
             |  FROM bs, tot),
             |smp AS (SELECT t.source, COUNT(*) AS n_sampled,
             |    CAST(SUM(t.n_toks) AS BIGINT) AS toks_sampled
@@ -2234,25 +2239,7 @@ object Catalog {
     * for the window (key cardinality = distinct passages), one doc_id agg;
     * the x51-audit is clean on both keys. */
   val x85 = Q("x85_passage_dedup",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val chunks = t(s, d, "documents")
-        .select(col("doc_id"), expr(Portable.tokens(SparkD, "text"))
-          .as("toks"))
-        .withColumn("n", size(col("toks")))
-        .where(col("n") > 0)
-        .select(col("doc_id"), col("toks"),
-          explode(expr("sequence(1, n, 30)")).as("off"))
-        .select(col("doc_id"), col("off").cast("bigint").as("off"),
-          md5(concat_ws(" ", slice(col("toks"), col("off"), lit(30))))
-            .as("h"))
-      val w = Window.partitionBy("h").orderBy("doc_id", "off")
-      chunks.withColumn("rn", row_number().over(w))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"))
-        .orderBy("doc_id")
-    },
+    (s, d) => Dedup.passageDedup(t(s, d, "documents")).orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")}
             |    AS toks FROM documents),
             |t2 AS (SELECT doc_id, toks, length(toks) AS n FROM t

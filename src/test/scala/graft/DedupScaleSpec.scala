@@ -112,6 +112,70 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(viaBroadcast == viaFallback)
   }
 
+  test("passage dedup scales near-linearly 10k → 100k docs with exact dup counts", Slow) {
+    // each doc = 3 disjoint 30-token windows of a shared stream (no chunk
+    // shared ACROSS distinct docs), copied 10×: dupes = 3 × 9 per group
+    def corpus(nDistinct: Int, seed: Int): DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val stream = Array.fill(nDistinct * 90)(s"p${rnd.nextInt(1 << 30)}")
+      val texts = (0 until nDistinct)
+        .map(i => stream.slice(i * 90, i * 90 + 90).mkString(" "))
+      (0 until nDistinct * 10).map(i => (i.toLong, texts(i % nDistinct)))
+        .toDF("doc_id", "text")
+    }
+    def run(nDistinct: Int, seed: Int): ((Long, Long), Double) =
+      timed {
+        val agg = Dedup.passageDedup(corpus(nDistinct, seed))
+          .agg(sum("n_chunks"), sum("n_dupes")).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+    run(100, 31) // warm-up
+    val ((c10, d10), t10) = run(1000, 32)   // 10k docs
+    val ((c100, d100), t100) = run(10000, 33) // 100k docs
+    info(f"passage dedup 10k: $t10%.1f s; 100k: $t100%.1f s")
+    assert(c10 == 30000L && d10 == 1000L * 3 * 9)
+    assert(c100 == 300000L && d100 == 10000L * 3 * 9)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
+  }
+
+  test("semantic dedup scales near-linearly 10k → 100k vectors when k grows " +
+      "with the corpus (the SemDeDup contract)", Slow) {
+    // k clusters of 250 vectors: 10 exact copies of the cluster centroid
+    // (the semantic dups) + 240 near-orthogonal randoms; τ = 0.999 drops
+    // exactly the 9 extra copies per cluster. Cell size stays constant as
+    // n and k grow together — the paper's regime — so pair work is linear.
+    def corpus(k: Int, seed: Int): (DataFrame, DataFrame) = {
+      val rnd = new scala.util.Random(seed)
+      def rv(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+      val bases = Array.fill(k)(rv())
+      val rows = (0 until k).flatMap { c =>
+        val off = c.toLong * 250
+        (0 until 10).map(j => (off + j, bases(c))) ++
+          (10 until 250).map(j => (off + j, rv()))
+      }
+      (rows.toDF("vec_id", "embedding"),
+        bases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+          .toSeq.toDF("cid", "cv"))
+    }
+    def run(k: Int, seed: Int): ((Long, Long), Double) = {
+      val (emb, cents) = corpus(k, seed)
+      timed {
+        val agg = graft.operators.Dedup.semanticDedup(emb, cents, 0.999)
+          .agg(sum("n_vectors"), sum("n_dropped")).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+    }
+    run(4, 41) // warm-up
+    val ((n10, d10), t10) = run(40, 42)    // 10k vectors, k=40
+    val ((n100, d100), t100) = run(400, 43) // 100k vectors, k=400
+    info(f"semantic dedup 10k/k=40: $t10%.1f s; 100k/k=400: $t100%.1f s")
+    assert(n10 == 10000L && d10 == 40L * 9)
+    assert(n100 == 100000L && d100 == 400L * 9)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x vectors: $t10%.1f s -> $t100%.1f s")
+  }
+
   test("distributed min-label CC handles a 200k-edge graph and matches union-find", Slow) {
     // 40k path components of diameter 4 (shallow, dup-class-shaped) —
     // 200k nodes, 160k edges; forces the DISTRIBUTED rounds (not the
