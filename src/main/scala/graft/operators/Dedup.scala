@@ -392,52 +392,26 @@ object Dedup {
     * ([[Similarity.cellsRanked]]); the cell table feeds three consumers
     * (both pair sides and the size report), so it is lazily checkpointed
     * once instead of re-running the assignment window per consumer. */
-  /** Centroid-table broadcast cap for [[semanticDedup]]'s kernel route:
-    * ~64 MB of k × 64-dim double vectors — covers the paper-regime k for
-    * IVF/SemDeDup; a larger centroid table falls back to the fully
-    * distributed cross-join + window assignment. */
-  val MaxBroadcastCentroids: Int = 1 << 17
-
   def semanticDedup(emb: DataFrame, cents: DataFrame, threshold: Double,
                     saltParts: Int = 8): DataFrame = {
-    import org.apache.spark.sql.{GraftSqlBridge => B}
-    // Cell assignment routes on an ACTUAL centroid-table size probe (one
-    // tiny job): under the cap, assignment is the NearestCentroid codegen
-    // kernel — k sequential dots per row against a broadcast matrix, no
-    // cross join, no ranking window, no exchange. Over the cap, the
-    // declarative cellsRanked plan (broadcast cross join + per-vector
-    // window) keeps the operator correct for unbounded centroid tables.
+    // Cell assignment is the size-gated kernel/window route shared with
+    // the IVF tier ([[Similarity.cellsRankedAuto]] at p = 1): under the
+    // broadcast cap, one NearestCentroid(s) codegen pass — no cross join,
+    // no window, no exchange; over it, the declarative cellsRanked plan.
     //
     // double-cast and norm are computed ONCE per vector, before the
     // checkpoint — the naive per-pair cosine4 evaluates THREE 64-dim dots
     // per pair (a·b plus both norms); with |cell|² pairs per cell that
     // tripling is the dominant cost. Numerically identical: the same
     // sqrt(dot(v,v)) doubles divide the same pair dot.
-    val assigned = graft.engine.Actions.boundedRows(
-        cents.select(col("cid"),
-          VectorFunctions.asDouble(col("cv")).as("cv")),
-        MaxBroadcastCentroids) match {
-      case Some(rows) =>
-        val sorted = rows
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-          .sortBy(_._1)
-        val bc = emb.sparkSession.sparkContext.broadcast(
-          (sorted.map(_._1), sorted.map(_._2)))
-        emb.select(col("vec_id"),
-            VectorFunctions.asDouble(col("embedding")).as("v"))
-          .withColumn("cell", B.column(graft.functions.NearestCentroid(
-            B.expression(col("v")), bc)))
-      case None =>
-        Similarity.cellsRanked(emb, cents)
-          .where(col("crn") === 1)
-          .select(col("vec_id"),
-            VectorFunctions.asDouble(col("embedding")).as("v"),
-            col("cid").as("cell"))
-    }
-    // the cell table feeds three consumers (both pair sides + the size
+    //
+    // The cell table feeds three consumers (both pair sides + the size
     // report): one lazy narrow materialization instead of three assignment
-    // passes (k dots per row each)
-    val cells = assigned
+    // passes (k dots per row each).
+    val cells = Similarity.cellsRankedAuto(emb, cents, 1)
+      .select(col("vec_id"),
+        VectorFunctions.asDouble(col("embedding")).as("v"),
+        col("cid").as("cell"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
       .localCheckpoint(false)
     // Salted pair join: colocating by cell alone caps parallelism at k

@@ -145,11 +145,44 @@ object Similarity {
     scoredCells.withColumn("crn", row_number().over(w))
   }
 
+  /** Centroid-table broadcast cap for the kernel assignment route
+    * ([[graft.functions.NearestCentroid]]/[[graft.functions
+    * .NearestCentroids]]): ~64 MB of k × 64-dim double vectors — covers the
+    * paper-regime k for IVF/SemDeDup; a larger centroid table keeps the
+    * fully distributed [[cellsRanked]] plan. */
+  val MaxBroadcastCentroids: Int = 1 << 17
+
+  /** [[cellsRanked]]'s output contract (vec_id, embedding, cid, crn ≤ p),
+    * produced by the size-gated route: under [[MaxBroadcastCentroids]] the
+    * per-row [[graft.functions.NearestCentroids]] kernel (no cross join, no
+    * window, no exchange — centroids ride one executor broadcast); over it,
+    * the declarative cross-join + window plan. */
+  def cellsRankedAuto(emb: DataFrame, cents: DataFrame, p: Int): DataFrame = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    graft.engine.Actions.boundedRows(
+        cents.select(col("cid"), V.asDouble(col("cv")).as("cv")),
+        MaxBroadcastCentroids) match {
+      case Some(rows) =>
+        val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        val bc = emb.sparkSession.sparkContext.broadcast(
+          (sorted.map(_._1), sorted.map(_._2)))
+        emb.select(col("vec_id"), col("embedding"))
+          .withColumn("__pref", B.column(graft.functions.NearestCentroids(
+            B.expression(V.asDouble(col("embedding"))), bc, p)))
+          .select(col("vec_id"), col("embedding"),
+            posexplode(col("__pref")).as(Seq("__pos", "cid")))
+          .withColumn("crn", (col("__pos") + 1).cast("int"))
+          .drop("__pos")
+      case None => cellsRanked(emb, cents).where(col("crn") <= p)
+    }
+  }
+
   /** IVF-flat over an explicit centroid table `(cid, cv)` — the seam the
     * trained path shares with the deterministic one. */
   def ivfTopKWith(emb: DataFrame, cents: DataFrame, maxQueryId: Long,
                   k: Int, nprobe: Int): DataFrame = {
-    val ranked = cellsRanked(emb, cents)
+    val ranked = cellsRankedAuto(emb, cents, math.max(1, nprobe))
     val cells = ranked.where(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
     val probes = ranked.where(col("vec_id") < maxQueryId && col("crn") <= nprobe)

@@ -2328,7 +2328,12 @@ object Catalog {
     // x83: the salted pair join is CPU-bound on byte-tiny inputs — AQE's
     // size-based coalescing folds the scoring stage back onto one task
     // (the x82-codec blindness); static keeps the salt's parallelism
-    "x83_semantic_dedup")
+    "x83_semantic_dedup",
+    // x48: re-probed after the NearestCentroids kernel route replaced the
+    // crossJoin+window assignment — the remaining plan is an explicitly
+    // broadcast probe join + bounded ranking tail, nothing for AQE to
+    // re-decide (0.223 static vs 0.269 adaptive, AqeProbe)
+    "x48_ann_ivf")
 
   /** An explicit SPARK_GRAFT_CONF override of the AQE flag disables the
     * per-query route entirely — the A/B escape hatch must win, not be

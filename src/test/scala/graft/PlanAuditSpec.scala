@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x41_lev_neardup" -> "bounded all-pairs verifier (doc_id < 100 both sides, documented)",
     "q14_cosine_topk" -> "crossJoin with a broadcast single-row query vector",
     "x39_tfidf" -> "crossJoin with a broadcast 1-row corpus-count aggregate",
-    "x48_ann_ivf" -> "crossJoin with the broadcast 8-row centroid table",
+    "x48_ann_ivf" -> ("over-cap fallback only: crossJoin with the broadcast " +
+      "centroid table (the default route is the NearestCentroids kernel)"),
     "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set",
     "x83_semantic_dedup" -> ("over-cap fallback only: crossJoin with the " +
       "broadcast centroid table (the default route is the NearestCentroid " +
