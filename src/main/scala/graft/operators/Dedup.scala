@@ -394,9 +394,10 @@ object Dedup {
     * once instead of re-running the assignment window per consumer. */
   def semanticDedup(emb: DataFrame, cents: DataFrame, threshold: Double,
                     saltParts: Int = 8): DataFrame = {
+    require(saltParts > 0, s"saltParts must be positive, got $saltParts")
     // Cell assignment is the size-gated kernel/window route shared with
     // the IVF tier ([[Similarity.cellsRankedAuto]] at p = 1): under the
-    // broadcast cap, one NearestCentroid(s) codegen pass — no cross join,
+    // broadcast cap, one NearestCentroids codegen pass — no cross join,
     // no window, no exchange; over it, the declarative cellsRanked plan.
     //
     // double-cast and norm are computed ONCE per vector, before the
@@ -425,7 +426,9 @@ object Dedup {
     val salts = array((0 until saltParts).map(i => lit(i.toLong)): _*)
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("nrm").as("na"),
-      (col("vec_id") % lit(saltParts.toLong)).as("s"))
+      // pmod, not %: a negative vec_id under % lands outside 0..saltParts-1
+      // and would silently miss every replicated b-side salt
+      pmod(col("vec_id"), lit(saltParts.toLong)).as("s"))
     val b = cells.select(col("cell"), col("vec_id").as("b_id"),
       col("v").as("b_v"), col("nrm").as("nb"))
       .withColumn("s", explode(salts))

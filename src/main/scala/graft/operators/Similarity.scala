@@ -146,19 +146,24 @@ object Similarity {
   }
 
   /** Centroid-table broadcast cap for the kernel assignment route
-    * ([[graft.functions.NearestCentroid]]/[[graft.functions
-    * .NearestCentroids]]): ~64 MB of k × 64-dim double vectors — covers the
+    * ([[graft.functions.NearestCentroids]]): ~64 MB of k × 64-dim double
+    * vectors — covers the
     * paper-regime k for IVF/SemDeDup; a larger centroid table keeps the
     * fully distributed [[cellsRanked]] plan. */
   val MaxBroadcastCentroids: Int = 1 << 17
 
-  /** [[cellsRanked]]'s output contract (vec_id, embedding, cid, crn ≤ p),
-    * produced by the size-gated route: under [[MaxBroadcastCentroids]] the
-    * per-row [[graft.functions.NearestCentroids]] kernel (no cross join, no
-    * window, no exchange — centroids ride one executor broadcast); over it,
-    * the declarative cross-join + window plan. */
+  /** Exactly (vec_id, embedding, cid, crn ≤ p) — [[cellsRanked]]'s ranking
+    * contract with a pinned schema — produced by the size-gated route:
+    * under [[MaxBroadcastCentroids]] the per-row [[graft.functions
+    * .NearestCentroids]] kernel (no cross join, no window, no exchange —
+    * centroids ride one executor broadcast); over it, the declarative
+    * cross-join + window plan. NULL-embedding rows are excluded on BOTH
+    * routes (a null vector has no nearest centroid; without the filter the
+    * two routes would disagree — the kernel's null propagates out of
+    * posexplode while the window ranks the null dots). */
   def cellsRankedAuto(emb: DataFrame, cents: DataFrame, p: Int): DataFrame = {
     import org.apache.spark.sql.{GraftSqlBridge => B}
+    val vecs = emb.where(col("embedding").isNotNull)
     graft.engine.Actions.boundedRows(
         cents.select(col("cid"), V.asDouble(col("cv")).as("cv")),
         MaxBroadcastCentroids) match {
@@ -167,14 +172,15 @@ object Similarity {
           .sortBy(_._1)
         val bc = emb.sparkSession.sparkContext.broadcast(
           (sorted.map(_._1), sorted.map(_._2)))
-        emb.select(col("vec_id"), col("embedding"))
+        vecs.select(col("vec_id"), col("embedding"))
           .withColumn("__pref", B.column(graft.functions.NearestCentroids(
             B.expression(V.asDouble(col("embedding"))), bc, p)))
           .select(col("vec_id"), col("embedding"),
             posexplode(col("__pref")).as(Seq("__pos", "cid")))
           .withColumn("crn", (col("__pos") + 1).cast("int"))
           .drop("__pos")
-      case None => cellsRanked(emb, cents).where(col("crn") <= p)
+      case None => cellsRanked(vecs, cents).where(col("crn") <= p)
+        .select("vec_id", "embedding", "cid", "crn")
     }
   }
 
@@ -182,7 +188,12 @@ object Similarity {
     * trained path shares with the deterministic one. */
   def ivfTopKWith(emb: DataFrame, cents: DataFrame, maxQueryId: Long,
                   k: Int, nprobe: Int): DataFrame = {
+    // ranked feeds both join sides (cells + probes): one lazy narrow
+    // materialization instead of running the assignment kernel (k dots per
+    // row) twice per execution — the same rationale as semanticDedup's
+    // checkpoint
     val ranked = cellsRankedAuto(emb, cents, math.max(1, nprobe))
+      .localCheckpoint(false)
     val cells = ranked.where(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
     val probes = ranked.where(col("vec_id") < maxQueryId && col("crn") <= nprobe)

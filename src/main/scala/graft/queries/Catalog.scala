@@ -2163,27 +2163,16 @@ object Catalog {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       val grand = srcRows.map(_._3).sum
       val nSources = srcRows.length.toLong
-      val rateRows: Array[org.apache.spark.sql.Row] = srcRows.map {
-        case (src, nDocs, toksTotal) =>
-          // a zero-token source trivially fits any budget: keep-all, and
-          // don't divide by zero (mirrors the oracle's CASE guard)
-          val rate =
-            if (toksTotal == 0L) 1000L
-            else math.min(1000L, 1000L * (grand / 4) /
-              (nSources * toksTotal))
-          org.apache.spark.sql.Row(src, nDocs, toksTotal, rate)
-      }
-      val rateSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_docs",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("toks_total",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rate_pm",
-          org.apache.spark.sql.types.LongType)))
-      val rates = s.createDataFrame(
-        java.util.Arrays.asList(rateRows: _*), rateSchema)
+      import s.implicits._
+      val rates = srcRows.toSeq.map { case (src, nDocs, toksTotal) =>
+        // a zero-token source trivially fits any budget: keep-all, and
+        // don't divide by zero (mirrors the oracle's CASE guard)
+        val rate =
+          if (toksTotal == 0L) 1000L
+          else math.min(1000L, 1000L * (grand / 4) /
+            (nSources * toksTotal))
+        (src, nDocs, toksTotal, rate)
+      }.toDF("source", "n_docs", "toks_total", "rate_pm")
       val sampled = toks
         .withColumn("h",
           ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))

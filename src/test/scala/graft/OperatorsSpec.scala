@@ -282,6 +282,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(Row(0L, 3L, 1L, 2L), Row(1L, 2L, 0L, 2L)))
   }
 
+  test("cellsRankedAuto kernel route: NaN dots rank first like the window's " +
+    "double ordering; null embeddings are excluded on both routes") {
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("cid", "cv")
+    val emb = Seq(
+      (0L, Array(1f, 0.5f)),
+      (1L, Array(Float.NaN, 1f)), // NaN dot against BOTH centroids
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0.2f, 0.9f))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid", "crn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val kernel = rows(Similarity.cellsRankedAuto(emb, cents, 2))
+    val window = rows(Similarity.cellsRanked(
+      emb.where(col("embedding").isNotNull), cents).where(col("crn") <= 2))
+    assert(kernel == window)
+    assert(!kernel.exists(_._1 == 2L)) // the null-embedding row is gone
+    // NaN ties resolve by ascending cid, exactly like (cdot DESC, cid ASC)
+    assert(kernel.contains((1L, 0L, 1)) && kernel.contains((1L, 1L, 2)))
+  }
+
   test("lsh band keys: identical vectors share every band key, opposite vectors none") {
     val emb = Seq(
       (0L, Array.fill(64)(1f)),

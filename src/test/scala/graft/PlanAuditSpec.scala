@@ -21,7 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "centroid table (the default route is the NearestCentroids kernel)"),
     "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set",
     "x83_semantic_dedup" -> ("over-cap fallback only: crossJoin with the " +
-      "broadcast centroid table (the default route is the NearestCentroid " +
+      "broadcast centroid table (the default route is the NearestCentroids " +
       "kernel — no join at all)"))
 
   /** Queries allowed an ExistingRDD scan, with why. */
@@ -49,11 +49,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "single-partition window over the whole corpus"),
     "x83_semantic_dedup" -> ("cell-assignment table feeds three consumers " +
       "(both within-cell pair sides and the size report); one lazy " +
-      "localCheckpoint replaces three NearestCentroid assignment passes " +
+      "localCheckpoint replaces three NearestCentroids assignment passes " +
       "(k dots per row each) — every consumer is still Catalyst-planned"),
     "x84_mixture_sample" -> ("the (doc_id, source, n_toks) projection " +
       "feeds the totals probe and the sample pass; one lazy localCheckpoint " +
-      "replaces a second tokens-kernel corpus scan"))
+      "replaces a second tokens-kernel corpus scan"),
+    "x48_ann_ivf" -> ("the ranked cell/probe table feeds both join sides; " +
+      "one lazy localCheckpoint replaces a second NearestCentroids " +
+      "assignment pass (k dots per row)"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
