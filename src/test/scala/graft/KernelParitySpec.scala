@@ -228,6 +228,20 @@ class KernelParitySpec extends AnyFunSuite {
     assert(declarative.except(kernel).count() == 0)
   }
 
+  test("NearestCentroids kernel ≡ declarative cross-join+window ranking " +
+    "on the real corpus (every vector, full preference depth)") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val kernel = Similarity.cellsRankedAuto(emb, cents, 8)
+      .select("vec_id", "cid", "crn")
+    val declarative = Similarity.cellsRanked(emb, cents)
+      .select("vec_id", "cid", "crn")
+    assert(kernel.except(declarative).count() == 0)
+    assert(declarative.except(kernel).count() == 0)
+  }
+
   test("JsonFastPath rule rewrites try_cast(get_json_object) to the kernel") {
     import spark.implicits._
     // a file-backed relation: a local Seq would be constant-folded whole
