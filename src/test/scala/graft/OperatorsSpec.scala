@@ -282,6 +282,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(Row(0L, 3L, 1L, 2L), Row(1L, 2L, 0L, 2L)))
   }
 
+  test("passageDedup: within-doc repeats count as dupes; exact-chunk and " +
+    "short tails; empty docs are excluded") {
+    val w1 = (1 to 30).map(i => s"a$i").mkString(" ") // one exact chunk
+    val docs = Seq(
+      (0L, w1),                      // first occurrence
+      (1L, s"$w1 $w1"),              // 2 chunks, second is a dup OF DOC 1's own first? no — of doc 0's
+      (2L, "short tail only"),       // 1 short chunk, unique
+      (3L, ""),                      // tokenless: excluded entirely
+      (4L, w1)                       // dup of doc 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs).orderBy("doc_id").collect().toSeq
+    // keep-first order is (doc_id, off): doc 0 owns w1; doc 1's BOTH chunks
+    // are dups (off 1 and 31 both repeat w1); doc 4's single chunk is a dup
+    assert(got == Seq(
+      Row(0L, 1L, 0L), Row(1L, 2L, 2L), Row(2L, 1L, 0L), Row(4L, 1L, 1L)))
+  }
+
+  test("semanticDedup output is salt-invariant (saltParts 1 ≡ 8)") {
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("cid", "cv")
+    val emb = (0L until 40L).map(i =>
+      (i, Array(math.sin(i * 3.7).toFloat, math.cos(i * 1.3).toFloat,
+        math.sin(i * 0.9).toFloat, math.cos(i * 2.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(p: Int) = Dedup.semanticDedup(emb, cents, 0.9, saltParts = p)
+      .orderBy("cell").collect().toSeq
+    assert(run(1) == run(8))
+    intercept[IllegalArgumentException](Dedup.semanticDedup(emb, cents, 0.9, 0))
+  }
+
   test("cellsRankedAuto kernel route: NaN dots rank first like the window's " +
     "double ordering; null embeddings are excluded on both routes") {
     val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("cid", "cv")
