@@ -161,12 +161,14 @@ object Similarity {
     * routes (a null vector has no nearest centroid; without the filter the
     * two routes would disagree — the kernel's null propagates out of
     * posexplode while the window ranks the null dots). */
-  def cellsRankedAuto(emb: DataFrame, cents: DataFrame, p: Int): DataFrame = {
+  def cellsRankedAuto(emb: DataFrame, cents: DataFrame, p: Int,
+                      maxBroadcastCentroids: Int = MaxBroadcastCentroids)
+      : DataFrame = {
     import org.apache.spark.sql.{GraftSqlBridge => B}
     val vecs = emb.where(col("embedding").isNotNull)
     graft.engine.Actions.boundedRows(
         cents.select(col("cid"), V.asDouble(col("cv")).as("cv")),
-        MaxBroadcastCentroids) match {
+        maxBroadcastCentroids) match {
       case Some(rows) =>
         val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1)

@@ -333,6 +333,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kernel.contains((1L, 0L, 1)) && kernel.contains((1L, 1L, 2)))
   }
 
+  test("cellsRankedAuto over-cap fallback ≡ kernel route (forced via a tiny cap)") {
+    val emb = graft.sources.Tables(spark, SparkTestSession.sf0001, "embeddings")
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid", "crn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val kernel = rows(Similarity.cellsRankedAuto(emb, cents, 3))
+    val fallback = rows(Similarity.cellsRankedAuto(emb, cents, 3,
+      maxBroadcastCentroids = 2)) // 8 centroids > 2 → the window branch
+    assert(kernel == fallback && kernel.nonEmpty)
+  }
+
   test("lsh band keys: identical vectors share every band key, opposite vectors none") {
     val emb = Seq(
       (0L, Array.fill(64)(1f)),
