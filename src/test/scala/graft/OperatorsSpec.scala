@@ -282,6 +282,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(Row(0L, 3L, 1L, 2L), Row(1L, 2L, 0L, 2L)))
   }
 
+  test("BpeTrainer learns the classic greedy merge sequence and stops when exhausted") {
+    val docs = Seq((0L, "ab ab ab abc")).toDF("doc_id", "text")
+    val merges = graft.operators.BpeTrainer.train(docs, 10)
+      .map(m => (m.left, m.right, m.weight))
+    assert(merges == Seq(
+      ("a", "b</w>", 3L), // word-final 'ab' dominates
+      ("a", "b", 1L),     // tie with (b, c</w>) resolves lexicographically
+      ("ab", "c</w>", 1L) // the fully fused tail
+    )) // then every word is one symbol — training stops at 3 of 10 rounds
+  }
+
+  test("BpeTrainer merges overlapping runs greedily leftmost (aaaa → [aa, aa])") {
+    val docs = Seq((0L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val merges = graft.operators.BpeTrainer.train(docs, 2)
+      .map(m => (m.left, m.right, m.weight))
+    // round 1: (a,a) weight 6 — two non-final pairs per word × 3; the
+    // leftmost-greedy apply turns [a,a,a,a</w>] into [aa,a,a</w>]
+    // round 2: (a,a</w>) weight 3 survives as the best remaining pair
+    assert(merges == Seq(("a", "a", 6L), ("a", "a</w>", 3L)))
+  }
+
   test("passageDedup: within-doc repeats count as dupes; exact-chunk and " +
     "short tails; empty docs are excluded") {
     val w1 = (1 to 30).map(i => s"a$i").mkString(" ") // one exact chunk
