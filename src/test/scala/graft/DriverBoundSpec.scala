@@ -28,6 +28,9 @@ class DriverBoundSpec extends AnyFunSuite {
     "Merge.scala" -> (3,
       "distinct PARTITION values of the update set / written set — " +
         "bounded by touched partitions, never row counts"),
+    "BpeTrainer.scala" -> (1,
+      "TakeOrdered(1) round winner — exactly one (pair, weight) row per " +
+        "merge round"),
     "HiveCatalogDemo.scala" -> (2,
       "two-JVM demo main: bounded daily-count reports"))
 

@@ -276,6 +276,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage dedup keeps only first-seen chunks across micro-batches") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_spassage").toString
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val w1 = (1 to 30).map(i => s"p$i").mkString(" ")
+    val w2 = (31 to 60).map(i => s"p$i").mkString(" ")
+    // doc 1 = two distinct chunks
+    Seq((1L, ts(0), s"$w1 $w2"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[(Long, Timestamp, String)]
+        .toDF("doc_id", "ts", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingPassageDedup(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spassage").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 2 repeats doc 1's first chunk, then adds a new one
+      val w3 = (61 to 90).map(i => s"p$i").mkString(" ")
+      Seq((2L, ts(2), s"$w1 $w3"))
+        .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("spassage")
+        .select("doc_id", "off", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set((1L, 1L, w1), (1L, 31L, w2), (2L, 31L, w3)),
+        s"got $got") // doc 2's repeat of w1 (off 1) is dropped cross-batch
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event_ids across micro-batches") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_sdedup").toString
