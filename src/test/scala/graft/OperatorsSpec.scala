@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextAnalysis, VectorFunctions => V}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+import graft.operators.{BpeTrainer, Dedup, Multimodal, Relational, Similarity}
 
 class OperatorsSpec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -284,7 +284,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("BpeTrainer learns the classic greedy merge sequence and stops when exhausted") {
     val docs = Seq((0L, "ab ab ab abc")).toDF("doc_id", "text")
-    val merges = graft.operators.BpeTrainer.train(docs, 10)
+    val merges = BpeTrainer.train(docs, 10)
       .map(m => (m.left, m.right, m.weight))
     assert(merges == Seq(
       ("a", "b</w>", 3L), // word-final 'ab' dominates
@@ -295,7 +295,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("BpeTrainer merges overlapping runs greedily leftmost (aaaa → [aa, aa])") {
     val docs = Seq((0L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
-    val merges = graft.operators.BpeTrainer.train(docs, 2)
+    val merges = BpeTrainer.train(docs, 2)
       .map(m => (m.left, m.right, m.weight))
     // round 1: (a,a) weight 6 — two non-final pairs per word × 3; the
     // leftmost-greedy apply turns [a,a,a,a</w>] into [aa,a,a</w>]
