@@ -1924,15 +1924,13 @@ object Catalog {
     * parse, byte order or sign handling hash-mismatches. Both encode and
     * decode are genuine codec work on container bytes. */
   val x80 = Q("x80_audio_decode",
-    // NOT codecDocIds: javax.sound's AudioSystem resolves its reader
-    // provider through a synchronized registry, so 32-way parallel decode
-    // measured SLOWER than one task (0.47 → 0.88 s) — contention, not
-    // codec work, dominates. In a real cluster the lock is per-executor-JVM
-    // and per-partition parallelism would win; locally the ordered
-    // single-exchange shape is faster and keeps the same output order.
+    // codecDocIds (ordered AND parallel, like x78/x82) — possible since
+    // Multimodal resolves the javax.sound SPI providers once per JVM and
+    // dispatches directly: the old per-call AudioSystem registry lock made
+    // 32-way decode SLOWER than one task (0.47 → 0.88 s measured), which
+    // is why this query previously used the ordered single-task shape.
     (s, d) => Multimodal.decodeWav(
-        Multimodal.synthesizeWav(
-          t(s, d, "documents").select("doc_id").orderBy("doc_id"))),
+        Multimodal.synthesizeWav(codecDocIds(s, d))),
     Some("""SELECT doc_id AS asset_id,
            |  CAST(8000 AS INT) AS sample_rate,
            |  CAST(1 AS INT) AS channels,
