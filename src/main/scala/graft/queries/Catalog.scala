@@ -93,7 +93,10 @@ object Catalog {
     * entire 3.8 s of JPEG work running on a single task. */
   private def codecDocIds(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select("doc_id")
-      .repartitionByRange(32, col("doc_id"))
+      // defaultParallelism, not a literal: the pinned count exists to dodge
+      // AQE's size-based coalescing (it cannot see per-row codec cost), and
+      // it should track the cluster's cores, not local[32]'s
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       .sortWithinPartitions("doc_id")
 
   /** Cap on the bigram-LM entries x81 will pull to the driver and broadcast
