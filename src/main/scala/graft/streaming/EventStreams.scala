@@ -139,34 +139,28 @@ object EventStreams {
 
   /** Streaming passage dedup — the streaming face of the batch
     * [[graft.operators.Dedup.passageDedup]] (C4-style repeated-passage
-    * removal): each arriving document splits into non-overlapping
-    * `chunkTokens`-token chunks per-row (no shuffle), and a chunk passes
-    * through only the FIRST time its md5 digest is seen inside the
-    * watermark window. State is keyed by the 16-byte digest — the same
-    * slim key the batch operator shuffles on — and the watermark evicts it
-    * exactly like [[streamingDedup]]'s id state. Emits the surviving
-    * (ts, doc_id, off, chunk) rows: the deduplicated passage stream a
-    * training pipeline appends to its corpus. */
+    * removal): chunk extraction IS the batch operator's
+    * (`Dedup.passageChunks` — one copy, so the chunk semantics cannot
+    * drift), and a chunk passes through only the FIRST time its 16-byte
+    * binary md5 digest is seen inside the watermark window; the watermark
+    * evicts digest state exactly like [[streamingDedup]]'s id state.
+    * Emits the surviving (ts, doc_id, off, chunk) rows: the deduplicated
+    * passage stream a training pipeline appends to its corpus.
+    *
+    * Determinism contract (weaker than batch, same as
+    * [[streamingNearDedup]]'s representative rule): ACROSS batches the
+    * earlier-arriving chunk wins; among duplicates inside ONE micro-batch
+    * exactly one representative survives, but which one is not pinned —
+    * `dropDuplicatesWithinWatermark` keeps the first row a task sees. The
+    * batch operator is the deterministic keep-first-(doc_id, off) form. */
   def streamingPassageDedup(docs: DataFrame, tsCol: String = "ts",
                             textCol: String = "text", chunkTokens: Int = 30,
-                            watermark: String = "1 hour"): DataFrame = {
-    import graft.functions.Portable
-    docs
-      .select(col(tsCol), col("doc_id"),
-        expr(Portable.tokens(Portable.Spark, textCol)).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .where(col("n") > 0)
-      .select(col(tsCol), col("doc_id"), col("toks"),
-        explode(expr(s"sequence(1, n, $chunkTokens)")).as("off"))
-      .select(col(tsCol), col("doc_id"),
-        col("off").cast("bigint").as("off"),
-        concat_ws(" ", slice(col("toks"), col("off"), lit(chunkTokens)))
-          .as("chunk"))
-      .withColumn("__h", md5(col("chunk")))
+                            watermark: String = "1 hour"): DataFrame =
+    graft.operators.Dedup
+      .passageChunks(docs, chunkTokens, textCol, carry = Seq(tsCol))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__h")
-      .drop("__h")
-  }
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
 
   /** Watermarked stream-stream interval join — the streaming face of the
     * batch range join (x50 / [[graft.operators.Relational.rangeJoin]]):

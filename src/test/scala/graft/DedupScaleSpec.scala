@@ -113,25 +113,25 @@ class DedupScaleSpec extends AnyFunSuite {
   }
 
   test("passage dedup scales near-linearly 10k → 100k docs with exact dup counts", Slow) {
-    // each doc = 3 disjoint 30-token windows of a shared stream (no chunk
-    // shared ACROSS distinct docs), copied 10×: dupes = 3 × 9 per group
-    def corpus(nDistinct: Int, seed: Int): DataFrame = {
-      val rnd = new scala.util.Random(seed)
-      val stream = Array.fill(nDistinct * 90)(s"p${rnd.nextInt(1 << 30)}")
-      val texts = (0 until nDistinct)
-        .map(i => stream.slice(i * 90, i * 90 + 90).mkString(" "))
-      (0 until nDistinct * 10).map(i => (i.toLong, texts(i % nDistinct)))
-        .toDF("doc_id", "text")
-    }
-    def run(nDistinct: Int, seed: Int): ((Long, Long), Double) =
+    // each doc = 3 disjoint 30-token windows (word ids are pure arithmetic
+    // on the doc's class, so no chunk is shared ACROSS classes), copied
+    // 10×: dupes = 3 × 9 per class. The corpus is GENERATED IN SPARK from
+    // range() — a driver-built Seq ships the whole text corpus inside task
+    // binaries (measured 8.5 MB tasks at 100k docs) and times the shipping,
+    // not the operator.
+    def corpus(nDistinct: Int): DataFrame =
+      spark.range(nDistinct * 10L).select(col("id").as("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(0, 89, 1), " +
+          s"i -> concat('w', (id % $nDistinct) * 90 + i)))").as("text"))
+    def run(nDistinct: Int): ((Long, Long), Double) =
       timed {
-        val agg = Dedup.passageDedup(corpus(nDistinct, seed))
+        val agg = Dedup.passageDedup(corpus(nDistinct))
           .agg(sum("n_chunks"), sum("n_dupes")).head()
         (agg.getLong(0), agg.getLong(1))
       }
-    run(100, 31) // warm-up
-    val ((c10, d10), t10) = run(1000, 32)   // 10k docs
-    val ((c100, d100), t100) = run(10000, 33) // 100k docs
+    run(100) // warm-up
+    val ((c10, d10), t10) = run(1000)   // 10k docs
+    val ((c100, d100), t100) = run(10000) // 100k docs
     info(f"passage dedup 10k: $t10%.1f s; 100k: $t100%.1f s")
     assert(c10 == 30000L && d10 == 1000L * 3 * 9)
     assert(c100 == 300000L && d100 == 10000L * 3 * 9)
