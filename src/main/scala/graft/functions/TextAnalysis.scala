@@ -111,4 +111,63 @@ object TextAnalysis {
     * one-pass [[Fingerprint]] codegen expression. */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), TextHashFunctions.fingerprint(col(textCol)).as("fp"))
+
+  /** Token-budget mixture sampling — the data-mixing step ahead of
+    * training, as an operator over any (doc_id, source, text) frame (x84
+    * is the catalog wrapper): per-source token totals set a deterministic
+    * per-mille keep rate toward an equal share of `budgetPermille`/1000 of
+    * the corpus tokens, in exact BIGINT arithmetic (capped at keep-all;
+    * a zero-token source trivially keeps everything), applied via the
+    * Knuth multiplicative doc_id hash — reproducible across runs, engines
+    * and partitionings. Returns the per-source report
+    * (source, n_docs, toks_total, rate_pm, n_sampled, toks_sampled),
+    * unordered — callers sort.
+    *
+    * Scale shape: the slim (doc_id, source, n_toks) projection is lazily
+    * checkpointed so the tokens kernel runs ONCE for both passes; the
+    * per-source aggregate is collected in one bounded job (rates are
+    * O(sources) driver arithmetic, mirroring the SQL oracle's integer
+    * division exactly); the rate table rides a broadcast. */
+  def mixtureSample(docs: DataFrame, budgetPermille: Long = 250,
+                    textCol: String = "text"): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0, 1000], got $budgetPermille")
+    val s = docs.sparkSession
+    val toks = docs.select(col("doc_id"), col("source"),
+      expr(s"size(${Portable.tokens(SparkD, textCol)})").cast("bigint")
+        .as("n_toks"))
+      .localCheckpoint(false)
+    val bySource = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").cast("bigint").as("toks_total"))
+    val srcRows = graft.engine.Actions.boundedRows(bySource, 1 << 20)
+      .getOrElse(throw new IllegalStateException(
+        "mixtureSample: more than 2^20 sources — the per-source report " +
+          "itself is unbounded; aggregate sources upstream"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val grand = srcRows.map(_._3).sum
+    val nSources = srcRows.length.toLong
+    import s.implicits._
+    val rates = srcRows.toSeq.map { case (src, nDocs, toksTotal) =>
+      val rate =
+        if (toksTotal == 0L) 1000L
+        else math.min(1000L, 1000L * (grand * budgetPermille / 1000L) /
+          (nSources * toksTotal))
+      (src, nDocs, toksTotal, rate)
+    }.toDF("source", "n_docs", "toks_total", "rate_pm")
+    val sampled = toks
+      .withColumn("h",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+          % lit(1000000007L) % lit(1000L))
+      .join(broadcast(rates.select("source", "rate_pm")), "source")
+      .where(col("h") < col("rate_pm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("n_toks").cast("bigint").as("toks_sampled"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("toks_total"),
+        col("rate_pm"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
+  }
 }

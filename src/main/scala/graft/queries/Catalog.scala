@@ -2143,57 +2143,9 @@ object Catalog {
     * rate-gated sample aggregate), each one scan + one source-bounded
     * aggregate; the rate table rides a broadcast; nothing driver-side. */
   val x84 = Q("x84_mixture_sample",
-    (s, d) => {
-      // one kernel pass: the (doc_id, source, n_toks) projection feeds both
-      // the totals aggregate and the sample pass — lazily checkpointed so
-      // the tokens kernel runs once (the probe below is the first action,
-      // so its map stage doubles as the checkpoint writer, x20's trick)
-      val toks = t(s, d, "documents").select(col("doc_id"), col("source"),
-        size(expr(Portable.tokens(SparkD, "text"))).cast("bigint")
-          .as("n_toks"))
-        .localCheckpoint(false)
-      val bySource = toks.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_toks").cast("bigint").as("toks_total"))
-      // per-source rows are bounded by source cardinality; collect them in
-      // one job and do the grand-total/rate arithmetic on the driver in the
-      // SAME exact BIGINT semantics the SQL oracle runs (Java long division
-      // ≡ `div` ≡ `//` for the non-negative operands here). Over the cap
-      // the sources are too many to report anyway — fail loudly.
-      val srcRows = graft.engine.Actions.boundedRows(bySource, 1 << 20)
-        .getOrElse(throw new IllegalStateException(
-          "x84_mixture_sample: more than 2^20 sources — the per-source " +
-            "report itself is unbounded; aggregate sources upstream"))
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val grand = srcRows.map(_._3).sum
-      val nSources = srcRows.length.toLong
-      import s.implicits._
-      val rates = srcRows.toSeq.map { case (src, nDocs, toksTotal) =>
-        // a zero-token source trivially fits any budget: keep-all, and
-        // don't divide by zero (mirrors the oracle's CASE guard)
-        val rate =
-          if (toksTotal == 0L) 1000L
-          else math.min(1000L, 1000L * (grand / 4) /
-            (nSources * toksTotal))
-        (src, nDocs, toksTotal, rate)
-      }.toDF("source", "n_docs", "toks_total", "rate_pm")
-      val sampled = toks
-        .withColumn("h",
-          ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
-            % lit(1000000007L) % lit(1000L))
-        .join(broadcast(rates.select("source", "rate_pm")), "source")
-        .where(col("h") < col("rate_pm"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_sampled"),
-          sum("n_toks").cast("bigint").as("toks_sampled"))
-      reportSortFused(
-        rates.join(sampled, Seq("source"), "left")
-          .select(col("source"), col("n_docs"), col("toks_total"),
-            col("rate_pm"),
-            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-            coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled")),
-        col("source"))
-    },
+    (s, d) => reportSortFused(
+      TextAnalysis.mixtureSample(t(s, d, "documents"), budgetPermille = 250),
+      col("source")),
     Some(s"""WITH t AS (SELECT doc_id, source,
             |    CAST(length(${Portable.tokens(DuckD, "text")}) AS BIGINT)
             |      AS n_toks

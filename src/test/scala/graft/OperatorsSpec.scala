@@ -595,4 +595,44 @@ class OperatorsSpec extends AnyFunSuite {
         s"expected null metrics for asset ${r.getLong(0)}")
     }
   }
+
+  test("mixtureSample: rate cap, zero-token keep-all, exact rate arithmetic") {
+    // Three paths testdata can't reach: an under-share source whose rate
+    // caps at keep-all (1000), a zero-token source (keep-all, no div-by-0),
+    // and the dominant source getting the exact integer-division rate.
+    val docs = (
+      (1L to 40L).map(i => (i, "big", "a b c d e f g h i j")) ++ // 400 toks
+        (101L to 104L).map(i => (i, "tiny", "a b")) ++           // 8 toks
+        (201L to 203L).map(i => (i, "empty", "   "))             // 0 toks
+      ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.mixtureSample(docs, budgetPermille = 300)
+      .orderBy("source").collect().toSeq
+    // grand = 408; budget toks = 408*300/1000 = 122; equal share over 3
+    // sources → rate = min(1000, 1000*122/(3*toksTotal)) in Long division.
+    val hKeep = (id: Long, rate: Long) =>
+      ((id % 1000000007L) * 2654435761L) % 1000000007L % 1000L < rate
+    val bigKept = (1L to 40L).count(hKeep(_, 122000L / 1200L)).toLong
+    assert(got.map(r => (r.getString(0), r.getLong(3))) ==
+      Seq(("big", 101L), ("empty", 1000L), ("tiny", 1000L)))
+    assert(got.map(r => (r.getString(0), r.getLong(4), r.getLong(5))) ==
+      Seq(("big", bigKept, bigKept * 10L), ("empty", 3L, 0L),
+        ("tiny", 4L, 8L)))
+  }
+
+  test("mixtureSample: zero budget keeps only zero-token sources; " +
+    "bounds validated") {
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x"), (3L, "b", " ")
+    ).toDF("doc_id", "source", "text")
+    // budget 0 → rate 0 for any token-bearing source (n_sampled coalesces
+    // to 0 through the left join); zero-token sources still keep-all.
+    val got = TextAnalysis.mixtureSample(docs, budgetPermille = 0)
+      .orderBy("source").collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(3), r.getLong(4))) ==
+      Seq(("a", 0L, 0L), ("b", 1000L, 1L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.mixtureSample(docs, budgetPermille = -1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.mixtureSample(docs, budgetPermille = 1001))
+  }
 }
