@@ -170,4 +170,80 @@ object TextAnalysis {
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every non-target document by how much its hashed-bigram distribution
+    * resembles the target source's, log w(doc) = Σ_features
+    * [ln p_target(b) − ln p_raw(b)] over the doc's bigram instances, with
+    * Laplace-smoothed bucket probabilities. (The paper hashes unigrams +
+    * bigrams into 10k buckets; bigrams-only into `buckets` here — same
+    * estimator, one kernel.) Downstream, sampling ∝ w is the paper's
+    * resampling step — x63's deterministic mechanism applies.
+    *
+    * Output: (doc_id, n_bigrams, logw_sum) for docs with `source` ≠
+    * `targetSource` and ≥ 2 tokens, unordered — callers sort. Determinism
+    * mirrors x81: per-bucket log-ratios are rounded to 6-decimal DECIMAL and
+    * summed exactly (order-independent); only the final sum is cast to
+    * double. Callers derive the mean from (logw_sum, n_bigrams).
+    *
+    * Scale shape: bigram→bucket is the one-pass [[PairBuckets]] codegen
+    * kernel (no bigram strings materialized); the bucket-count aggregate is
+    * ONE exchange whose result is ≤ `buckets` rows, collected in one job
+    * ([[graft.engine.Actions.boundedRows]]); totals and log-ratios are O(B)
+    * driver arithmetic; the scoring pass joins the broadcast ratio table —
+    * no shuffle join at any corpus size, because the feature space is fixed
+    * by construction (the paper's point: hashing bounds the model). */
+  def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 1024,
+                  textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      s"buckets must be in [1, 2^24], got $buckets")
+    val s = docs.sparkSession
+    val counts = docs.select(col("source"),
+        explode(TextHashFunctions.pairBuckets(col(textCol), buckets))
+          .as("bkt"))
+      .groupBy("bkt").agg(
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cr"))
+    // ≤ `buckets` groups by construction — boundedRows is for its one-job
+    // collect semantics, not the cap
+    val rows = graft.engine.Actions.boundedRows(counts, buckets)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: bucket count exceeded the bucket space"))
+    val tt = rows.map(_.getLong(1)).sum
+    val tr = rows.map(_.getLong(2)).sum
+    // ln replicated exactly as in x81's driver route: Math.log IS Spark's
+    // LOG and BigDecimal.setScale(6, HALF_UP) IS Spark's round-on-double;
+    // the double ops (+1.0, +B, two divides) run in the oracle's order
+    val lrRows: Array[org.apache.spark.sql.Row] = rows.map { r =>
+      val pT = (r.getLong(1) + 1.0) / (tt + buckets)
+      val pR = (r.getLong(2) + 1.0) / (tr + buckets)
+      org.apache.spark.sql.Row(r.getLong(0),
+        java.math.BigDecimal.valueOf(math.log(pT / pR))
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+    }
+    val lrSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lr",
+        org.apache.spark.sql.types.DecimalType(18, 6))))
+    val lrTable = s.createDataFrame(
+      java.util.Arrays.asList(lrRows: _*), lrSchema)
+    // scoring pass (x81's one-exchange fusion): range-partition the raw
+    // (doc_id, text) projection — sampling sees plain scan rows so the
+    // kernel runs once; RangePartitioning(doc_id) satisfies the aggregate's
+    // clustering (no agg exchange) and the narrow within-partition sort
+    // keeps the output doc_id-clustered for the caller's report sort
+    docs.where(col("source") =!= targetSource)
+      .select(col("doc_id"), col(textCol))
+      .orderBy("doc_id")
+      .select(col("doc_id"),
+        explode(TextHashFunctions.pairBuckets(col(textCol), buckets))
+          .as("bkt"))
+      .join(broadcast(lrTable), "bkt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("lr").cast("double").as("logw_sum"))
+      .sortWithinPartitions("doc_id")
+  }
 }

@@ -205,6 +205,42 @@ object TokenHasher {
     new GenericArrayData(out)
   }
 
+  /** Adjacent-pair feature buckets, one pass: [[Portable.tokHash]] of the
+    * bigram string "w1 w2" mod `buckets`, computed over the VIRTUAL
+    * concatenation — the bigram string is never materialized (tokHash reads
+    * only the first 8 chars + the length, both derivable from the two token
+    * spans). With multiplicity; empty under two tokens. The hashed-bigram
+    * feature map of DSIR-style importance weighting (x86). */
+  def pairBuckets(u: UTF8String, buckets: Int): ArrayData = {
+    val s = u.toString
+    val t = new TokenOffsets(s)
+    val k = t.n
+    if (k < 2) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](k - 1)
+    var i = 0
+    while (i + 1 < k) {
+      val l1 = t.ends(i) - t.starts(i)
+      val l2 = t.ends(i + 1) - t.starts(i + 1)
+      val len = l1 + 1 + l2
+      var h = len.toLong * 1000003L
+      var p = 31L
+      var j = 0
+      val m = if (len < 8) len else 8
+      while (j < m) {
+        val c =
+          if (j < l1) s.charAt(t.starts(i) + j)
+          else if (j == l1) ' '
+          else s.charAt(t.starts(i + 1) + (j - l1 - 1))
+        h += c.toLong * p
+        p *= 31L
+        j += 1
+      }
+      out(i) = (h % HashP) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All tokens as strings, one pass, with multiplicity — the
     * `filter(split(text,' '), t -> t <> '')` fragment without the
     * per-token HOF lambda (q13-class term counting). */
@@ -242,6 +278,8 @@ object TextHashFunctions {
   def shingleStrings(c: Column): Column = B.column(ShingleStrings(B.expression(c)))
   def distinctTokens(c: Column): Column = B.column(DistinctTokens(B.expression(c)))
   def tokenPairs(c: Column): Column = B.column(TokenPairs(B.expression(c)))
+  def pairBuckets(c: Column, buckets: Int): Column =
+    B.column(PairBuckets(B.expression(c), buckets))
   def allTokens(c: Column): Column = B.column(AllTokens(B.expression(c)))
   def shinglePrefix(c: Column,
                     dfMap: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
@@ -355,6 +393,23 @@ case class TokenPairs(child: Expression) extends TextHashExpression {
   override def nullSafeEval(input: Any): Any =
     TokenHasher.tokenPairs(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): TokenPairs =
+    copy(child = newChild)
+}
+
+/** Adjacent-pair tokHash feature buckets as array<long>, with multiplicity.
+  * `buckets` is a plan-time constant, so codegen embeds it as a literal. */
+case class PairBuckets(child: Expression, buckets: Int)
+    extends TextHashExpression {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pair_buckets"
+  protected def kernel: String = "pairBuckets"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.pairBuckets(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TokenHasher.pairBuckets($c, $buckets);")
+  override protected def withNewChildInternal(newChild: Expression): PairBuckets =
     copy(child = newChild)
 }
 

@@ -168,6 +168,38 @@ object Relational {
       .drop("__pid", "__mid", "__minMid", "__off")
   }
 
+  /** Deterministic global shuffle-and-shard — the training-order step at
+    * the end of a data pipeline: assign every row a shard and a position
+    * within it, reproducible across runs, engines and partitionings
+    * (`ORDER BY rand()` is none of those). The Knuth multiplicative hash of
+    * `idCol` (x63's mechanism; ids must be non-negative) is the shuffle
+    * order; `shard = h % nShards` balances shards to within hash noise; the
+    * within-shard position comes from [[keyedRowNumbers]] — the heavy sort
+    * stays a PARALLEL range sort even though `nShards` may be small
+    * relative to the cluster (the x51 low-cardinality-window trap, designed
+    * out by the two-pass). Hash ties across distinct ids (possible once id
+    * cardinality nears 1e9+7) break by id, so positions stay unique.
+    *
+    * Output: input columns + `shard` (int) + `pos` (1-based long) +
+    * `shard_rows` (shard size — the per-shard row count a shard writer
+    * needs for manifests), range-clustered by (shard, pos): a downstream
+    * partitioned write streams each shard's rows in training order without
+    * another exchange. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    parts: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = ((col(idCol) % lit(1000000007L)) * lit(2654435761L)) %
+      lit(1000000007L)
+    keyedRowNumbers(
+      df.withColumn("__h", h)
+        .withColumn("shard", (col("__h") % nShards).cast("int")),
+      Seq("shard"), Seq(col("__h"), col(idCol)), parts)
+      .withColumnRenamed("__rn", "pos")
+      .withColumnRenamed("__n", "shard_rows")
+      .select((df.columns.map(col) ++
+        Seq(col("shard"), col("pos"), col("shard_rows"))): _*)
+  }
+
   /** Global running total (cumulative sum over a total order) WITHOUT the
     * single-partition window Spark would otherwise plan — `sum(v) OVER
     * (ORDER BY …)` with no PARTITION BY funnels the whole input through ONE

@@ -2200,6 +2200,58 @@ object Catalog {
             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** DSIR-style importance weights (Xie et al. 2023) against the 'src0'
+    * target distribution: see [[TextAnalysis.dsirWeights]] for the
+    * estimator and the scale contract (one-pass PairBuckets kernel, one
+    * bounded bucket-count job, O(B) driver arithmetic, broadcast-join
+    * scoring — no shuffle join at any corpus size). The oracle recomputes
+    * the identical smoothed log-ratio table in SQL; per-bucket ratios are
+    * 6-decimal DECIMALs summed exactly (x81's determinism discipline). */
+  val x86 = Q("x86_dsir_weights",
+    (s, d) => TextAnalysis.dsirWeights(
+      t(s, d, "documents"), targetSource = "src0", buckets = 1024),
+    Some(s"""WITH t AS (SELECT doc_id, source,
+            |    ${Portable.tokens(DuckD, "text")} AS toks FROM documents),
+            |p AS (SELECT doc_id, source,
+            |    unnest(list_transform(range(1, length(toks)),
+            |      i -> ${Portable.tokHash("concat(toks[i], ' ', toks[i + 1])")}
+            |        % 1024)) AS bkt
+            |  FROM t WHERE length(toks) >= 2),
+            |c AS (SELECT bkt,
+            |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+            |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+            |  FROM p GROUP BY 1),
+            |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM c),
+            |lr AS (SELECT bkt, CAST(round(ln(((ct + 1.0) / (tt + 1024)) /
+            |      ((cr + 1.0) / (tr + 1024))), 6) AS DECIMAL(18,6)) AS lr
+            |  FROM c, tot)
+            |SELECT doc_id, COUNT(*) AS n_bigrams,
+            |  CAST(SUM(lr) AS DOUBLE) AS logw_sum
+            |FROM p JOIN lr USING (bkt)
+            |WHERE source <> 'src0'
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
+  /** Deterministic shuffle-and-shard (the training-order step): see
+    * [[Relational.shuffleShards]]. The oracle's PARTITION BY shard window
+    * is the 8-task shape the operator exists to avoid — fine for DuckDB on
+    * one node, the x51 trap on a cluster; the two-pass produces the
+    * identical ranks with a parallel range sort. */
+  val x87 = Q("x87_shuffle_shards",
+    (s, d) => Relational.shuffleShards(
+        t(s, d, "documents").select("doc_id"), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"), col("shard_rows"))
+      .sortWithinPartitions("shard", "pos"),
+    Some("""WITH h AS (SELECT doc_id,
+           |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS h
+           |  FROM documents)
+           |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+           |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+           |    AS pos,
+           |  COUNT(*) OVER (PARTITION BY h % 8) AS shard_rows
+           |FROM h ORDER BY shard, pos""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2218,7 +2270,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *
@@ -2270,6 +2322,13 @@ object Catalog {
     // an lm-probe job + broadcast-join/agg job — nothing left for AQE to
     // re-decide; the over-cap fallback re-enables AQE itself at build time
     "x81_lm_score",
+    // x86: same shape as x81's under-cap route, and the bucket table is
+    // bounded by construction (no fallback exists to re-plan)
+    "x86_dsir_weights",
+    // x87: keyedRowNumbers checkpoint captures the physical partitioning
+    // (the x62/x72 requirement), and the block join is an explicit
+    // broadcast — nothing for AQE to re-decide
+    "x87_shuffle_shards",
     // x83: the salted pair join is CPU-bound on byte-tiny inputs — AQE's
     // size-based coalescing folds the scoring stage back onto one task
     // (the x82-codec blindness); static keeps the salt's parallelism

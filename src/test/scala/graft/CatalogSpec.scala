@@ -105,7 +105,9 @@ class CatalogSpec extends AnyFunSuite {
     "x83_semantic_dedup" -> Seq("cell", "n_vectors", "n_dropped", "n_kept"),
     "x84_mixture_sample" -> Seq("source", "n_docs", "toks_total", "rate_pm",
       "n_sampled", "toks_sampled"),
-    "x85_passage_dedup" -> Seq("doc_id", "n_chunks", "n_dupes"))
+    "x85_passage_dedup" -> Seq("doc_id", "n_chunks", "n_dupes"),
+    "x86_dsir_weights" -> Seq("doc_id", "n_bigrams", "logw_sum"),
+    "x87_shuffle_shards" -> Seq("doc_id", "shard", "pos", "shard_rows"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -166,6 +166,25 @@ class KernelParitySpec extends AnyFunSuite {
     assert(declAll.exceptAll(kernAll).count() == 0)
   }
 
+  test("PairBuckets kernel ≡ tokHash of materialized bigram strings mod B") {
+    // the kernel hashes the VIRTUAL "w1 w2" concatenation; the oracle
+    // hashes the materialized string — array equality (order AND
+    // multiplicity) on the real corpus pins the equivalence, including a
+    // bucket count that doesn't divide the hash space (1000)
+    for (b <- Seq(1024, 1000)) {
+      val kern = docs.select(col("doc_id"),
+        TextHashFunctions.pairBuckets(col("text"), b).as("bkts"))
+      val declArr = docs
+        .select(col("doc_id"),
+          TextHashFunctions.tokenPairs(col("text")).as("pairs"))
+        .select(col("doc_id"),
+          expr(s"transform(pairs, bg -> ${Portable.tokHash("bg")} % $b)")
+            .as("bkts"))
+      assert(kern.except(declArr).count() == 0, s"buckets=$b")
+      assert(declArr.except(kern).count() == 0, s"buckets=$b")
+    }
+  }
+
   test("round-2 kernels are reachable from pure SQL (GraftExtensions)") {
     val r = spark.sql(
       """SELECT size(graft_shingle_set('a b c d')) AS ns,

@@ -619,6 +619,78 @@ class OperatorsSpec extends AnyFunSuite {
         ("tiny", 4L, 8L)))
   }
 
+  test("shuffleShards ≡ hash-ordered window ranks; invariant to input " +
+    "partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id")
+    val got = Relational.shuffleShards(docs, "doc_id", nShards = 4, parts = 5)
+    val h = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) %
+      lit(1000000007L)
+    val want = docs.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % 4).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard")
+          .orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .withColumn("shard_rows",
+        count(lit(1)).over(Window.partitionBy("shard")))
+      .drop("__h")
+    assert(got.except(want).count() == 0)
+    assert(want.except(got).count() == 0)
+    // reproducibility: a differently-partitioned input yields the SAME
+    // assignment (the operator's whole point vs ORDER BY rand())
+    val rep = Relational.shuffleShards(
+      docs.repartition(13), "doc_id", nShards = 4, parts = 3)
+    assert(rep.except(want).count() == 0 && want.except(rep).count() == 0)
+    intercept[IllegalArgumentException](
+      Relational.shuffleShards(docs, "doc_id", nShards = 0))
+  }
+
+  test("dsirWeights: target-resembling docs outscore disjoint-vocab docs; " +
+    "target and sub-2-token docs excluded; bounds validated") {
+    val docs = Seq(
+      (1L, "wiki", "alpha beta gamma delta alpha beta"),
+      (2L, "wiki", "alpha beta gamma epsilon"),
+      (10L, "web", "alpha beta gamma delta"), // target-like raw doc
+      (11L, "web", "zzz qqq xxx www vvv"),    // disjoint-vocab raw doc
+      (12L, "web", "single"),                 // < 2 tokens: no features
+      (13L, "web", "")                        // token-free
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dsirWeights(docs, targetSource = "wiki",
+      buckets = 64).orderBy("doc_id").collect().toSeq
+    assert(got.map(_.getLong(0)) == Seq(10L, 11L),
+      "only raw docs with >= 2 tokens are scored")
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(10L).getLong(1) == 3L && byId(11L).getLong(1) == 4L)
+    // per-bigram mean importance: the target-like doc must beat the
+    // disjoint one (its bigrams carry target mass; the disjoint doc's
+    // buckets are raw-only, log-ratio < 0 under smoothing)
+    val mean10 = byId(10L).getDouble(2) / 3.0
+    val mean11 = byId(11L).getDouble(2) / 4.0
+    assert(mean10 > mean11,
+      s"target-like $mean10 must outscore disjoint $mean11")
+    assert(mean11 < 0.0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.dsirWeights(docs, "wiki", buckets = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.dsirWeights(docs, "wiki", buckets = (1 << 24) + 1))
+  }
+
+  test("dsirWeights: absent target source degrades to uniform target " +
+    "(every bucket's target mass = smoothing), never divides by zero") {
+    val docs = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e f g")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dsirWeights(docs, targetSource = "nope",
+      buckets = 32).orderBy("doc_id").collect().toSeq
+    assert(got.map(_.getLong(0)) == Seq(1L, 2L))
+    // with tt = 0, p_target is uniform 1/B; every raw bucket has cr >= 1 so
+    // lr = ln((1/B) / ((cr+1)/(tr+B))) is finite — just assert finiteness
+    // and the right feature counts
+    assert(got.map(_.getLong(1)) == Seq(2L, 3L))
+    assert(got.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
   test("mixtureSample: zero budget keeps only zero-token sources; " +
     "bounds validated") {
     val docs = Seq(

@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "input is localCheckpoint-ed so the block-offset pass and the final " +
       "pass see the identical partition layout; both passes are " +
       "Catalyst-planned over the materialized state"),
+    "x87_shuffle_shards" -> ("keyedRowNumbers two-pass (same machinery as " +
+      "x51, hash-shuffle order): the checkpoint pins the partition layout " +
+      "across the block-offset and final passes"),
     "x62_funnel" -> ("slim event projection hash-partitioned by user_id and " +
       "localCheckpoint-ed ONCE for four consumers; partitioning is preserved " +
       "so every downstream agg/join is exchange-free (PlanShapeSpec pins it)"),

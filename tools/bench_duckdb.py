@@ -56,7 +56,7 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (76, "rank_ties"), (77, "mad"), (78, "image_decode"),
     (79, "sequence_packing"), (80, "audio_decode"), (81, "lm_score"),
     (82, "video_decode"), (83, "semantic_dedup"), (84, "mixture_sample"),
-    (85, "passage_dedup")]]
+    (85, "passage_dedup"), (86, "dsir_weights"), (87, "shuffle_shards")]]
 
 
 # queries declared WITHOUT an oracle by design (rows-only checks) — the only
@@ -91,6 +91,15 @@ def bench_set(names):
                   file=sys.stderr)
             res[name] = -1.0
     return res
+
+# reverse drift: a query added to the Scala catalog (it lands in
+# oracle_sql.json) but not to BENCH/EXTENDED above would silently shrink
+# the shared set — make that loud too (q08's write-roundtrip is excluded
+# from benching by design)
+for name in sorted(set(oracle) - set(BENCH) - set(EXTENDED) -
+                   {"q08_roundtrip"}):
+    print(f"bench_duckdb: DRIFT — {name} is in the catalog but in neither "
+          "bench tier; add it above", file=sys.stderr)
 
 res = bench_set(BENCH)
 ext = bench_set(EXTENDED)
