@@ -62,4 +62,57 @@ class TwoPassScaleSpec extends AnyFunSuite {
     assert(t100 <= t10.max(0.5) * 30,
       f"superlinear step at 10x rows: $t10%.1f s -> $t100%.1f s")
   }
+
+  test("shuffleShards yields exact per-shard permutations and is " +
+    "near-linear 100k → 1M rows", Slow) {
+    def run(n: Long): (Long, Double) = {
+      val df = spark.range(n).select(col("id"))
+      val sharded = Relational.shuffleShards(df, "id", nShards = 16)
+      // per shard, pos must be a permutation of 1..shard_rows — checked by
+      // the (count, max, sum) closed form in one distributed aggregate
+      timed(sharded.groupBy("shard")
+        .agg(count(lit(1)).as("c"), max("pos").as("m"), sum("pos").as("s"),
+          max("shard_rows").as("sr"), min("shard_rows").as("sr2"))
+        .where(col("m") =!= col("c") || col("sr") =!= col("c") ||
+          col("sr2") =!= col("c") ||
+          col("s") =!= col("c") * (col("c") + 1) / 2)
+        .count())
+    }
+    run(10000)
+    val (bad10, t10) = run(100000)
+    val (bad100, t100) = run(1000000)
+    info(f"shuffleShards 100k: $t10%.1f s; 1M: $t100%.1f s")
+    assert(bad10 == 0 && bad100 == 0)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x rows: $t10%.1f s -> $t100%.1f s")
+  }
+
+  test("dsirWeights is near-linear 100k → 1M docs with full coverage", Slow) {
+    // corpus generated arithmetically IN Spark (no driver-built corpus —
+    // the passage-dedup smoke's lesson): 5 tokens/doc over a bounded
+    // id-derived vocabulary, every 10th doc is the target distribution
+    def run(n: Long): (Long, Double) = {
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, lit("t")).otherwise(lit("r"))
+          .as("source"),
+        concat_ws(" ",
+          concat(lit("w"), col("id") % 997),
+          concat(lit("w"), (col("id") * 7) % 997),
+          concat(lit("w"), (col("id") * 13) % 997),
+          concat(lit("w"), (col("id") * 31) % 997),
+          concat(lit("w"), (col("id") * 61) % 997)).as("text"))
+      val w = graft.functions.TextAnalysis.dsirWeights(docs, "t",
+        buckets = 1024)
+      // every raw doc has 5 tokens → 4 bigram features, none dropped
+      timed(w.where(col("n_bigrams") =!= 4).count() +
+        (w.count() - n * 9 / 10))
+    }
+    run(10000)
+    val (bad10, t10) = run(100000)
+    val (bad100, t100) = run(1000000)
+    info(f"dsirWeights 100k: $t10%.1f s; 1M: $t100%.1f s")
+    assert(bad10 == 0 && bad100 == 0)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
+  }
 }
