@@ -32,7 +32,10 @@ class DriverBoundSpec extends AnyFunSuite {
       "TakeOrdered(1) round winner — exactly one (pair, weight) row per " +
         "merge round"),
     "HiveCatalogDemo.scala" -> (2,
-      "two-JVM demo main: bounded daily-count reports"))
+      "two-JVM demo main: bounded daily-count reports"),
+    "Sharding.scala" -> (2,
+      "expected-count and write-audit aggregates — one row per shard, " +
+        "bounded by nShards"))
 
   test("every driver-side collect/head/first in main is a declared bounded site") {
     val pat = java.util.regex.Pattern.compile(
