@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_lang_stats"),
       info("graft_lang_stats", "graft_lang_stats(text) - [en,de,fr,es hits, n_tokens, tok_chars] in one pass"),
       (args: Seq[Expression]) => LangStats(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_pair_buckets"),
+      info("graft_pair_buckets", "graft_pair_buckets(text, buckets) - hashed-bigram feature buckets (DSIR)"),
+      (args: Seq[Expression]) => graft.functions.PairBuckets(args(0),
+        intArg("graft_pair_buckets", "buckets", args, 1))))
     e.injectFunction((FunctionIdentifier("graft_band_keys"),
       info("graft_band_keys", "graft_band_keys(v, bands, rowsPerBand, dim) - hyperplane-LSH band keys over array<double>"),
       (args: Seq[Expression]) => HyperplaneBandKeys(args(0),

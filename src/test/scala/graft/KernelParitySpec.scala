@@ -212,6 +212,22 @@ class KernelParitySpec extends AnyFunSuite {
     assert(r.getSeq[String](3) == Seq("a", "b", "a"))
   }
 
+  test("graft_pair_buckets is reachable from pure SQL and agrees with the " +
+    "Column API (non-literal buckets rejected with a real message)") {
+    val r = spark.sql(
+      "SELECT graft_pair_buckets('a b a', 64) AS pb").collect()(0)
+    val api = spark.range(1).select(
+      TextHashFunctions.pairBuckets(org.apache.spark.sql.functions
+        .lit("a b a"), 64).as("pb")).collect()(0)
+    assert(r.getSeq[Long](0) == api.getSeq[Long](0))
+    assert(r.getSeq[Long](0).length == 2)
+    val e = intercept[Exception](
+      spark.sql(
+        "SELECT graft_pair_buckets('a b', CAST(rand() * 10 AS INT))")
+        .collect())
+    assert(e.getMessage.contains("graft_pair_buckets"))
+  }
+
   test("graft_sorted_intersect_count skips null elements instead of " +
     "reading them as 0") {
     val r = spark.sql(
