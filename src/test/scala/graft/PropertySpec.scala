@@ -378,4 +378,38 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"seed=$seedBase")
     }
   }
+
+  test("shuffleShards positions are unique under engineered HASH COLLISIONS " +
+    "(ids 1e9+7 apart share h; the id tie-break must split them)") {
+    import org.apache.spark.sql.expressions.Window
+    val P = 1000000007L
+    // every base id appears at 3 hash-colliding aliases: id, id+P, id+2P
+    val baseGen = Gen.chooseNum(0L, 100000L)
+    for (seedBase <- Seq(7, 77)) {
+      val bases = (1 to 40).flatMap(i =>
+        baseGen.apply(Gen.Parameters.default, Seed((seedBase + i).toLong)))
+        .distinct
+      val ids = bases.flatMap(b => Seq(b, b + P, b + 2 * P))
+      val df = ids.toDF("id")
+      val got = graft.operators.Relational
+        .shuffleShards(df, "id", nShards = 3, parts = 4)
+      // ranks must match the window form even though h ties 3-deep
+      val h = ((col("id") % lit(P)) * lit(2654435761L)) % lit(P)
+      val want = df.withColumn("__h", h)
+        .withColumn("shard", (col("__h") % 3).cast("int"))
+        .withColumn("pos", row_number().over(Window.partitionBy("shard")
+          .orderBy(col("__h"), col("id"))).cast("long"))
+        .withColumn("shard_rows",
+          count(lit(1)).over(Window.partitionBy("shard")))
+        .drop("__h")
+      assert(got.except(want).count() == 0 &&
+        want.except(got).count() == 0, s"seed=$seedBase")
+      // colliding aliases land in the SAME shard at CONSECUTIVE positions
+      val triples = got.groupBy((col("id") % P).as("base"))
+        .agg(countDistinct("shard").as("ns"),
+          (max("pos") - min("pos")).as("span"))
+        .where(col("ns") =!= 1 || col("span") =!= 2).count()
+      assert(triples == 0, "hash-colliding aliases must stay adjacent")
+    }
+  }
 }
