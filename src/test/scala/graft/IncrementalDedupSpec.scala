@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.IncrementalDedup
+
+/** Cross-batch exact dedup over a persistent digest history: within-batch
+  * keep-first, cross-batch anti-join, and the retry contract (re-running a
+  * batch returns the identical survivor set — the naive append design
+  * returns the empty set on redelivery). */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("within-batch keep-first, cross-batch exclusion, idempotent retry") {
+    val hist = Files.createTempDirectory("graft_dedup_hist").toString + "/h"
+
+    // batch 1: an internal dup (doc 30 repeats doc 10's text)
+    val b1 = Seq((10L, "alpha text", "m1"), (20L, "beta text", "m2"),
+      (30L, "alpha text", "m3")).toDF("doc_id", "text", "meta")
+    val s1 = IncrementalDedup.dedupBatch(b1, hist, "b1")
+    assert(s1.columns.toSeq == Seq("doc_id", "text", "meta"))
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L))
+
+    // batch 2: one cross-batch dup (doc 40 repeats doc 20), one fresh
+    val b2 = Seq((40L, "beta text", "m4"), (50L, "gamma text", "m5"))
+      .toDF("doc_id", "text", "meta")
+    val s2 = IncrementalDedup.dedupBatch(b2, hist, "b2")
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(50L))
+
+    // retry batch 2: its own earlier digests must NOT suppress it
+    val s2r = IncrementalDedup.dedupBatch(b2, hist, "b2")
+    assert(s2r.select("doc_id").as[Long].collect().toSeq == Seq(50L),
+      "a retried batch must return its original survivors, not ∅")
+    // and the history holds exactly one digest row per survivor ever kept
+    assert(spark.read.parquet(hist).count() == 3)
+
+    // batch 3: everything already seen somewhere → empty survivors
+    val b3 = Seq((60L, "alpha text", "m6"), (70L, "gamma text", "m7"))
+      .toDF("doc_id", "text", "meta")
+    assert(IncrementalDedup.dedupBatch(b3, hist, "b3").count() == 0)
+    // an all-dup batch leaves no partition behind (nothing fresh to record)
+    assert(spark.read.parquet(hist).count() == 3)
+  }
+}
