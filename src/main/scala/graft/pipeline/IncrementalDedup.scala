@@ -1,8 +1,10 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
 
 /** Incremental exact dedup across ingest batches — the production shape of
   * x17's one-shot exact dedup: each new batch is deduplicated WITHIN itself
@@ -61,5 +63,82 @@ object IncrementalDedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(historyPath)
     batch.join(pinned.select(idCol), Seq(idCol), "left_semi")
+  }
+
+  /** NEAR-dup variant of [[dedupBatch]]: the persistent state is distinct
+    * MinHash signatures instead of digests. A batch doc is dropped when its
+    * estimated Jaccard (signature agreement / 16, [[Dedup]]'s estimator)
+    * reaches `minEstJaccard` against (a) any LOWER-id doc of its own batch
+    * — the greedy keep-lowest rule of [[Dedup.semanticDedup]] — or (b) any
+    * signature recorded by an earlier batch. Survivor signatures land under
+    * `batch=batchId` with the same dynamic-overwrite retry contract.
+    *
+    * Scale shape: candidates come from an LSH band-key equi-join (batch
+    * bands ⋈ history bands, shuffled on (band, key) like x18), verified in
+    * the join condition — a LEFT SEMI join, so no pair set materializes and
+    * no distinct pass runs over pairs; the dropped-id set is bounded by the
+    * batch. History stores one row per DISTINCT signature (dup-heavy
+    * corpora compress massively); band keys are recomputed on read — four
+    * xxhash64 over 16 longs, noise next to the scan itself.
+    *
+    * Semantics notes: greedy dedup drops a doc near an already-DROPPED doc
+    * only if it is also near some survivor (standard greedy transitivity;
+    * x60's cluster formation is the exhaustive alternative). Token-free
+    * docs carry no signature and always survive — route them through
+    * [[dedupBatch]] if exact-empty dedup matters. */
+  def nearDupBatch(batch: DataFrame, historyPath: String, batchId: String,
+                   minEstJaccard: Double = 0.9,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = FileSystem.get(new java.net.URI(historyPath),
+      spark.sessionState.newHadoopConf())
+    val sigs = batch.select(col(idCol),
+        graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+    // (a) within-batch: every qualifying (a < b) pair drops b
+    val droppedWithin = Dedup.minhashNearDupPairs(
+        batch.select(col(idCol).as("doc_id"), col(textCol)), minEstJaccard,
+        textCol)
+      .select(col("b").as(idCol))
+    // (b) cross-batch: semi-join against earlier batches' signatures with
+    // the verification in the join condition
+    val droppedCross =
+      if (fs.exists(new Path(historyPath))) {
+        val hist = spark.read.parquet(historyPath)
+          .where(col("batch") =!= batchId) // partition-pruned re-run guard
+          .select(col("sig").as("sig_h"))
+        val bandRows = explodeBands(sigs, col("sig"))
+        val histRows = explodeBands(hist, col("sig_h"))
+          .select(col("band"), col("bkey"), col("sig_h"))
+        import org.apache.spark.sql.{GraftSqlBridge => B}
+        val agree = B.column(graft.functions.ArrayEqCount(
+          B.expression(col("sig")), B.expression(col("sig_h"))))
+        bandRows.join(histRows,
+            bandRows("band") === histRows("band") &&
+              bandRows("bkey") === histRows("bkey") &&
+              round(agree / lit(16.0), 4) >= minEstJaccard,
+            "left_semi")
+          .select(col(idCol))
+      } else spark.emptyDataFrame.select(lit(0L).as(idCol)).limit(0)
+    val dropped = droppedWithin.union(droppedCross).distinct()
+    val survivors = sigs.join(dropped, Seq(idCol), "left_anti")
+    val pinned = survivors.select("sig").distinct().localCheckpoint(false)
+    pinned.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(historyPath)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** One row per (doc row, band): the [[Dedup.bandKeyCols]] keys exploded
+    * alongside the carried columns. */
+  private def explodeBands(df: DataFrame, sigCol: Column): DataFrame = {
+    val withKeys = df.select(col("*") +: Dedup.bandKeyCols(sigCol): _*)
+    withKeys.select(col("*"),
+        explode(array((0 until Dedup.Bands).map(b =>
+          struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
+      .select((df.columns.map(col) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey")): _*)
   }
 }

@@ -45,4 +45,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // an all-dup batch leaves no partition behind (nothing fresh to record)
     assert(spark.read.parquet(hist).count() == 3)
   }
+
+  test("nearDupBatch: signature history, within-batch greedy drop, " +
+    "cross-batch drop, token-free passthrough, idempotent retry") {
+    val hist = Files.createTempDirectory("graft_sig_hist").toString + "/h"
+
+    val b1 = Seq(
+      (10L, "alpha beta gamma delta"),
+      (20L, "omega psi chi phi"),
+      (30L, "alpha beta gamma delta") // est 1.0 vs 10 → greedy drop
+    ).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.nearDupBatch(b1, hist, "b1", 0.9)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L))
+    assert(spark.read.parquet(hist).count() == 2) // distinct survivor sigs
+
+    val b2 = Seq(
+      (40L, "omega psi chi phi"),     // est 1.0 vs batch-1 survivor 20
+      (50L, "entirely novel token stream"),
+      (60L, "   ")                    // token-free: no signature, survives
+    ).toDF("doc_id", "text")
+    val s2 = IncrementalDedup.nearDupBatch(b2, hist, "b2", 0.9)
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(50L, 60L))
+
+    // retry: own signatures must not suppress the batch
+    val s2r = IncrementalDedup.nearDupBatch(b2, hist, "b2", 0.9)
+    assert(s2r.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(50L, 60L))
+    assert(spark.read.parquet(hist).count() == 3)
+  }
 }
