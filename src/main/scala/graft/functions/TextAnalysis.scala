@@ -196,6 +196,32 @@ object TextAnalysis {
     * by construction (the paper's point: hashing bounds the model). */
   def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 1024,
                   textCol: String = "text"): DataFrame = {
+    val lrTable = dsirLogRatioTable(docs, targetSource, buckets, textCol)
+    // scoring pass (x81's one-exchange fusion): range-partition the raw
+    // (doc_id, text) projection — sampling sees plain scan rows so the
+    // kernel runs once; RangePartitioning(doc_id) satisfies the aggregate's
+    // clustering (no agg exchange) and the narrow within-partition sort
+    // keeps the output doc_id-clustered for the caller's report sort
+    docs.where(col("source") =!= targetSource)
+      .select(col("doc_id"), col(textCol))
+      .orderBy("doc_id")
+      .select(col("doc_id"),
+        explode(TextHashFunctions.pairBuckets(col(textCol), buckets))
+          .as("bkt"))
+      .join(broadcast(lrTable), "bkt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("lr").cast("double").as("logw_sum"))
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** The shared DSIR estimator seam: the broadcastable (bkt, lr) table of
+    * Laplace-smoothed target/raw log-ratios, lr as 6-decimal DECIMAL so
+    * downstream sums are exact and order-independent. One kernel scan, one
+    * bounded one-job collect, O(buckets) driver arithmetic — see
+    * [[dsirWeights]] for the full scale contract. */
+  private def dsirLogRatioTable(docs: DataFrame, targetSource: String,
+                                buckets: Int, textCol: String): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 24),
       s"buckets must be in [1, 2^24], got $buckets")
     val s = docs.sparkSession
@@ -227,23 +253,52 @@ object TextAnalysis {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("lr",
         org.apache.spark.sql.types.DecimalType(18, 6))))
-    val lrTable = s.createDataFrame(
-      java.util.Arrays.asList(lrRows: _*), lrSchema)
-    // scoring pass (x81's one-exchange fusion): range-partition the raw
-    // (doc_id, text) projection — sampling sees plain scan rows so the
-    // kernel runs once; RangePartitioning(doc_id) satisfies the aggregate's
-    // clustering (no agg exchange) and the narrow within-partition sort
-    // keeps the output doc_id-clustered for the caller's report sort
+    s.createDataFrame(java.util.Arrays.asList(lrRows: _*), lrSchema)
+  }
+
+  /** DSIR importance RESAMPLING (Xie et al. 2023 §2, the step after
+    * [[dsirWeights]]): draw `k` documents WITHOUT replacement with
+    * probability ∝ w(doc) = exp(logw), via the Gumbel-top-k identity
+    * (Vieira 2014; Kool et al. ICML'19: argtop-k of logw_i + G_i over
+    * independent Gumbels IS a ∝-w sample without replacement). The Gumbel
+    * draw is DETERMINISTIC — G = −ln(−ln u) with u = (h + 0.5) / M from
+    * x63's Knuth multiplicative doc_id hash (h ∈ [0, M), so u ∈ (0,1)
+    * strictly; M = 1e9+7) — reproducible across runs, engines and
+    * partitionings, the same discipline as every sampling operator here.
+    *
+    * Determinism across engines: the per-bucket log-ratios and the Gumbel
+    * perturbation are each rounded to 6-decimal DECIMAL, so the selection
+    * key logw + G is EXACT decimal arithmetic — the sort both engines run
+    * compares identical values (ties broken by doc_id). Only the output
+    * column is cast to double, after selection.
+    *
+    * Output: (doc_id, sel_key) — the k selected docs, highest key first.
+    * Docs with < 2 tokens carry no features and are never drawn (no
+    * weight), matching [[dsirWeights]]'s domain.
+    *
+    * Scale shape: everything [[dsirWeights]] does (kernel scan, broadcast
+    * ratio table, ONE doc_id exchange) plus per-row key arithmetic and a
+    * top-k that plans as TakeOrderedAndProject — per-partition heaps of k
+    * rows + one driver merge, never a global sort, at any corpus size. */
+  def dsirResample(docs: DataFrame, targetSource: String, k: Int,
+                   buckets: Int = 1024, textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val lrTable = dsirLogRatioTable(docs, targetSource, buckets, textCol)
+    val M = 1000000007L
+    val h = (col("doc_id") % lit(M)) * lit(2654435761L) % lit(M)
+    val u = (h.cast("double") + lit(0.5)) / lit(M).cast("double")
+    val gumbel = round(-log(-log(u)), 6).cast("decimal(18,6)")
     docs.where(col("source") =!= targetSource)
       .select(col("doc_id"), col(textCol))
-      .orderBy("doc_id")
       .select(col("doc_id"),
         explode(TextHashFunctions.pairBuckets(col(textCol), buckets))
           .as("bkt"))
       .join(broadcast(lrTable), "bkt")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum("lr").cast("double").as("logw_sum"))
-      .sortWithinPartitions("doc_id")
+      .agg(sum("lr").as("logw"))
+      .select(col("doc_id"), (col("logw") + gumbel).as("selk"))
+      .orderBy(col("selk").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("selk").cast("double").as("sel_key"))
   }
 }

@@ -2252,6 +2252,41 @@ object Catalog {
            |FROM h ORDER BY shard, pos""".stripMargin),
     bench = false)
 
+  /** DSIR importance resampling — the selection step that completes x86's
+    * pipeline: see [[TextAnalysis.dsirResample]] for the Gumbel-top-k
+    * identity, the deterministic hash-Gumbel, and the exact-decimal key
+    * discipline. The oracle recomputes the identical key and the same
+    * (key DESC, doc_id) order; the engine's top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  val x88 = Q("x88_dsir_resample",
+    (s, d) => TextAnalysis.dsirResample(
+      t(s, d, "documents"), targetSource = "src0", k = 100, buckets = 1024),
+    Some(s"""WITH t AS (SELECT doc_id, source,
+            |    ${Portable.tokens(DuckD, "text")} AS toks FROM documents),
+            |p AS (SELECT doc_id, source,
+            |    unnest(list_transform(range(1, length(toks)),
+            |      i -> ${Portable.tokHash("concat(toks[i], ' ', toks[i + 1])")}
+            |        % 1024)) AS bkt
+            |  FROM t WHERE length(toks) >= 2),
+            |c AS (SELECT bkt,
+            |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+            |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+            |  FROM p GROUP BY 1),
+            |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM c),
+            |lr AS (SELECT bkt, CAST(round(ln(((ct + 1.0) / (tt + 1024)) /
+            |      ((cr + 1.0) / (tr + 1024))), 6) AS DECIMAL(18,6)) AS lr
+            |  FROM c, tot),
+            |w AS (SELECT doc_id, SUM(lr) AS logw
+            |  FROM p JOIN lr USING (bkt)
+            |  WHERE source <> 'src0' GROUP BY 1),
+            |g AS (SELECT doc_id, logw + CAST(round(-ln(-ln(
+            |      (((doc_id % 1000000007) * 2654435761 % 1000000007) + 0.5)
+            |        / 1000000007)), 6) AS DECIMAL(18,6)) AS selk
+            |  FROM w)
+            |SELECT doc_id, CAST(selk AS DOUBLE) AS sel_key FROM g
+            |ORDER BY selk DESC, doc_id LIMIT 100""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2270,7 +2305,7 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -107,7 +107,8 @@ class CatalogSpec extends AnyFunSuite {
       "n_sampled", "toks_sampled"),
     "x85_passage_dedup" -> Seq("doc_id", "n_chunks", "n_dupes"),
     "x86_dsir_weights" -> Seq("doc_id", "n_bigrams", "logw_sum"),
-    "x87_shuffle_shards" -> Seq("doc_id", "shard", "pos", "shard_rows"))
+    "x87_shuffle_shards" -> Seq("doc_id", "shard", "pos", "shard_rows"),
+    "x88_dsir_resample" -> Seq("doc_id", "sel_key"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

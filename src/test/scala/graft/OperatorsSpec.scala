@@ -676,6 +676,48 @@ class OperatorsSpec extends AnyFunSuite {
       TextAnalysis.dsirWeights(docs, "wiki", buckets = (1 << 24) + 1))
   }
 
+  test("dsirResample: key = logw + deterministic hash-Gumbel; top-k by key " +
+    "desc; partition-invariant; k validated") {
+    val docs = Seq(
+      (1L, "wiki", "alpha beta gamma delta alpha beta"),
+      (2L, "wiki", "alpha beta gamma epsilon"),
+      (10L, "web", "alpha beta gamma delta"),
+      (11L, "web", "zzz qqq xxx www vvv"),
+      (12L, "web", "single"), // < 2 tokens: no features, never drawn
+      (20L, "web", "alpha beta gamma alpha beta"),
+      (21L, "web", "mmm nnn ooo ppp")
+    ).toDF("doc_id", "source", "text")
+    val all4 = TextAnalysis.dsirResample(docs, targetSource = "wiki",
+      k = 10, buckets = 64).collect().toSeq
+    assert(all4.map(_.getLong(0)).toSet == Set(10L, 11L, 20L, 21L),
+      "k >= eligible returns every scored doc (target + sub-2-token excluded)")
+    val keys = all4.map(_.getDouble(1))
+    assert(keys == keys.sorted.reverse, "highest selection key first")
+    // the key decomposes exactly: dsirWeights' logw plus the rounded Gumbel
+    // of the Knuth doc_id hash — same Math.log, same HALF_UP, compare tight
+    val logw = TextAnalysis.dsirWeights(docs, "wiki", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val M = 1000000007L
+    for (r <- all4) {
+      val h = (r.getLong(0) % M) * 2654435761L % M
+      val g = java.math.BigDecimal.valueOf(
+          -math.log(-math.log((h + 0.5) / M.toDouble)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(math.abs(r.getDouble(1) - (logw(r.getLong(0)) + g)) < 1e-9,
+        s"doc ${r.getLong(0)}: key ${r.getDouble(1)} != logw+gumbel")
+    }
+    // top-2 is the prefix of the full ordering, and a differently-
+    // partitioned input draws the IDENTICAL sample (vs ORDER BY rand())
+    val top2 = TextAnalysis.dsirResample(docs, "wiki", k = 2, buckets = 64)
+      .collect().toSeq.map(_.getLong(0))
+    assert(top2 == all4.take(2).map(_.getLong(0)))
+    val rep = TextAnalysis.dsirResample(docs.repartition(13), "wiki",
+      k = 2, buckets = 64).collect().toSeq.map(_.getLong(0))
+    assert(rep == top2)
+    intercept[IllegalArgumentException](
+      TextAnalysis.dsirResample(docs, "wiki", k = 0))
+  }
+
   test("dsirWeights: absent target source degrades to uniform target " +
     "(every bucket's target mass = smoothing), never divides by zero") {
     val docs = Seq(

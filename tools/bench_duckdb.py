@@ -56,7 +56,8 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (76, "rank_ties"), (77, "mad"), (78, "image_decode"),
     (79, "sequence_packing"), (80, "audio_decode"), (81, "lm_score"),
     (82, "video_decode"), (83, "semantic_dedup"), (84, "mixture_sample"),
-    (85, "passage_dedup"), (86, "dsir_weights"), (87, "shuffle_shards")]]
+    (85, "passage_dedup"), (86, "dsir_weights"), (87, "shuffle_shards"),
+    (88, "dsir_resample")]]
 
 
 # queries declared WITHOUT an oracle by design (rows-only checks) — the only
