@@ -37,7 +37,7 @@ object BpeTrainer {
     * weight at the round it won. */
   final case class Merge(left: String, right: String, weight: Long)
 
-  private val EndMark = "</w>"
+  private val EndMark = graft.functions.BpeEncode.EndMark
 
   def train(docs: DataFrame, rounds: Int,
             textCol: String = "text"): Seq[Merge] = {
@@ -92,5 +92,21 @@ object BpeTrainer {
       round += 1
     }
     merges.toSeq
+  }
+
+  /** Apply a learned merge list to a corpus — the tokenizer's ENCODE step:
+    * adds `outCol` = the document's BPE symbol array (words' symbol runs
+    * concatenated in order, trainer's `</w>` convention). Pure per-row
+    * codegen compute ([[graft.functions.BpeEncode]]): no shuffle, merge
+    * list task-serialized once, per-partition word cache bounds the work by
+    * DISTINCT words — `encode(corpus, train(corpus, n))` reproduces the
+    * trainer's final vocab-table symbol state on every word. */
+  def encode(docs: DataFrame, merges: Seq[Merge], textCol: String = "text",
+             outCol: String = "bpe_tokens"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    docs.withColumn(outCol, GraftSqlBridge.column(
+      graft.functions.BpeEncode(
+        GraftSqlBridge.expression(col(textCol)),
+        merges.map(m => (m.left, m.right)))))
   }
 }

@@ -303,6 +303,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merges == Seq(("a", "a", 6L), ("a", "a</w>", 3L)))
   }
 
+  test("BpeTrainer.encode reproduces the trainer's final symbol state and " +
+    "applies merges in learned order, leftmost-greedy") {
+    val docs = Seq((0L, "ab ab ab abc")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, 10)
+    val enc = BpeTrainer.encode(docs, merges)
+      .select("bpe_tokens").collect()(0).getSeq[String](0)
+    // the trainer fused every word to one symbol, so encode must too
+    assert(enc == Seq("ab</w>", "ab</w>", "ab</w>", "abc</w>"))
+    // merge ORDER matters: (a,b</w>) before (a,b) means "ab" fuses at the
+    // first merge and "abc"'s prefix only at the second — reversing the
+    // list must NOT change this corpus (order-robust words) but a
+    // word-final-only list must leave "abc" unfused
+    val finalOnly = merges.take(1)
+    val enc2 = BpeTrainer.encode(docs, finalOnly)
+      .select("bpe_tokens").collect()(0).getSeq[String](0)
+    assert(enc2 == Seq("ab</w>", "ab</w>", "ab</w>", "a", "b", "c</w>"))
+    // leftmost-greedy overlap rule, the trainer's own rewrite: aaa under
+    // (a,a) then (a,a</w>) → [aa, a</w>] (first merge can't re-enter)
+    val tri = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val m2 = Seq(BpeTrainer.Merge("a", "a", 0L),
+      BpeTrainer.Merge("a", "a</w>", 0L))
+    assert(BpeTrainer.encode(tri, m2)
+      .select("bpe_tokens").collect()(0).getSeq[String](0)
+      == Seq("aa", "a</w>"))
+    // unseen vocabulary passes through as raw character symbols; empty and
+    // token-free text encode to the empty array
+    val unk = Seq((0L, "xyz"), (1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val encU = BpeTrainer.encode(unk, merges).orderBy("doc_id")
+      .select("bpe_tokens").collect()
+    assert(encU(0).getSeq[String](0) == Seq("x", "y", "z</w>"))
+    assert(encU(1).getSeq[String](0).isEmpty)
+    assert(encU(2).getSeq[String](0).isEmpty)
+    // an empty merge list tokenizes to plain characters (round-0 state)
+    assert(BpeTrainer.encode(tri, Nil)
+      .select("bpe_tokens").collect()(0).getSeq[String](0)
+      == Seq("a", "a", "a</w>"))
+  }
+
   test("passageDedup: within-doc repeats count as dupes; exact-chunk and " +
     "short tails; empty docs are excluded") {
     val w1 = (1 to 30).map(i => s"a$i").mkString(" ") // one exact chunk

@@ -115,4 +115,36 @@ class TwoPassScaleSpec extends AnyFunSuite {
     assert(t100 <= t10.max(0.5) * 30,
       f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
   }
+
+  test("dsirResample top-k stays k-bounded and near-linear 100k → 1M docs",
+    Slow) {
+    // same arithmetic corpus as the dsirWeights smoke; the selection adds
+    // per-row key compute + TakeOrderedAndProject (per-partition heaps of
+    // k) on top — the output must stay k rows with strictly ranked keys at
+    // every scale, and the step to 10x docs must stay linear-ish
+    def run(n: Long): (Long, Double) = {
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, lit("t")).otherwise(lit("r"))
+          .as("source"),
+        concat_ws(" ",
+          concat(lit("w"), col("id") % 997),
+          concat(lit("w"), (col("id") * 7) % 997),
+          concat(lit("w"), (col("id") * 13) % 997),
+          concat(lit("w"), (col("id") * 31) % 997),
+          concat(lit("w"), (col("id") * 61) % 997)).as("text"))
+      timed {
+        val got = graft.functions.TextAnalysis.dsirResample(docs, "t",
+          k = 200, buckets = 1024).collect()
+        val keys = got.map(_.getDouble(1)).toSeq
+        (got.length - 200L) + (if (keys == keys.sorted.reverse) 0L else 1L)
+      }
+    }
+    run(10000)
+    val (bad10, t10) = run(100000)
+    val (bad100, t100) = run(1000000)
+    info(f"dsirResample 100k: $t10%.1f s; 1M: $t100%.1f s")
+    assert(bad10 == 0 && bad100 == 0)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
+  }
 }
