@@ -42,6 +42,14 @@ object GraftSession {
       // read as raw nanos and convert in Tables.events (ns→µs truncation,
       // matching DuckDB's read of the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The corpus' timestamp columns are parquet TIMESTAMP(MICROS) WITHOUT
+      // the isAdjustedToUTC flag (naive wall-clock). Spark 4 infers those as
+      // TIMESTAMP_NTZ by default; DuckDB (the oracle) reads the same bytes as
+      // its naive TIMESTAMP. With the session pinned to UTC, reading them as
+      // TIMESTAMP_LTZ makes both engines see identical wall-clock instants
+      // while keeping the engine's timestamp kit (unix_micros, window ranges,
+      // date_trunc) on the one timestamp type every function supports.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // Bound the status-store listener state: with the UI off these stores
       // exist only for the status APIs, yet default retention (1000 jobs /

@@ -29,10 +29,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts = raw TIMESTAMP(NANOS) int64). */
+  /** events.parquet physical schema (ts = naive TIMESTAMP(MICROS); the
+    * session reads it as TIMESTAMP_LTZ at UTC — see GraftSession). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -47,10 +48,9 @@ object EventStreams {
                            session_end: Timestamp, n_events: Int,
                            total_value: Double)
 
-  /** File-source stream of events (ns→µs conversion as in Tables.events). */
+  /** File-source stream of events (new files under `dir` = micro-batches). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling event-time windows with a watermark: counts + value sum per
     * (window, event_type). */

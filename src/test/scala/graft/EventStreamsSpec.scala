@@ -54,15 +54,14 @@ class EventStreamsSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       java.nio.file.Paths.get(s"$dir/b1/events.parquet"))
-    def sentinel(file: String, ns: Long): Unit =
-      Seq((9000001L, ns, -1L, "x", 0.0, "{}"))
+    def sentinel(file: String, us: Long): Unit =
+      Seq((9000001L, new java.sql.Timestamp(us / 1000L), -1L, "x", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(s"$dir/$file")
-    sentinel("b2", 1900000000000000000L) // ≈2030, ns precision
-    sentinel("b3", 1990000000000000000L)
+    sentinel("b2", 1900000000000000L) // ≈2030, µs precision
+    sentinel("b3", 1990000000000000L)
     val src = spark.readStream.schema(EventStreams.rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = EventStreams.sessionize(src.as[Event],
         gapMinutes = 30, watermark = "0 seconds")
       .writeStream.outputMode("append")
@@ -102,10 +101,13 @@ class EventStreamsSpec extends AnyFunSuite {
 
   test("left-outer streaming interval join emits the unmatched purchase " +
     "with nulls once the watermark passes its interval") {
-    val base = 1704067200000000000L // 2024-01-01, ns
-    def t(min: Int): Long = base + min * 60000000000L
+    val base = 1704067200000L // 2024-01-01, ms
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val far1 = new java.sql.Timestamp(1900000000000L) // ≈2030
+    val far2 = new java.sql.Timestamp(1990000000000L)
     val dir = Files.createTempDirectory("graft_souter").toString
-    def write(file: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    def write(file: String,
+              rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(s"$dir/$file")
     // u1's purchase has a prior error; u2's purchase has none
@@ -115,13 +117,12 @@ class EventStreamsSpec extends AnyFunSuite {
       (3L, t(10), 2L, "purchase", 1.0, "{}")))
     // far-future sentinels on BOTH sides advance both watermarks; the second
     // batch lets the state-store eviction emit the unmatched left row
-    write("b2", Seq((9000001L, 1900000000000000000L, -1L, "purchase", 0.0, "{}"),
-      (9000002L, 1900000000000000000L, -1L, "error", 0.0, "{}")))
-    write("b3", Seq((9000003L, 1990000000000000000L, -1L, "purchase", 0.0, "{}"),
-      (9000004L, 1990000000000000000L, -1L, "error", 0.0, "{}")))
+    write("b2", Seq((9000001L, far1, -1L, "purchase", 0.0, "{}"),
+      (9000002L, far1, -1L, "error", 0.0, "{}")))
+    write("b3", Seq((9000003L, far2, -1L, "purchase", 0.0, "{}"),
+      (9000004L, far2, -1L, "error", 0.0, "{}")))
     val src = spark.readStream.schema(EventStreams.rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     def side(tpe: String) = src.where(col("event_type") === tpe)
     val q = EventStreams.streamingIntervalJoin(
         side("purchase"), side("error"), "user_id", windowMinutes = 60,
