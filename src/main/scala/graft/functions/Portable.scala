@@ -39,6 +39,13 @@ object Portable {
     def listSum(arr: String): String
     /** left fold with initial bigint 0 */
     def fold0(arr: String, acc: String, v: String, body: String): String
+    /** 1-based element access (Spark element_at / DuckDB 1-based indexing) */
+    def elemAt(arr: String, i: String): String
+    /** 1-based fixed-length slice */
+    def sliceLen(arr: String, start: String, len: Int): String
+    /** the array [1, 2, …, n] (empty when n < 1 — callers must still guard
+      * Spark's `sequence`, which DESCENDS for n < 1 instead of emptying) */
+    def range1(n: String): String
   }
 
   object Spark extends Dialect {
@@ -51,6 +58,10 @@ object Portable {
     def listSum(arr: String) = s"aggregate($arr, CAST(0 AS BIGINT), (s, x) -> s + x)"
     def fold0(arr: String, acc: String, v: String, body: String) =
       s"aggregate($arr, CAST(0 AS BIGINT), ($acc, $v) -> $body)"
+    def elemAt(arr: String, i: String) = s"element_at($arr, $i)"
+    def sliceLen(arr: String, start: String, len: Int) =
+      s"slice($arr, $start, $len)"
+    def range1(n: String) = s"sequence(1, $n)"
   }
 
   object Duck extends Dialect {
@@ -63,6 +74,10 @@ object Portable {
     def listSum(arr: String) = s"coalesce(list_sum($arr), 0)"
     def fold0(arr: String, acc: String, v: String, body: String) =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $arr), ($acc, $v) -> $body)"
+    def elemAt(arr: String, i: String) = s"$arr[$i]"
+    def sliceLen(arr: String, start: String, len: Int) =
+      s"$arr[($start):($start) + ${len - 1}]"
+    def range1(n: String) = s"range(1, ($n) + 1)"
   }
 
   // ------------------------------------------------------- shared pieces
@@ -130,6 +145,64 @@ object Portable {
     * minhash). */
   def fingerprint(d: Dialect, hashesCol: String): String =
     d.fold0(hashesCol, "acc", "h", s"(acc * 31 + h) % $HashP")
+
+  // ----------------------------------------------------------- winnowing
+
+  /** k-gram rolling hashes over an ordered token-hash array column:
+    * position i (1-based, i ≤ len−k+1) hashes tokens i..i+k−1 as a base-31
+    * polynomial mod [[HashP]]. Bounds: each element < 2³⁰, the largest term
+    * < 2³⁰·31^(k−1) and the k-term sum stays under 2⁶³ only for k ≤ 6
+    * (k = 4: sum < 2⁴⁷) — hence the cap, Spark runs ANSI mode and an
+    * overflow is an ERROR. Callers must pre-filter to arrays of ≥ k
+    * elements (Spark's `sequence(1, n)` DESCENDS for n < 1 rather than
+    * producing an empty array). */
+  def kgramHashes(d: Dialect, hashesCol: String, k: Int): String = {
+    require(k >= 2 && k <= 6, s"k-gram width out of range: $k")
+    val terms = (0 until k).map(j =>
+      s"${d.elemAt(hashesCol, s"i + $j")} * ${pow31(k - 1 - j)}")
+    d.transform(d.range1(s"${d.arraySize(hashesCol)} - ${k - 1}"), "i",
+      s"(${terms.mkString(" + ")}) % $HashP")
+  }
+
+  /** Winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD'03): the
+    * distinct minima of every w-length sliding window over the k-gram hash
+    * array — the document's fingerprint set. Selecting by VALUE (not the
+    * paper's rightmost-position rule) yields the identical value set, which
+    * is all that downstream set comparison consumes. Callers pre-filter to
+    * ≥ w k-grams (same Spark `sequence` guard as [[kgramHashes]]). */
+  def winnow(d: Dialect, kgramsCol: String, w: Int): String = {
+    require(w >= 2, s"winnow window out of range: $w")
+    d.distinct(d.transform(
+      d.range1(s"${d.arraySize(kgramsCol)} - ${w - 1}"), "j",
+      d.arrayMin(d.sliceLen(kgramsCol, "j", w))))
+  }
+
+  // ----------------------------------------------------------- BM25 / PMI
+
+  /** BM25 per-term score (Robertson–Spärck Jones idf, k1 = 1.2, b = 0.75),
+    * rounded to 6 decimals: both engines evaluate this literally identical
+    * double arithmetic, then cast to DECIMAL(18,6) and sum exactly (x81's
+    * determinism discipline). Operand names are SQL sub-expressions over
+    * BIGINT columns: tf/df per term, dl = doc length, n = corpus doc count,
+    * sumdl = corpus token count (avgdl enters as sumdl/n). */
+  def bm25Term(tf: String, df: String, n: String, dl: String,
+               sumdl: String): String =
+    s"round(ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / " +
+      s"(CAST($df AS DOUBLE) + 0.5) + 1.0) * " +
+      s"((CAST($tf AS DOUBLE) * 2.2) / (CAST($tf AS DOUBLE) + 1.2 * " +
+      s"(0.25 + 0.75 * CAST($dl AS DOUBLE) / " +
+      s"(CAST($sumdl AS DOUBLE) / CAST($n AS DOUBLE))))), 6)"
+
+  /** Pointwise mutual information of a bigram, rounded to 6 decimals:
+    * ln(p(w1w2) / (p(w1)·p(w2))) with p from corpus counts — written as ONE
+    * quotient of products so both engines share the double rounding path
+    * (c12·tu·tu can exceed BIGINT at corpus scale; the products are DOUBLE).
+    * c12/tb are bigram count/total, c1/c2/tu unigram counts/total. */
+  def pmi(c12: String, c1: String, c2: String, tb: String,
+          tu: String): String =
+    s"round(ln((CAST($c12 AS DOUBLE) * CAST($tu AS DOUBLE) * " +
+      s"CAST($tu AS DOUBLE)) / (CAST($tb AS DOUBLE) * " +
+      s"CAST($c1 AS DOUBLE) * CAST($c2 AS DOUBLE))), 6)"
 
   // ----------------------------------------------- hyperplane LSH planes
 

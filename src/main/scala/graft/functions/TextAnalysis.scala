@@ -112,6 +112,92 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), TextHashFunctions.fingerprint(col(textCol)).as("fp"))
 
+  /** BM25 full-text relevance (Robertson–Spärck Jones): score every
+    * document against a fixed bag-of-terms query and return the top-k —
+    * the retrieval primitive behind corpus search and RAG candidate
+    * generation. Per query term: idf from corpus doc frequency, tf
+    * saturation with k1 = 1.2, length normalization with b = 0.75 against
+    * the corpus average doc length. Per-term scores are rounded to
+    * 6-decimal DECIMALs and summed exactly ([[Portable.bm25Term]] — x81's
+    * cross-engine determinism discipline); ties break on doc_id.
+    *
+    * Scale shape: corpus statistics (N, Σdl, per-term df) are ONE
+    * aggregation over the slim (dl, tf…) projection, carried to every row
+    * by an explicit 1-row broadcast cross join (never a driver collect);
+    * the tf/dl projection is per-row HOF arithmetic inside codegen; docs
+    * matching no term are filtered before scoring; the top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort. The
+    * projection runs twice (stats + scoring), the standard two-pass trade
+    * the oracle's CTE pays identically. */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 50,
+           textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1-8 query terms, got ${terms.size}")
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")), "terms must be plain words")
+    val tf = docs
+      .select(col("doc_id"), expr(Portable.tokens(SparkD, textCol)).as("toks"))
+      .select(col("doc_id") +:
+        expr("CAST(size(toks) AS BIGINT)").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)").as(s"tf$i")
+        }: _*)
+    val statAggs = sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val scoreDec = terms.indices.map(i =>
+      expr(s"CAST(CASE WHEN tf$i > 0 THEN " +
+        Portable.bm25Term(s"tf$i", s"df$i", "n_docs", "dl", "sumdl") +
+        " ELSE 0.0 END AS DECIMAL(18,6))")).reduce(_ + _)
+    val nHit = terms.indices.map(i =>
+      when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), nHit.as("n_hit"), scoreDec.as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(topK)
+      .select(col("doc_id"), col("n_hit"),
+        col("score_dec").cast("double").as("score"))
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990): the top-k adjacent token
+    * pairs by pointwise mutual information among pairs seen ≥ `minCount`
+    * times — the phrase-mining step behind tokenizer-vocabulary and
+    * stop-phrase decisions. PMI compares the bigram's corpus probability
+    * against independence of its unigrams; the quotient is ONE shared
+    * double expression rounded to 6 decimals ([[Portable.pmi]]).
+    *
+    * Scale shape: bigram and unigram counts are separate one-shuffle
+    * aggregations of the same token projection (vocabulary-bounded
+    * outputs); the two unigram-count joins and the bigram-count reuse
+    * resolve via exchange reuse + AQE runtime broadcasts (the unigram
+    * table is vocabulary-sized — broadcastable for any real corpus); the
+    * grand totals ride 1-row broadcast cross joins; top-k is
+    * TakeOrderedAndProject. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20,
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(expr(Portable.tokens(SparkD, textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val tu = uni.agg(sum(col("c")).as("tu"))
+    val tb = pairs.agg(sum(col("c12")).as("tb"))
+    pairs.where(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .select(col("w1"), col("w2"), col("c12").as("n_pair"),
+        expr(s"CAST(${Portable.pmi("c12", "c1", "c2", "tb", "tu")} " +
+          "AS DECIMAL(18,6))").as("pmi_dec"))
+      .orderBy(col("pmi_dec").desc, col("w1"), col("w2")).limit(topK)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        col("pmi_dec").cast("double").as("pmi"))
+  }
+
   /** Token-budget mixture sampling — the data-mixing step ahead of
     * training, as an operator over any (doc_id, source, text) frame (x84
     * is the catalog wrapper): per-source token totals set a deterministic

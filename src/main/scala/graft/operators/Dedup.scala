@@ -483,6 +483,53 @@ object Dedup {
           .as("chunk")): _*)
       .withColumn("h", unhex(md5(col("chunk"))))
 
+  /** Winnowing fingerprint dedup report (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS local fingerprinting algorithm; E8 family, no
+    * reference counterpart). Per document: hash every k-token k-gram
+    * (base-31 polynomial over the token hashes), slide a window of w
+    * consecutive k-gram hashes, and select each window's minimum. The
+    * winnowing guarantee: any run of ≥ k+w−1 shared tokens between two
+    * documents contributes at least one shared selected fingerprint, at an
+    * expected density of 2/(w+1) — local dedup signal with a bounded
+    * signature size, unlike [[ngramNearDupPairs]]'s full shingle sets. The
+    * distinct selected values form the document's fingerprint set; a
+    * per-fingerprint keep-first window (x85's rule) then charges every
+    * fingerprint already claimed by an earlier document as a duplicate.
+    *
+    * Output: (doc_id, n_fp, n_dup_fp, near_dup) ordered by the caller;
+    * near_dup = 1 when ≥ 80% of the document's fingerprints were already
+    * claimed. Documents with fewer than k+w−1 tokens have no window and are
+    * excluded (they cannot carry a guaranteed shared run — and the filter
+    * also guards Spark's descending `sequence(1, n)` for n < 1).
+    *
+    * Scale shape: the kernel chain (token hashes → k-gram hashes → window
+    * minima) is staged as three projections of Catalyst HOFs — each array
+    * materializes once per row (CollapseProject keeps multi-reference
+    * non-cheap projections apart, the x20 triple-eval lesson) and stays
+    * inside whole-stage codegen; the only shuffle carries (fp: BIGINT,
+    * doc_id) pairs — fingerprint-cardinality keys, never text; the
+    * keep-first window and doc agg are exactly x85's shapes. */
+  def winnowingDedup(docs: DataFrame, k: Int = 4, w: Int = 5,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("fp").orderBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        expr(Portable.tokenHashes(SparkD, textCol, distinctTokens = false))
+          .as("hs"))
+      .where(size(col("hs")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(Portable.kgramHashes(SparkD, "hs", k)).as("gs"))
+      .select(col("doc_id"),
+        explode(expr(Portable.winnow(SparkD, "gs", w))).as("fp"))
+      .withColumn("rn", row_number().over(win))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_fp"))
+      .withColumn("near_dup",
+        when(col("n_dup_fp") * 5 >= col("n_fp") * 4, 1L).otherwise(0L))
+  }
+
   def passageDedup(docs: DataFrame, chunkTokens: Int = 30,
                    textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -200,6 +200,33 @@ object Relational {
         Seq(col("shard"), col("pos"), col("shard_rows"))): _*)
   }
 
+  /** Per-domain document caps (the RefinedWeb/Gopher curation step that
+    * bounds any one domain's share of the corpus): keep at most `cap`
+    * documents per `keyCol` group, selected by the deterministic Knuth
+    * multiplicative id hash (reproducible across runs, engines and
+    * partitionings — x63/x84/x87's mechanism, a fair draw rather than
+    * whatever order the scan produced). Returns the per-group report
+    * (group, n_docs, n_kept, n_dropped), unordered — callers sort.
+    *
+    * Scale shape: within-group ranks come from [[keyedRowNumbers]]'s
+    * parallel two-pass, NOT a `PARTITION BY domain` window — domain
+    * cardinality is unbounded but individual hot domains are exactly the
+    * skew a per-key window serializes on (the x51 trap); the report
+    * aggregate reuses the two-pass output's clustering. */
+  def groupCaps(df: DataFrame, keyCol: String, idCol: String,
+                cap: Long): DataFrame = {
+    require(cap >= 0, s"cap must be non-negative, got $cap")
+    val h = ((col(idCol) % lit(1000000007L)) * lit(2654435761L)) %
+      lit(1000000007L)
+    keyedRowNumbers(
+        df.select(col(keyCol), col(idCol)).withColumn("__h", h),
+        Seq(keyCol), Seq(col("__h"), col(idCol)))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") <= cap, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+  }
+
   /** Global running total (cumulative sum over a total order) WITHOUT the
     * single-partition window Spark would otherwise plan — `sum(v) OVER
     * (ORDER BY …)` with no PARTITION BY funnels the whole input through ONE

@@ -2287,6 +2287,111 @@ object Catalog {
             |ORDER BY selk DESC, doc_id LIMIT 100""".stripMargin),
     bench = false)
 
+  /** Winnowing fingerprint dedup (Schleimer et al. SIGMOD'03 — MOSS): see
+    * [[Dedup.winnowingDedup]] for the guarantee and the scale shape. k = 4,
+    * w = 5 ⇒ any ≥ 8-token shared run yields a shared fingerprint at
+    * expected density 1/3. Per-doc output keeps the parallel range sort. */
+  val x89 = Q("x89_winnowing",
+    (s, d) => Dedup.winnowingDedup(t(s, d, "documents")).orderBy("doc_id"),
+    Some(s"""WITH h AS (SELECT doc_id,
+            |    ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)}
+            |      AS hs FROM documents),
+            |g AS (SELECT doc_id, ${Portable.kgramHashes(DuckD, "hs", 4)} AS gs
+            |  FROM h WHERE length(hs) >= 8),
+            |f AS (SELECT doc_id, unnest(${Portable.winnow(DuckD, "gs", 5)})
+            |    AS fp FROM g),
+            |wn AS (SELECT doc_id, fp, row_number() OVER (PARTITION BY fp
+            |    ORDER BY doc_id) AS rn FROM f),
+            |a AS (SELECT doc_id, COUNT(*) AS n_fp,
+            |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS n_dup_fp
+            |  FROM wn GROUP BY 1)
+            |SELECT doc_id, n_fp, n_dup_fp,
+            |  CAST(CASE WHEN n_dup_fp * 5 >= n_fp * 4 THEN 1 ELSE 0 END
+            |    AS BIGINT) AS near_dup
+            |FROM a ORDER BY doc_id""".stripMargin),
+    bench = false)
+
+  /** BM25 top-k retrieval for a fixed 3-term query: see
+    * [[TextAnalysis.bm25]]. The corpus-stats row rides a 1-row broadcast
+    * cross join (q14/x39's pattern); top-k is TakeOrderedAndProject. */
+  val x90 = Q("x90_bm25",
+    (s, d) => TextAnalysis.bm25(
+      t(s, d, "documents"), Seq("join", "vector", "spark")),
+    Some {
+      val terms = Seq("join", "vector", "spark")
+      val tfs = terms.zipWithIndex.map { case (tm, i) =>
+        s"CAST(length(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf$i"
+      }.mkString(",\n|    ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val scores = terms.indices.map(i =>
+        s"CAST(CASE WHEN tf$i > 0 THEN " +
+          Portable.bm25Term(s"tf$i", s"df$i", "n_docs", "dl", "sumdl") +
+          " ELSE 0.0 END AS DECIMAL(18,6))").mkString("\n|    + ")
+      val hits = terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+         |    FROM documents),
+         |d AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl,
+         |    $tfs
+         |  FROM t),
+         |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl, $dfs FROM d),
+         |sc AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_hit,
+         |    $scores AS score_dec
+         |  FROM d, s WHERE $anyHit)
+         |SELECT doc_id, n_hit, CAST(score_dec AS DOUBLE) AS score
+         |FROM sc ORDER BY score_dec DESC, doc_id LIMIT 50""".stripMargin
+    },
+    bench = false)
+
+  /** PMI collocation mining (Church & Hanks 1990): see
+    * [[TextAnalysis.pmiCollocations]] — vocabulary-bounded count joins,
+    * 1-row broadcast totals, TakeOrderedAndProject top-k. */
+  val x91 = Q("x91_pmi_collocations",
+    (s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents")),
+    Some(s"""WITH t AS (SELECT ${Portable.tokens(DuckD, "text")} AS toks
+            |    FROM documents),
+            |u AS (SELECT unnest(toks) AS w FROM t),
+            |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+            |p AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+            |  FROM t, unnest(range(1, length(toks))) AS r(i)
+            |  WHERE length(toks) >= 2),
+            |pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+            |tu AS (SELECT SUM(c) AS tu FROM uc),
+            |tb AS (SELECT SUM(c12) AS tb FROM pc),
+            |sel AS (SELECT w1, w2, c12,
+            |    CAST(${Portable.pmi("c12", "u1.c", "u2.c", "tb", "tu")}
+            |      AS DECIMAL(18,6)) AS pmi_dec
+            |  FROM pc JOIN uc u1 ON u1.w = pc.w1
+            |    JOIN uc u2 ON u2.w = pc.w2, tu, tb
+            |  WHERE c12 >= 5)
+            |SELECT w1, w2, c12 AS n_pair, CAST(pmi_dec AS DOUBLE) AS pmi
+            |FROM sel ORDER BY pmi_dec DESC, w1, w2 LIMIT 20""".stripMargin),
+    bench = false)
+
+  /** Per-domain caps (RefinedWeb/Gopher curation): see
+    * [[Relational.groupCaps]] — scale-safe two-pass ranks, never a
+    * per-domain window. cap = 20 drops documents at every SF. */
+  val x92 = Q("x92_domain_caps",
+    (s, d) => reportSortFused(
+      Relational.groupCaps(t(s, d, "documents"), "source", "doc_id", cap = 20),
+      col("source")),
+    Some("""WITH h AS (SELECT doc_id, source,
+           |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS h
+           |  FROM documents),
+           |r AS (SELECT source, row_number() OVER (PARTITION BY source
+           |    ORDER BY h, doc_id) AS rn FROM h)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(COUNT(*) - SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2305,7 +2410,8 @@ object Catalog {
     x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
+    x92)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

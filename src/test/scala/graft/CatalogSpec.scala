@@ -108,7 +108,11 @@ class CatalogSpec extends AnyFunSuite {
     "x85_passage_dedup" -> Seq("doc_id", "n_chunks", "n_dupes"),
     "x86_dsir_weights" -> Seq("doc_id", "n_bigrams", "logw_sum"),
     "x87_shuffle_shards" -> Seq("doc_id", "shard", "pos", "shard_rows"),
-    "x88_dsir_resample" -> Seq("doc_id", "sel_key"))
+    "x88_dsir_resample" -> Seq("doc_id", "sel_key"),
+    "x89_winnowing" -> Seq("doc_id", "n_fp", "n_dup_fp", "near_dup"),
+    "x90_bm25" -> Seq("doc_id", "n_hit", "score"),
+    "x91_pmi_collocations" -> Seq("w1", "w2", "n_pair", "pmi"),
+    "x92_domain_caps" -> Seq("source", "n_docs", "n_kept", "n_dropped"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

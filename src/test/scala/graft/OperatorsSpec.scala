@@ -787,4 +787,92 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.mixtureSample(docs, budgetPermille = 1001))
   }
+
+  test("winnowingDedup: the k+w-1 guarantee, exact-dup saturation, and " +
+    "short-doc exclusion") {
+    val run = (1 to 8).map(i => s"shared$i").mkString(" ") // k+w-1 = 8 tokens
+    val docs = Seq(
+      (1L, run + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      // shares exactly the 8-token run with doc 1 → the winnowing guarantee
+      // promises at least one shared selected fingerprint
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ") + " " + run),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")), // disjoint vocab
+      (4L, run),                                       // exact window, dup of 1
+      (5L, "too short doc")                            // < 8 tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowingDedup(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._2 == 0)          // first doc claims everything
+    assert(got(2L)._2 >= 1)          // guarantee: shared run → shared fp
+    assert(got(3L)._2 == 0)          // disjoint vocab shares nothing
+    // doc 4 is one window over the shared run: its single fingerprint is
+    // already claimed by doc 1 → full saturation and the near-dup flag
+    assert(got(4L) == (1L, 1L, 1L))
+    assert(got(1L)._3 == 0 && got(3L)._3 == 0)
+  }
+
+  test("bm25: per-term arithmetic matches a driver-side reference; " +
+    "no-hit docs are excluded; ranks favor tf and brevity") {
+    val docs = Seq(
+      (1L, "join join join data"),
+      (2L, "join " + (1 to 20).map(i => s"pad$i").mkString(" ")),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, Seq("join"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no hit; 1 beats 2
+    assert(got.forall(_._2 == 1L))
+    // driver-side reference of the identical formula (N=3, df=2)
+    def ref(tf: Long, dl: Long): Double = {
+      val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+      val avgdl = (4.0 + 21.0 + 3.0) / 3.0
+      val raw = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(got(0)._3 - ref(3, 4)) < 1e-9)
+    assert(math.abs(got(1)._3 - ref(1, 21)) < 1e-9)
+  }
+
+  test("pmiCollocations: a perfectly-dependent pair outranks frequent " +
+    "independents; sub-minCount pairs are filtered") {
+    // "alpha beta" always adjacent (6×); filler tokens are frequent but
+    // their adjacencies vary; "rare gem" appears only 3 times (< minCount)
+    val docs = (1 to 6).map { i =>
+      (i.toLong, s"alpha beta fill$i common$i common${i % 2} fill${i % 3}" +
+        (if (i <= 3) " rare gem" else ""))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.head._1 == "alpha" && got.head._2 == "beta")
+    assert(got.head._3 == 6L)
+    assert(!got.exists(p => p._1 == "rare")) // count 3 < minCount 5
+    // perfect dependence with c1 = c2 = c12 = 6: pmi = ln(tu²/(tb·6))
+    val toks = docs.collect().flatMap(_.getString(1).split(" ")).filter(_.nonEmpty)
+    val nTu = toks.length.toDouble
+    val nTb = docs.collect().map(_.getString(1).split(" ")
+      .count(_.nonEmpty) - 1).sum.toDouble
+    val expect = BigDecimal(math.log((6.0 * nTu * nTu) / (nTb * 6.0 * 6.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.head._4 - expect) < 1e-9)
+  }
+
+  test("groupCaps: kept counts respect the cap, dropped is the remainder, " +
+    "and the report is partition-invariant") {
+    val docs = ((1 to 30).map(i => (i.toLong, "big")) ++
+      (31 to 40).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    def report(df: org.apache.spark.sql.DataFrame) =
+      Relational.groupCaps(df, "source", "doc_id", cap = 20)
+        .orderBy("source")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = report(docs)
+    assert(got == Seq(("big", 30L, 20L, 10L), ("small", 10L, 10L, 0L)))
+    assert(report(docs.repartition(7)) == got)
+    intercept[IllegalArgumentException](
+      Relational.groupCaps(docs, "source", "doc_id", cap = -1))
+  }
 }

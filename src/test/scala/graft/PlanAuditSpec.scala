@@ -22,7 +22,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "x71_knn_label" -> "crossJoin with the broadcast 10-row probe set",
     "x83_semantic_dedup" -> ("over-cap fallback only: crossJoin with the " +
       "broadcast centroid table (the default route is the NearestCentroids " +
-      "kernel — no join at all)"))
+      "kernel — no join at all)"),
+    "x90_bm25" -> "crossJoin with a broadcast 1-row corpus-stats aggregate",
+    "x91_pmi_collocations" ->
+      "crossJoins with broadcast 1-row unigram/bigram grand totals")
 
   /** Queries allowed an ExistingRDD scan, with why. */
   val rddAllowed: Map[String, String] = Map(
@@ -59,7 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "replaces a second tokens-kernel corpus scan"),
     "x48_ann_ivf" -> ("the ranked cell/probe table feeds both join sides; " +
       "one lazy localCheckpoint replaces a second NearestCentroids " +
-      "assignment pass (k dots per row)"))
+      "assignment pass (k dots per row)"),
+    "x92_domain_caps" -> ("keyedRowNumbers two-pass (same machinery as " +
+      "x51/x87, per-domain hash ranks): the checkpoint pins the partition " +
+      "layout across the block-offset and final passes"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
