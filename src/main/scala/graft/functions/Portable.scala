@@ -172,9 +172,13 @@ object Portable {
     * ≥ w k-grams (same Spark `sequence` guard as [[kgramHashes]]). */
   def winnow(d: Dialect, kgramsCol: String, w: Int): String = {
     require(w >= 2, s"winnow window out of range: $w")
+    // least() over w direct element accesses, not arrayMin(slice(...)):
+    // the slice form allocates a w-array per window position (measured on
+    // x89's kernel stage); least() is branch arithmetic inside codegen
+    val elems = (0 until w).map(j => d.elemAt(kgramsCol, s"j + $j"))
     d.distinct(d.transform(
       d.range1(s"${d.arraySize(kgramsCol)} - ${w - 1}"), "j",
-      d.arrayMin(d.sliceLen(kgramsCol, "j", w))))
+      s"least(${elems.mkString(", ")})"))
   }
 
   // ----------------------------------------------------------- BM25 / PMI

@@ -126,9 +126,10 @@ object TextAnalysis {
     * by an explicit 1-row broadcast cross join (never a driver collect);
     * the tf/dl projection is per-row HOF arithmetic inside codegen; docs
     * matching no term are filtered before scoring; the top-k plans as
-    * TakeOrderedAndProject — per-partition heaps, no global sort. The
-    * projection runs twice (stats + scoring), the standard two-pass trade
-    * the oracle's CTE pays identically. */
+    * TakeOrderedAndProject — per-partition heaps, no global sort. The slim
+    * (doc_id, dl, tf…) projection is lazily checkpointed so the tokens
+    * kernel runs ONCE for both passes (x84's mechanism) — the stats
+    * aggregate materializes it. */
   def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 50,
            textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, s"1-8 query terms, got ${terms.size}")
@@ -140,6 +141,7 @@ object TextAnalysis {
         terms.zipWithIndex.map { case (t, i) =>
           expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)").as(s"tf$i")
         }: _*)
+      .localCheckpoint(false)
     val statAggs = sum(col("dl")).as("sumdl") +:
       terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
@@ -165,30 +167,41 @@ object TextAnalysis {
     * against independence of its unigrams; the quotient is ONE shared
     * double expression rounded to 6 decimals ([[Portable.pmi]]).
     *
-    * Scale shape: bigram and unigram counts are separate one-shuffle
-    * aggregations of the same token projection (vocabulary-bounded
-    * outputs); the two unigram-count joins and the bigram-count reuse
-    * resolve via exchange reuse + AQE runtime broadcasts (the unigram
-    * table is vocabulary-sized — broadcastable for any real corpus); the
-    * grand totals ride 1-row broadcast cross joins; top-k is
+    * Scale shape: ONE corpus explode pass emits both count streams —
+    * every token as a NULL-marked (w, NULL) row and every adjacent pair
+    * as (w1, w2) — into a single groupBy, so unigram and bigram counts
+    * come out of one shuffle (the naive two-aggregation form measured 2×
+    * the corpus scans, and its broadcast grand totals re-ran them again
+    * as independent subquery job trees). The combined count table is
+    * vocabulary-bounded and lazily checkpointed ONCE for its four
+    * consumers (both join sides, both grand totals); totals ride 1-row
+    * broadcast cross joins; the unigram joins AQE-broadcast; top-k is
     * TakeOrderedAndProject. */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20,
                       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(expr(Portable.tokens(SparkD, textCol)).as("toks"))
-    val uni = toks.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val pairs = toks.where(size(col("toks")) >= 2)
+    val cnt = docs
+      .select(expr(Portable.tokens(SparkD, textCol)).as("toks"))
       .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> " +
-          "struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        // concat(unigram stream, bigram stream); the bigram transform is
+        // CASE-guarded — Spark's sequence(1, n) DESCENDS for n < 1
+        "concat(" +
+          "transform(toks, t -> struct(t AS w1, CAST(NULL AS STRING) AS w2)), " +
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "transform(sequence(1, size(toks) - 1), i -> " +
+              "struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)) " +
+          "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END)"))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val uni = cnt.where(col("w2").isNull)
+    val pairs = cnt.where(col("w2").isNotNull)
+      .withColumnRenamed("c", "c12")
     val tu = uni.agg(sum(col("c")).as("tu"))
     val tb = pairs.agg(sum(col("c12")).as("tb"))
     pairs.where(col("c12") >= minCount)
-      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .join(uni.select(col("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w1").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
       .select(col("w1"), col("w2"), col("c12").as("n_pair"),
         expr(s"CAST(${Portable.pmi("c12", "c1", "c2", "tb", "tu")} " +

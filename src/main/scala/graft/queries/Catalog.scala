@@ -99,6 +99,19 @@ object Catalog {
       .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       .sortWithinPartitions("doc_id")
 
+  /** (doc_id, text) hash-spread across cores with a PINNED partition count
+    * for CPU-heavy per-row kernel chains (x89's winnowing: O(n·w) array
+    * work per row): the corpus parquet is byte-tiny at test scale, so the
+    * scan yields a handful of input splits and AQE cannot see per-row
+    * kernel cost (the codec-tier lesson, see [[codecDocIds]]) — a plain
+    * hash repartition (no range-sampling job) with a user-specified count
+    * is exempt from AQE coalescing and spreads the kernel stage. At real
+    * scale `files.maxPartitionBytes` already splits the scan and this
+    * exchange is a cheap narrow-width shuffle of the projection. */
+  private def kernelDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Cap on the bigram-LM entries x81 will pull to the driver and broadcast
     * (same role and magnitude as [[Dedup.MaxBroadcastShingles]]): ~60 MB of
     * (bigram, logprob) rows. A corpus whose bigram vocabulary exceeds this
@@ -2292,7 +2305,7 @@ object Catalog {
     * w = 5 ⇒ any ≥ 8-token shared run yields a shared fingerprint at
     * expected density 1/3. Per-doc output keeps the parallel range sort. */
   val x89 = Q("x89_winnowing",
-    (s, d) => Dedup.winnowingDedup(t(s, d, "documents")).orderBy("doc_id"),
+    (s, d) => Dedup.winnowingDedup(kernelDocs(s, d)).orderBy("doc_id"),
     Some(s"""WITH h AS (SELECT doc_id,
             |    ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)}
             |      AS hs FROM documents),
@@ -2317,7 +2330,7 @@ object Catalog {
     * cross join (q14/x39's pattern); top-k is TakeOrderedAndProject. */
   val x90 = Q("x90_bm25",
     (s, d) => TextAnalysis.bm25(
-      t(s, d, "documents"), Seq("join", "vector", "spark")),
+      kernelDocs(s, d), Seq("join", "vector", "spark")),
     Some {
       val terms = Seq("join", "vector", "spark")
       val tfs = terms.zipWithIndex.map { case (tm, i) =>
@@ -2351,7 +2364,7 @@ object Catalog {
     * [[TextAnalysis.pmiCollocations]] — vocabulary-bounded count joins,
     * 1-row broadcast totals, TakeOrderedAndProject top-k. */
   val x91 = Q("x91_pmi_collocations",
-    (s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents")),
+    (s, d) => TextAnalysis.pmiCollocations(kernelDocs(s, d)),
     Some(s"""WITH t AS (SELECT ${Portable.tokens(DuckD, "text")} AS toks
             |    FROM documents),
             |u AS (SELECT unnest(toks) AS w FROM t),
@@ -2474,6 +2487,12 @@ object Catalog {
     // size-based coalescing folds the scoring stage back onto one task
     // (the x82-codec blindness); static keeps the salt's parallelism
     "x83_semantic_dedup",
+    // x91: one checkpointed vocabulary-bounded count table feeds tiny
+    // joins and 1-row totals — nothing data-dependent to re-decide, and
+    // AQE's per-exchange stage jobs cost more than the whole join tier
+    // (stable +0.02-0.10 s static win, probed 3×; x90/x92 measured
+    // neutral and stay adaptive)
+    "x91_pmi_collocations",
     // x48: re-probed after the NearestCentroids kernel route replaced the
     // crossJoin+window assignment — the remaining plan is an explicitly
     // broadcast probe join + bounded ranking tail, nothing for AQE to

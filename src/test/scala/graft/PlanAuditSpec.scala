@@ -65,7 +65,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "assignment pass (k dots per row)"),
     "x92_domain_caps" -> ("keyedRowNumbers two-pass (same machinery as " +
       "x51/x87, per-domain hash ranks): the checkpoint pins the partition " +
-      "layout across the block-offset and final passes"))
+      "layout across the block-offset and final passes"),
+    "x90_bm25" -> ("the slim (doc_id, dl, tf…) projection feeds the stats " +
+      "aggregate and the scoring pass; one lazy localCheckpoint replaces a " +
+      "second tokens-kernel corpus scan (x84's mechanism)"),
+    "x91_pmi_collocations" -> ("the token-array projection feeds the " +
+      "unigram and bigram counting passes; one lazy localCheckpoint " +
+      "replaces a second split-kernel corpus scan"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
