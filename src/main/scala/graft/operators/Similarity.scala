@@ -76,6 +76,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroid-cosine outlier report — the embedding-quality
+    * filtering step (CLIP-score-style curation): each vector's cosine to
+    * its own label's mean vector, flagged as an outlier below `threshold`.
+    * Returns (label, n_vecs, n_outliers, sum_cos) — sum of 4-decimal
+    * cosines, unordered (callers sort).
+    *
+    * Determinism discipline (cross-engine, cross-partitioning): every
+    * cross-row double sum is rounded per-term to a fixed-scale DECIMAL and
+    * summed EXACTLY — the centroid dimension sums (terms rounded at 6
+    * decimals), the per-vector dot and norm sums, the per-label centroid
+    * norm, and the report's cosine sum (4 decimals). Plain double SUMs
+    * here would be partition-order-dependent. Per-row products stay full
+    * double (deterministic, no ordering involved).
+    *
+    * Scale shape: the standard exploded map-reduce centroid — posexplode
+    * to (label, dim) terms, one partial-agg shuffle for centroids (labels
+    * × dim rows — tiny), a broadcastable join back, one (vec_id) agg, one
+    * (label) report agg. No collect, no windows, no per-label serial
+    * path; dim is a per-row constant factor. */
+  def labelCentroidOutliers(emb: DataFrame,
+                            threshold: Double = 0.0): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(V.asDouble(col("embedding"))).as(Seq("i", "x")))
+    val cent = ex.groupBy("label", "i")
+      .agg(sum(expr("CAST(round(x, 6) AS DECIMAL(12,6))")).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("m").cast("double") / col("n")).as("cp"))
+    val centNorm = cent.groupBy("label")
+      .agg(sum(expr("CAST(round(cp * cp, 6) AS DECIMAL(18,6))")).as("sc"))
+    val perVec = ex.join(cent, Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("CAST(round(x * cp, 6) AS DECIMAL(18,6))")).as("dot"),
+        sum(expr("CAST(round(x * x, 6) AS DECIMAL(18,6))")).as("sv"))
+    perVec.join(broadcast(centNorm), Seq("label"))
+      .where(col("sv") > 0 && col("sc") > 0)
+      .select(col("label"),
+        expr("CAST(round(CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(sv AS DOUBLE)) * sqrt(CAST(sc AS DOUBLE))), 4) " +
+          "AS DECIMAL(9,4))").as("cos4"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cos4") < threshold, 1L).otherwise(0L)).as("n_outliers"),
+        sum(col("cos4")).cast("double").as("sum_cos"))
+  }
+
   /** Vectors annotated with one key column per band (`k0..k{Bands-1}`),
     * computed by the one-pass [[graft.functions.HyperplaneBandKeys]] kernel
     * (same arithmetic as [[bandKeyCol]], which KernelParitySpec pins). */

@@ -2325,39 +2325,44 @@ object Catalog {
             |FROM a ORDER BY doc_id""".stripMargin),
     bench = false)
 
+  /** The fixed demo query shared by x90 (BM25) and x95 (hybrid). */
+  private val SearchTerms = Seq("join", "vector", "spark")
+
+  /** DuckDB rendering of [[TextAnalysis.bm25]] for `terms` (shared by the
+    * x90 oracle and, as a CTE body, the x95 oracle). */
+  private def bm25OracleSql(terms: Seq[String], topK: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (tm, i) =>
+      s"CAST(length(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfs = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(", ")
+    val scores = terms.indices.map(i =>
+      s"CAST(CASE WHEN tf$i > 0 THEN " +
+        Portable.bm25Term(s"tf$i", s"df$i", "n_docs", "dl", "sumdl") +
+        " ELSE 0.0 END AS DECIMAL(18,6))").mkString("\n    + ")
+    val hits = terms.indices.map(i =>
+      s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+       |    FROM documents),
+       |d AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM t),
+       |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl, $dfs FROM d),
+       |sc AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_hit,
+       |    $scores AS score_dec
+       |  FROM d, s WHERE $anyHit)
+       |SELECT doc_id, n_hit, CAST(score_dec AS DOUBLE) AS score
+       |FROM sc ORDER BY score_dec DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
   /** BM25 top-k retrieval for a fixed 3-term query: see
     * [[TextAnalysis.bm25]]. The corpus-stats row rides a 1-row broadcast
     * cross join (q14/x39's pattern); top-k is TakeOrderedAndProject. */
   val x90 = Q("x90_bm25",
-    (s, d) => TextAnalysis.bm25(
-      kernelDocs(s, d), Seq("join", "vector", "spark")),
-    Some {
-      val terms = Seq("join", "vector", "spark")
-      val tfs = terms.zipWithIndex.map { case (tm, i) =>
-        s"CAST(length(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf$i"
-      }.mkString(",\n|    ")
-      val dfs = terms.indices.map(i =>
-        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-        .mkString(", ")
-      val scores = terms.indices.map(i =>
-        s"CAST(CASE WHEN tf$i > 0 THEN " +
-          Portable.bm25Term(s"tf$i", s"df$i", "n_docs", "dl", "sumdl") +
-          " ELSE 0.0 END AS DECIMAL(18,6))").mkString("\n|    + ")
-      val hits = terms.indices.map(i =>
-        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-      val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-      s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
-         |    FROM documents),
-         |d AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl,
-         |    $tfs
-         |  FROM t),
-         |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl, $dfs FROM d),
-         |sc AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_hit,
-         |    $scores AS score_dec
-         |  FROM d, s WHERE $anyHit)
-         |SELECT doc_id, n_hit, CAST(score_dec AS DOUBLE) AS score
-         |FROM sc ORDER BY score_dec DESC, doc_id LIMIT 50""".stripMargin
-    },
+    (s, d) => TextAnalysis.bm25(kernelDocs(s, d), SearchTerms),
+    Some(bm25OracleSql(SearchTerms, 50)),
     bench = false)
 
   /** PMI collocation mining (Church & Hanks 1990): see
@@ -2405,6 +2410,137 @@ object Catalog {
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** Zipf rank-frequency spectrum + log-log slope — the corpus-health
+    * diagnostic (a natural corpus slopes ≈ −1; a pathological one doesn't).
+    * One corpus explode → vocabulary-bounded count table; the ranking
+    * window is unpartitioned but runs over ≤ |vocab| rows (bounded-report
+    * class, same justification as the report sorts); the slope is computed
+    * from EXACT decimal sums of the 6-decimal log terms — closed-form
+    * least squares, not `regr_slope`, whose double accumulation is
+    * partition-order-dependent — with the final quotient in identical
+    * double arithmetic on both engines. The ranked table is checkpointed
+    * once for the slope aggregate and the output rows (vocab-bounded
+    * state; re-deriving it would re-scan the corpus). */
+  val x93 = Q("x93_zipf_spectrum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = t(s, d, "documents")
+        .select(explode(expr(Portable.tokens(SparkD, "text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("token"))))
+        .withColumn("lx", expr(
+          "CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+        .withColumn("ly", expr(
+          "CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+        .localCheckpoint(false)
+      val slope = ranked.agg(count(lit(1)).as("cn"),
+          sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+          sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"))
+        .select(expr(
+          "round((CAST(cn AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(CAST(cn AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)")
+          .as("zipf_slope"))
+      ranked.crossJoin(broadcast(slope))
+        .select(col("rank"), col("token"), col("n"), col("zipf_slope"))
+        .orderBy("rank").limit(30)
+    },
+    Some(s"""WITH cnt AS (SELECT t AS token, COUNT(*) AS n
+            |  FROM (SELECT unnest(${Portable.tokens(DuckD, "text")}) AS t
+            |        FROM documents) GROUP BY 1),
+            |r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC,
+            |    token) AS rank FROM cnt),
+            |l AS (SELECT rank, token, n,
+            |    CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
+            |      AS lx,
+            |    CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))
+            |      AS ly FROM r),
+            |s AS (SELECT COUNT(*) AS cn, SUM(lx) AS sx, SUM(ly) AS sy,
+            |    SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx FROM l)
+            |SELECT rank, token, n,
+            |  round((CAST(cn AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            |    (CAST(cn AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope
+            |FROM l, s ORDER BY rank LIMIT 30""".stripMargin),
+    bench = false)
+
+  /** Per-label centroid-cosine outlier report: see
+    * [[Similarity.labelCentroidOutliers]] for the exploded map-reduce
+    * centroid shape and the round-then-exact-sum determinism discipline. */
+  val x94 = Q("x94_centroid_outliers",
+    (s, d) => reportSortFused(
+      Similarity.labelCentroidOutliers(t(s, d, "embeddings")), col("label")),
+    Some("""WITH e AS (SELECT vec_id, label,
+           |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |ex AS (SELECT vec_id, label, i, v[i] AS x
+           |  FROM e, unnest(range(1, length(v) + 1)) AS r(i)),
+           |c AS (SELECT label, i,
+           |    SUM(CAST(round(x, 6) AS DECIMAL(12,6))) AS m, COUNT(*) AS n
+           |  FROM ex GROUP BY 1, 2),
+           |cp AS (SELECT label, i, CAST(m AS DOUBLE) / n AS cp FROM c),
+           |cn AS (SELECT label,
+           |    SUM(CAST(round(cp * cp, 6) AS DECIMAL(18,6))) AS sc
+           |  FROM cp GROUP BY 1),
+           |j AS (SELECT ex.vec_id, ex.label,
+           |    SUM(CAST(round(ex.x * cp.cp, 6) AS DECIMAL(18,6))) AS dot,
+           |    SUM(CAST(round(ex.x * ex.x, 6) AS DECIMAL(18,6))) AS sv
+           |  FROM ex JOIN cp ON cp.label = ex.label AND cp.i = ex.i
+           |  GROUP BY 1, 2),
+           |k AS (SELECT j.label, CAST(round(CAST(dot AS DOUBLE) /
+           |      (sqrt(CAST(sv AS DOUBLE)) * sqrt(CAST(cn.sc AS DOUBLE))),
+           |      4) AS DECIMAL(9,4)) AS cos4
+           |  FROM j JOIN cn ON cn.label = j.label
+           |  WHERE sv > 0 AND cn.sc > 0)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CASE WHEN cos4 < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_outliers,
+           |  CAST(SUM(cos4) AS DOUBLE) AS sum_cos
+           |FROM k GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
+  /** Hybrid retrieval: x90's BM25 top-50 re-ranked by embedding cosine to
+    * the query vector (vec_id 0, q14's mechanism) — the two-stage
+    * lexical→semantic search pipeline. The 50-row hit list broadcasts into
+    * the embeddings join; the blend normalizes BM25 by its max (1-row
+    * broadcast) and averages with the 4-decimal cosine; docs without an
+    * embedding drop out of the re-rank (inner join — the embedding
+    * coverage contract). Identical double arithmetic on both engines. */
+  val x95 = Q("x95_hybrid_search",
+    (s, d) => {
+      val hits = TextAnalysis.bm25(kernelDocs(s, d), SearchTerms, topK = 50)
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val smax = hits.agg(max(col("score")).as("smax"))
+      broadcast(hits).join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .crossJoin(broadcast(smax))
+        .select(col("doc_id"), col("score"), col("smax"),
+          V.cosine4(col("embedding"), col("qv")).as("cos"))
+        .withColumn("hybrid",
+          expr("round(0.5 * (score / smax) + 0.5 * cos, 6)"))
+        .orderBy(col("hybrid").desc, col("doc_id")).limit(10)
+        .select("doc_id", "score", "cos", "hybrid")
+    },
+    Some(s"""WITH hits AS (
+            |${bm25OracleSql(SearchTerms, 50)}
+            |),
+            |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            |      CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+            |q AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+            |sm AS (SELECT MAX(score) AS smax FROM hits),
+            |sc AS (SELECT h.doc_id, h.score,
+            |    round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4)
+            |      AS cos
+            |  FROM hits h JOIN e ON e.vec_id = h.doc_id, q)
+            |SELECT doc_id, score, cos,
+            |  round(0.5 * (score / smax) + 0.5 * cos, 6) AS hybrid
+            |FROM sc, sm ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2424,7 +2560,7 @@ object Catalog {
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
-    x92)
+    x92, x93, x94, x95)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -112,7 +112,11 @@ class CatalogSpec extends AnyFunSuite {
     "x89_winnowing" -> Seq("doc_id", "n_fp", "n_dup_fp", "near_dup"),
     "x90_bm25" -> Seq("doc_id", "n_hit", "score"),
     "x91_pmi_collocations" -> Seq("w1", "w2", "n_pair", "pmi"),
-    "x92_domain_caps" -> Seq("source", "n_docs", "n_kept", "n_dropped"))
+    "x92_domain_caps" -> Seq("source", "n_docs", "n_kept", "n_dropped"),
+    "x93_zipf_spectrum" -> Seq("rank", "token", "n", "zipf_slope"),
+    "x94_centroid_outliers" -> Seq("label", "n_vecs", "n_outliers",
+      "sum_cos"),
+    "x95_hybrid_search" -> Seq("doc_id", "score", "cos", "hybrid"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

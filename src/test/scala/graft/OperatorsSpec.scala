@@ -859,6 +859,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.head._4 - expect) < 1e-9)
   }
 
+  test("labelCentroidOutliers: coherent labels have no outliers; an " +
+    "anti-aligned vector is flagged") {
+    // label 0: four identical vectors → every cosine to the centroid is 1.
+    // label 1: three at +2 and one at -1 on the same axis → centroid
+    // (0, 1.25, 0, 0): aligned vectors score +1, the anti-aligned one -1 —
+    // exactly one outlier, cosine sum 3·1 − 1 = 2.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 0f, 0f, 0f), 0), (3L, Array(1f, 0f, 0f, 0f), 0),
+      (10L, Array(0f, 2f, 0f, 0f), 1), (11L, Array(0f, 2f, 0f, 0f), 1),
+      (12L, Array(0f, 2f, 0f, 0f), 1), (13L, Array(0f, -1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidOutliers(emb).orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq((0, 4L, 0L), (1, 4L, 1L)))
+    assert(math.abs(got(0)._4 - 4.0) < 1e-9) // four exact cos = 1.0000
+    assert(math.abs(got(1)._4 - 2.0) < 1e-9)
+  }
+
+  test("x93 zipf spectrum: ranks are dense by descending frequency and " +
+    "the slope matches a driver-side least-squares reference") {
+    import SparkTestSession.sf0001
+    val rows = graft.queries.Catalog.queries("x93_zipf_spectrum")(
+      spark, sf0001).collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 30))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // driver-side reference over the FULL vocabulary (the corpus tokens,
+    // the same split rule), with the identical 6-decimal log rounding
+    val toks = graft.sources.Tables.documents(spark, sf0001).collect()
+      .flatMap(_.getAs[String]("text").split(" ")).filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pts = counts.zipWithIndex.map { case ((_, n), i) =>
+      (r6(math.log(i + 1.0)), r6(math.log(n.toDouble))) }
+    val cN = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expect = BigDecimal(
+        (cN * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (cN * sxx.toDouble - sx.toDouble * sx.toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.map(_.getDouble(3)).distinct.toSeq == Seq(expect))
+    assert(expect < 0) // frequencies fall with rank
+  }
+
+  test("x95 hybrid search: the blend is exactly the normalized-BM25 / " +
+    "cosine average, ordered by it") {
+    import SparkTestSession.sf0001
+    val hits = graft.queries.Catalog.queries("x90_bm25")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val smax = hits.values.max
+    val rows = graft.queries.Catalog.queries("x95_hybrid_search")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    for ((id, score, cos, hybrid) <- rows) {
+      assert(math.abs(score - hits(id)) < 1e-12) // a bm25 top-50 member
+      val expect = BigDecimal(0.5 * (score / smax) + 0.5 * cos)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(hybrid - expect) < 1e-9, s"doc $id blend")
+    }
+    val hs = rows.map(_._4)
+    assert(hs.zip(hs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("groupCaps: kept counts respect the cap, dropped is the remainder, " +
     "and the report is partition-invariant") {
     val docs = ((1 to 30).map(i => (i.toLong, "big")) ++

@@ -25,7 +25,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "kernel — no join at all)"),
     "x90_bm25" -> "crossJoin with a broadcast 1-row corpus-stats aggregate",
     "x91_pmi_collocations" ->
-      "crossJoins with broadcast 1-row unigram/bigram grand totals")
+      "crossJoins with broadcast 1-row unigram/bigram grand totals",
+    "x93_zipf_spectrum" ->
+      "crossJoin with the broadcast 1-row slope aggregate",
+    "x95_hybrid_search" -> ("crossJoins with the broadcast 1-row query " +
+      "vector, max-score row, and the inner bm25 stats row"))
 
   /** Queries allowed an ExistingRDD scan, with why. */
   val rddAllowed: Map[String, String] = Map(
@@ -69,9 +73,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "x90_bm25" -> ("the slim (doc_id, dl, tf…) projection feeds the stats " +
       "aggregate and the scoring pass; one lazy localCheckpoint replaces a " +
       "second tokens-kernel corpus scan (x84's mechanism)"),
-    "x91_pmi_collocations" -> ("the token-array projection feeds the " +
-      "unigram and bigram counting passes; one lazy localCheckpoint " +
-      "replaces a second split-kernel corpus scan"))
+    "x91_pmi_collocations" -> ("the combined vocabulary-bounded count " +
+      "table feeds both join sides and both grand totals; one lazy " +
+      "localCheckpoint replaces re-running the corpus explode per " +
+      "consumer"),
+    "x93_zipf_spectrum" -> ("the vocabulary-bounded ranked count table " +
+      "feeds the slope aggregate and the output rows; one lazy " +
+      "localCheckpoint replaces a second corpus explode scan"),
+    "x95_hybrid_search" -> ("inherits x90's checkpointed (doc_id, dl, " +
+      "tf…) projection inside the bm25 stage"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {

@@ -58,7 +58,8 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (82, "video_decode"), (83, "semantic_dedup"), (84, "mixture_sample"),
     (85, "passage_dedup"), (86, "dsir_weights"), (87, "shuffle_shards"),
     (88, "dsir_resample"), (89, "winnowing"), (90, "bm25"),
-    (91, "pmi_collocations"), (92, "domain_caps")]]
+    (91, "pmi_collocations"), (92, "domain_caps"), (93, "zipf_spectrum"),
+    (94, "centroid_outliers"), (95, "hybrid_search")]]
 
 
 # queries declared WITHOUT an oracle by design (rows-only checks) — the only
