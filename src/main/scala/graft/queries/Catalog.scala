@@ -2471,8 +2471,13 @@ object Catalog {
     * [[Similarity.labelCentroidOutliers]] for the exploded map-reduce
     * centroid shape and the round-then-exact-sum determinism discipline. */
   val x94 = Q("x94_centroid_outliers",
+    // pinned hash spread of the byte-tiny embeddings scan (the kernelDocs
+    // rationale): the 64-way posexplode and both downstream partial aggs
+    // otherwise run on the scan's single input split
     (s, d) => reportSortFused(
-      Similarity.labelCentroidOutliers(t(s, d, "embeddings")), col("label")),
+      Similarity.labelCentroidOutliers(t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))),
+      col("label")),
     Some("""WITH e AS (SELECT vec_id, label,
            |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |ex AS (SELECT vec_id, label, i, v[i] AS x
@@ -2629,6 +2634,10 @@ object Catalog {
     // (stable +0.02-0.10 s static win, probed 3×; x90/x92 measured
     // neutral and stay adaptive)
     "x91_pmi_collocations",
+    // x93: vocabulary-bounded plan end-to-end (count table, 1-task
+    // window, 1-row slope broadcast) — nothing to re-decide (+0.04 probed;
+    // x94 adaptive wins −0.24, x95 neutral — both stay adaptive)
+    "x93_zipf_spectrum",
     // x48: re-probed after the NearestCentroids kernel route replaced the
     // crossJoin+window assignment — the remaining plan is an explicitly
     // broadcast probe join + bounded ranking tail, nothing for AQE to
