@@ -139,6 +139,64 @@ class DedupScaleSpec extends AnyFunSuite {
       f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
   }
 
+  test("winnowing dedup scales near-linearly 10k → 100k docs with exact " +
+      "saturation on duplicate classes", Slow) {
+    // Spark-generated corpus (the passage-dedup shipping lesson): each doc
+    // is 60 class-arithmetic tokens so distinct classes share no k-gram;
+    // 10 copies per class → every later copy's fingerprints are fully
+    // claimed by the first (n_dup_fp = n_fp, near_dup = 1): 9/10 of docs.
+    def corpus(nDistinct: Int): DataFrame =
+      spark.range(nDistinct * 10L).select(col("id").as("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(0, 59, 1), " +
+          s"i -> concat('w', (id % $nDistinct) * 60 + i)))").as("text"))
+    def run(nDistinct: Int): ((Long, Long), Double) =
+      timed {
+        val agg = Dedup.winnowingDedup(corpus(nDistinct))
+          .agg(count(lit(1)), sum("near_dup")).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+    run(100) // warm-up
+    val ((n10, d10), t10) = run(1000)   // 10k docs
+    val ((n100, d100), t100) = run(10000) // 100k docs
+    info(f"winnowing 10k: $t10%.1f s; 100k: $t100%.1f s")
+    assert(n10 == 10000L && d10 == 9000L)
+    assert(n100 == 100000L && d100 == 90000L)
+    assert(t100 <= t10.max(0.5) * 30,
+      f"superlinear step at 10x docs: $t10%.1f s -> $t100%.1f s")
+  }
+
+  test("groupCaps scales near-linearly 100k → 1M rows over a skewed " +
+      "domain distribution", Slow) {
+    import graft.operators.Relational
+    // Zipf-ish skew: domain d gets ~n/(d+1) of the rows — one hot domain
+    // holding half the corpus is exactly the shape a per-domain window
+    // would serialize on and the two-pass must not
+    def corpus(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        expr("concat('dom', CAST(floor(pow(2.0, floor(log2(CAST(id + 1 AS " +
+          "DOUBLE))))) AS BIGINT))").as("source"))
+    def run(n: Long): (Long, Double) =
+      timed {
+        val r = Relational.groupCaps(corpus(n), "source", "doc_id", cap = 50)
+          .agg(sum("n_kept"), sum("n_docs")).head()
+        assert(r.getLong(1) == n)
+        r.getLong(0)
+      }
+    run(10000)
+    val (k1, t1) = run(100000L)
+    val (k2, t2) = run(1000000L)
+    info(f"groupCaps 100k: $t1%.1f s; 1M: $t2%.1f s")
+    // domain d holds ids+1 in [2^d, min(2^(d+1)-1, n)]: kept = Σ min(cap, size)
+    def expectedKept(n: Long): Long =
+      Iterator.from(0).map(d => (1L << d, math.min((1L << (d + 1)) - 1, n)))
+        .takeWhile { case (lo, _) => lo <= n }
+        .map { case (lo, hi) => math.min(50L, hi - lo + 1) }.sum
+    assert(k1 == expectedKept(100000L))
+    assert(k2 == expectedKept(1000000L))
+    assert(t2 <= t1.max(0.5) * 30,
+      f"superlinear step at 10x rows: $t1%.1f s -> $t2%.1f s")
+  }
+
   test("semantic dedup scales near-linearly 10k → 100k vectors when k grows " +
       "with the corpus (the SemDeDup contract)", Slow) {
     // k clusters of 250 vectors: 10 exact copies of the cluster centroid
