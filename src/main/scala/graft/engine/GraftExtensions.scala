@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_pair_buckets", "graft_pair_buckets(text, buckets) - hashed-bigram feature buckets (DSIR)"),
       (args: Seq[Expression]) => graft.functions.PairBuckets(args(0),
         intArg("graft_pair_buckets", "buckets", args, 1))))
+    e.injectFunction((FunctionIdentifier("graft_winnow_set"),
+      info("graft_winnow_set", "graft_winnow_set(text, k, w) - sorted distinct winnowing fingerprints (MOSS)"),
+      (args: Seq[Expression]) => graft.functions.WinnowSet(args(0),
+        intArg("graft_winnow_set", "k", args, 1),
+        intArg("graft_winnow_set", "w", args, 2))))
     e.injectFunction((FunctionIdentifier("graft_band_keys"),
       info("graft_band_keys", "graft_band_keys(v, bands, rowsPerBand, dim) - hyperplane-LSH band keys over array<double>"),
       (args: Seq[Expression]) => HyperplaneBandKeys(args(0),

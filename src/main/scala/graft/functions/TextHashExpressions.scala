@@ -241,6 +241,60 @@ object TokenHasher {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint set (Schleimer et al. SIGMOD'03), one pass:
+    * token hashes → base-31 k-gram polynomials mod [[HashP]] → each
+    * w-window's minimum → SORTED distinct values. Value-identical to the
+    * staged HOF chain `array_distinct(transform(…, least(…)))` over
+    * [[Portable.kgramHashes]] output (KernelParitySpec pins it) — distinct
+    * SETS are equal; this kernel sorts where array_distinct keeps
+    * first-occurrence order, a difference no consumer observes (the set
+    * explodes into a groupBy). Empty array for docs with < k+w−1 tokens
+    * (no window exists), which also replaces the caller-side token-count
+    * filter. The sliding minimum is recomputed per window (O(m·w), w
+    * small) on a primitive array — no deque allocation; the arrays here
+    * are the per-document transient the HOF chain allocated three of. */
+  def winnowSet(u: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = u.toString
+    val t = new TokenOffsets(s)
+    val n = t.n
+    if (n < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash(s, t.starts(i), t.ends(i)); i += 1 }
+    val pow = new Array[Long](k)
+    pow(0) = 1L
+    i = 1
+    while (i < k) { pow(i) = pow(i - 1) * 31L; i += 1 }
+    val m = n - k + 1
+    val gs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc += hs(i + j) * pow(k - 1 - j); j += 1 }
+      gs(i) = acc % HashP
+      i += 1
+    }
+    val nw = m - w + 1
+    val sel = new Array[Long](nw)
+    i = 0
+    while (i < nw) {
+      var mn = gs(i)
+      var j = 1
+      while (j < w) { val v = gs(i + j); if (v < mn) mn = v; j += 1 }
+      sel(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(sel)
+    var out = 1
+    i = 1
+    while (i < nw) {
+      if (sel(i) != sel(out - 1)) { sel(out) = sel(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, out))
+  }
+
   /** All tokens as strings, one pass, with multiplicity — the
     * `filter(split(text,' '), t -> t <> '')` fragment without the
     * per-token HOF lambda (q13-class term counting). */
@@ -280,6 +334,8 @@ object TextHashFunctions {
   def tokenPairs(c: Column): Column = B.column(TokenPairs(B.expression(c)))
   def pairBuckets(c: Column, buckets: Int): Column =
     B.column(PairBuckets(B.expression(c), buckets))
+  def winnowSet(c: Column, k: Int, w: Int): Column =
+    B.column(WinnowSet(B.expression(c), k, w))
   def allTokens(c: Column): Column = B.column(AllTokens(B.expression(c)))
   def shinglePrefix(c: Column,
                     dfMap: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
@@ -410,6 +466,25 @@ case class PairBuckets(child: Expression, buckets: Int)
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = graft.functions.TokenHasher.pairBuckets($c, $buckets);")
   override protected def withNewChildInternal(newChild: Expression): PairBuckets =
+    copy(child = newChild)
+}
+
+/** Sorted distinct winnowing fingerprints as array<long>; empty for docs
+  * with fewer than k+w−1 tokens. k and w are plan-time constants, so
+  * codegen embeds them as literals. */
+case class WinnowSet(child: Expression, k: Int, w: Int)
+    extends TextHashExpression {
+  require(k >= 2 && k <= 6, s"k-gram width out of range: $k")
+  require(w >= 2, s"winnow window out of range: $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_set"
+  protected def kernel: String = "winnowSet"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.winnowSet(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TokenHasher.winnowSet($c, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSet =
     copy(child = newChild)
 }
 

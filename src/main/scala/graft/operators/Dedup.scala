@@ -502,32 +502,26 @@ object Dedup {
     * excluded (they cannot carry a guaranteed shared run — and the filter
     * also guards Spark's descending `sequence(1, n)` for n < 1).
     *
-    * Scale shape: the kernel chain (token hashes → k-gram hashes → window
-    * minima) is staged as three projections of Catalyst HOFs — each array
-    * materializes once per row (CollapseProject keeps multi-reference
-    * non-cheap projections apart, the x20 triple-eval lesson) and stays
-    * inside whole-stage codegen; the only shuffle carries (fp: BIGINT,
-    * doc_id) pairs — fingerprint-cardinality keys, never text; the
-    * keep-first window and doc agg are exactly x85's shapes. */
+    * Scale shape: the whole signature chain (token hashes → k-gram hashes
+    * → window minima → distinct) is the ONE-PASS [[graft.functions
+    * .WinnowSet]] codegen kernel — a single static call inside
+    * whole-stage codegen, replacing the three-projection HOF chain (three
+    * array materializations per row) the operator originally staged;
+    * KernelParitySpec pins kernel ≡ HOF on the real corpus. Short docs
+    * yield an empty set (no filter needed — and the earlier token-count
+    * pre-filter was itself the fix for a pushed-down size(hs) predicate
+    * that re-ran the kernel on the scan side, the x20 trap). The only
+    * shuffle carries (fp: BIGINT, doc_id) pairs — fingerprint-cardinality
+    * keys, never text; the keep-first window and doc agg are exactly
+    * x85's shapes. */
   def winnowingDedup(docs: DataFrame, k: Int = 4, w: Int = 5,
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("fp").orderBy("doc_id")
     docs
-      // the short-doc gate compares the TOKEN count, not size(hs): a filter
-      // on the hash-array column inlines the whole kernel into the predicate
-      // and pushdown re-evaluates it per row on the (narrow) scan side —
-      // measured as a 1-task 0.55 s/run stage at sf0.1 (the x20 pushed-
-      // filter kernel re-eval trap). The token count is split+size only.
-      .where(expr(
-        s"size(${Portable.tokens(SparkD, textCol)}) >= ${k + w - 1}"))
       .select(col("doc_id"),
-        expr(Portable.tokenHashes(SparkD, textCol, distinctTokens = false))
-          .as("hs"))
-      .select(col("doc_id"),
-        expr(Portable.kgramHashes(SparkD, "hs", k)).as("gs"))
-      .select(col("doc_id"),
-        explode(expr(Portable.winnow(SparkD, "gs", w))).as("fp"))
+        explode(graft.functions.TextHashFunctions.winnowSet(
+          col(textCol), k, w)).as("fp"))
       .withColumn("rn", row_number().over(win))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"),

@@ -361,6 +361,33 @@ class KernelParitySpec extends AnyFunSuite {
     assert(!sig(2).isNullAt(1) && !sig(3).isNullAt(1))
   }
 
+  test("WinnowSet kernel ≡ staged HOF winnowing chain on the real corpus " +
+    "(sets compared sorted) and via SQL") {
+    val (k, w) = (4, 5)
+    val declarative = docs
+      .where(expr(s"size(${Portable.tokens(SparkD, "text")}) >= ${k + w - 1}"))
+      .select(col("doc_id"),
+        expr(Portable.tokenHashes(SparkD, "text", distinctTokens = false))
+          .as("hs"))
+      .select(col("doc_id"), expr(Portable.kgramHashes(SparkD, "hs", k)).as("gs"))
+      // kernel output is sorted; array_distinct keeps first-occurrence
+      // order — compare as sorted sets (the only form consumers observe)
+      .select(col("doc_id"),
+        array_sort(expr(Portable.winnow(SparkD, "gs", w))).as("fps"))
+    val kernel = docs
+      .select(col("doc_id"),
+        TextHashFunctions.winnowSet(col("text"), k, w).as("fps"))
+      .where(size(col("fps")) > 0)
+    assert(kernel.except(declarative).count() == 0)
+    assert(declarative.except(kernel).count() == 0)
+    assert(kernel.count() > 0)
+    // SQL surface ≡ Column surface; short docs give an empty set
+    val viaSql = spark.sql(
+      "SELECT size(graft_winnow_set('a b c d e f g h', 4, 5)) AS n, " +
+        "size(graft_winnow_set('too short', 4, 5)) AS z").collect()(0)
+    assert(viaSql.getInt(0) == 1 && viaSql.getInt(1) == 0)
+  }
+
   test("MinHashSig stays nullable over a NON-nullable input (IsNotNull guard survives)") {
     import spark.implicits._
     // coalesce with a literal makes the child non-nullable; the sig must
