@@ -131,6 +131,71 @@ object IncrementalDedup {
     batch.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** WINNOWING variant of [[dedupBatch]]: the persistent state is the
+    * distinct winnowing fingerprints ([[graft.functions.WinnowSet]],
+    * Schleimer et al. SIGMOD'03) of every surviving document. A batch doc
+    * is dropped when ≥ `dupFrac` of its fingerprints are already claimed —
+    * by a LOWER-id doc of its own batch (x85's per-fingerprint keep-first
+    * rule) or by any earlier batch. Catches copies-with-local-edits that
+    * exact digests miss, with bounded per-doc state (expected fingerprint
+    * density 2/(w+1) per token) instead of [[nearDupBatch]]'s fixed
+    * 16-hash global sketch — winnowing localizes, so a doc that pastes
+    * half of an old document still saturates that half's fingerprints.
+    *
+    * Scale shape: only (fp: BIGINT, doc_id) pairs shuffle; the history
+    * read is a single-column scan of the other batches' partitions; the
+    * claim check is one left join + x85's keep-first window; survivors'
+    * distinct fingerprints land under `batch=batchId` with the same
+    * dynamic-overwrite retry contract as [[dedupBatch]].
+    *
+    * Semantics notes: greedy like [[nearDupBatch]] — fingerprints of a
+    * doc DROPPED this batch still claim (the doc that claimed them was
+    * itself kept or dropped by the same deterministic rule; exhaustive
+    * cluster formation is x60's job). Docs with fewer than k+w−1 tokens
+    * carry no fingerprints and always survive — route them through
+    * [[dedupBatch]] if exact-short-dup matters. */
+  def winnowBatch(batch: DataFrame, historyPath: String, batchId: String,
+                  k: Int = 4, w: Int = 5, dupFrac: Double = 0.8,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(dupFrac > 0 && dupFrac <= 1, s"dupFrac must be in (0,1], got $dupFrac")
+    val spark = batch.sparkSession
+    val fs = FileSystem.get(new java.net.URI(historyPath),
+      spark.sessionState.newHadoopConf())
+    // the fingerprint table feeds the claim check AND the state write —
+    // checkpoint so the kernel scan runs once (slim (id, fp) rows only)
+    val fps = batch.select(col(idCol),
+        explode(graft.functions.TextHashFunctions.winnowSet(
+          col(textCol), k, w)).as("fp"))
+      .localCheckpoint(false)
+    val hist =
+      if (fs.exists(new Path(historyPath)))
+        spark.read.parquet(historyPath)
+          .where(col("batch") =!= batchId) // partition-pruned re-run guard
+          .select("fp").distinct()
+          .withColumn("__h", lit(1))
+      else fps.select("fp").limit(0).withColumn("__h", lit(1))
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("fp").orderBy(idCol)
+    val dropped = fps
+      .join(hist, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(win))
+      .withColumn("claimed",
+        (col("rn") > 1) || col("__h").isNotNull)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("claimed"), 1L).otherwise(0L)).as("n_cl"))
+      .where(col("n_cl") >= col("n_fp") * dupFrac)
+      .select(idCol)
+    val pinned = fps.join(dropped, Seq(idCol), "left_anti")
+      .select("fp").distinct().localCheckpoint(false)
+    pinned.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(historyPath)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** One row per (doc row, band): the [[Dedup.bandKeyCols]] keys exploded
     * alongside the carried columns. */
   private def explodeBands(df: DataFrame, sigCol: Column): DataFrame = {

@@ -75,4 +75,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Seq(50L, 60L))
     assert(spark.read.parquet(hist).count() == 3)
   }
+
+  test("winnowBatch: fingerprint history, within-batch saturation drop, " +
+    "cross-batch drop, short-doc passthrough, idempotent retry") {
+    val hist = Files.createTempDirectory("graft_fp_hist").toString + "/h"
+    // 12 tokens ⇒ 5 windows of k-grams, every copy fully saturates
+    val runA = (1 to 12).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 12).map(i => s"b$i").mkString(" ")
+
+    val b1 = Seq(
+      (10L, runA),
+      (20L, runB),
+      (30L, runA),          // full saturation vs 10 → dropped
+      (40L, "too short")    // < k+w-1 tokens: no fingerprints, survives
+    ).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.winnowBatch(b1, hist, "b1")
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 40L))
+    val histFps = spark.read.parquet(hist).count()
+    assert(histFps > 0) // survivors' distinct fingerprints recorded
+
+    val b2 = Seq(
+      (50L, runB),                                       // cross-batch dup
+      (60L, (1 to 12).map(i => s"c$i").mkString(" ")))   // novel
+      .toDF("doc_id", "text")
+    val s2 = IncrementalDedup.winnowBatch(b2, hist, "b2")
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(60L))
+
+    // a doc sharing only HALF its content does not reach the 80% bar:
+    // first half = runA (claimed), second half novel
+    val b3 = Seq(
+      (70L, runA + " " + (1 to 12).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val s3 = IncrementalDedup.winnowBatch(b3, hist, "b3")
+    assert(s3.select("doc_id").as[Long].collect().toSeq == Seq(70L))
+
+    // retry: own fingerprints must not suppress the batch
+    val s2r = IncrementalDedup.winnowBatch(b2, hist, "b2")
+    assert(s2r.select("doc_id").as[Long].collect().toSeq == Seq(60L))
+  }
 }

@@ -56,6 +56,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee on generated docs: a shared k+w-1-token run " +
+    "always yields a shared fingerprint; disjoint vocabularies never do") {
+    val (k, w) = (4, 5)
+    // random prefix/suffix paddings around a shared 8-token run, distinct
+    // namespaces so the padding cannot collide textually with the run
+    val padGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, tokenGen.map("p" + _)))
+    for ((pads, i) <- samples(Gen.zip(padGen, padGen), 12).zipWithIndex) {
+      val run = (1 to (k + w - 1)).map(j => s"run${i}_$j")
+      val docA = (pads._1.map("a" + _) ++ run).mkString(" ")
+      val docB = (run ++ pads._2.map("b" + _)).mkString(" ")
+      val docC = (1 to 20).map(j => s"other${i}_$j").mkString(" ")
+      val fps = Seq(docA, docB, docC).toDF("text")
+        .select(TextHashFunctions.winnowSet(col("text"), k, w).as("f"))
+        .collect().map(_.getSeq[Long](0).toSet)
+      assert((fps(0) intersect fps(1)).nonEmpty,
+        s"shared $run run produced no shared fingerprint")
+      assert((fps(0) intersect fps(2)).isEmpty &&
+        (fps(1) intersect fps(2)).isEmpty,
+        "disjoint vocabulary shared a fingerprint (collision-scale event)")
+    }
+  }
+
   test("fingerprint is invariant under re-evaluation but sensitive to order") {
     for (toks <- samples(docGen, 10) if toks.distinct.length > 1) {
       val t = toks.mkString(" ")
