@@ -162,6 +162,31 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("h")
       .drop("h")
 
+  /** Streaming winnowing fingerprint claims — the streaming face of the
+    * batch [[graft.operators.Dedup.winnowingDedup]]'s claim step: each
+    * document's winnowing fingerprint set (the ONE-PASS
+    * [[graft.functions.WinnowSet]] kernel — the same expression as batch,
+    * so the signature semantics cannot drift) is exploded and the stream
+    * keeps the FIRST claim of every fingerprint inside the watermark
+    * window. Emits the surviving (ts, doc_id, fp) claim rows — the
+    * primitive a streaming curation pipeline aggregates per document
+    * (claimed-fraction ≥ τ ⇒ near-dup, x89's rule) or appends to a
+    * fingerprint store ([[graft.pipeline.IncrementalDedup.winnowBatch]]
+    * is the batch-of-record form of that composition).
+    *
+    * Determinism contract: identical to [[streamingPassageDedup]] —
+    * earlier-arriving claims win across batches; within one micro-batch
+    * one representative survives unpinned. Short docs (< k+w−1 tokens)
+    * contribute no fingerprints. */
+  def streamingWinnowClaims(docs: DataFrame, tsCol: String = "ts",
+                            textCol: String = "text", k: Int = 4, w: Int = 5,
+                            watermark: String = "1 hour"): DataFrame =
+    docs.select(col(tsCol), col("doc_id"),
+        explode(graft.functions.TextHashFunctions.winnowSet(
+          col(textCol), k, w)).as("fp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Watermarked stream-stream interval join — the streaming face of the
     * batch range join (x50 / [[graft.operators.Relational.rangeJoin]]):
     * each purchase joined to the same user's error events from the

@@ -308,6 +308,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow claims keep first-seen fingerprints across " +
+    "micro-batches and match the batch keep-first sets") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_swinnow").toString
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val runA = (1 to 12).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 12).map(i => s"b$i").mkString(" ")
+    Seq((1L, ts(0), runA), (2L, ts(1), runB))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[(Long, Timestamp, String)]
+        .toDF("doc_id", "ts", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingWinnowClaims(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("swinnow").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats runA (all claims already taken), doc 4 is
+      // novel, doc 5 is too short to fingerprint
+      Seq((3L, ts(2), runA),
+          (4L, ts(3), (1 to 12).map(i => s"c$i").mkString(" ")),
+          (5L, ts(4), "too short"))
+        .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("swinnow")
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch reference: every doc's full fingerprint set size
+      val nFps = Seq((1L, runA), (2L, runB), (4L, (1 to 12).map(i => s"c$i")
+          .mkString(" ")))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), size(graft.functions.TextHashFunctions
+          .winnowSet(col("text"), 4, 5)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(got == nFps) // docs 3 (saturated) and 5 (short) claim nothing
+      assert(nFps.values.forall(_ > 0))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event_ids across micro-batches") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_sdedup").toString
