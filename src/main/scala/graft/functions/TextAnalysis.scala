@@ -211,6 +211,59 @@ object TextAnalysis {
         col("pmi_dec").cast("double").as("pmi"))
   }
 
+  /** Per-source quality gate with a DATA-DEPENDENT threshold (the
+    * FineWeb-style per-dump step: keep each source's top `keepFrac` by
+    * quality, so a uniformly-low source cannot flood the corpus the way a
+    * fixed global threshold allows): per-source exact `percentile` of the
+    * x24 quality score at (1 − keepFrac), broadcast back, gate, report
+    * (source, n_docs, thr, n_kept) — unordered, callers sort.
+    *
+    * The threshold is the DISCRETE percentile — an actual data value, the
+    * SQL-standard "smallest v whose cumulative fraction ≥ p" (DuckDB's
+    * `quantile_disc`, empirically pinned) — NOT the interpolated
+    * `percentile`/`quantile_cont`: interpolation assembles (1−g)·lo + g·hi
+    * in engine-specific operation order and the result diverged at the
+    * final ulp cross-engine (0.46274000000000004 vs 0.46274, caught by
+    * the oracle). A data value is bit-identical by construction, and the
+    * rank ⌈p·n⌉ is computed in EXACT integer arithmetic (p as permille) —
+    * double `ceil(0.1 * n)` errs high on exact ties (0.1·250 →
+    * 25.000…004 → rank 26).
+    *
+    * Scale shape: ONE LangStats kernel pass, lazily checkpointed for the
+    * threshold aggregate and the gate (x84's mechanism); the per-source
+    * sorted-values threshold holds one source's scores per group — the
+    * x33/x54 routing note applies (`approx_percentile` is the 100 TB tier
+    * when per-source cardinality explodes); thresholds ride a broadcast. */
+  def qualityGate(docs: DataFrame, keepPermille: Int = 700,
+                  textCol: String = "text"): DataFrame = {
+    require(keepPermille > 0 && keepPermille <= 1000,
+      s"keepPermille in (0,1000], got $keepPermille")
+    val dropPm = 1000 - keepPermille
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        TextHashFunctions.langStats(col(textCol)).as("st"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("st"), profiles.length + 1).cast("int").as("n_tokens"),
+        element_at(col("st"), 1).cast("int").as("en_hits"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"),
+        expr(qualityScore("n_tokens", "en_hits")).as("quality"))
+      .localCheckpoint(false)
+    val thr = scored.groupBy("source")
+      .agg(expr(
+        // ⌈dropPm·n/1000⌉ as exact integer ceil; 1-based element_at;
+        // keep-all (dropPm = 0) floors the rank at 1 → thr = min value,
+        // which every quality trivially passes
+        s"element_at(sort_array(collect_list(quality)), " +
+          s"GREATEST(1, CAST(($dropPm * count(quality) + 999) DIV 1000 AS INT)))")
+        .as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max(col("thr")).as("thr"),
+        sum(when(col("quality") >= col("thr"), 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
   /** Token-budget mixture sampling — the data-mixing step ahead of
     * training, as an operator over any (doc_id, source, text) frame (x84
     * is the catalog wrapper): per-source token totals set a deterministic

@@ -2546,6 +2546,65 @@ object Catalog {
             |FROM sc, sm ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin),
     bench = false)
 
+  /** Per-source quality gate with a data-dependent percentile threshold:
+    * see [[TextAnalysis.qualityGate]] (keep the top 70% of each source by
+    * the x24 quality score). */
+  val x96 = Q("x96_quality_gate",
+    (s, d) => reportSortFused(
+      TextAnalysis.qualityGate(t(s, d, "documents")), col("source")),
+    Some(s"""WITH t0 AS (SELECT doc_id, source,
+            |    ${Portable.tokens(DuckD, "text")} AS toks FROM documents),
+            |c AS (SELECT doc_id, source,
+            |    CAST(length(toks) AS BIGINT) AS n_tokens,
+            |    ${TextAnalysis.langCount(DuckD, "toks", "en")} AS en_hits
+            |  FROM t0),
+            |q AS (SELECT doc_id, source,
+            |    ${TextAnalysis.qualityScore("n_tokens", "en_hits")} AS quality
+            |  FROM c WHERE n_tokens > 0),
+            |th AS (SELECT source, quantile_disc(quality, 0.3) AS thr
+            |  FROM q GROUP BY 1)
+            |SELECT q.source, COUNT(*) AS n_docs, MAX(th.thr) AS thr,
+            |  CAST(SUM(CASE WHEN q.quality >= th.thr THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_kept
+            |FROM q JOIN th ON th.source = q.source
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
+  /** Cross-source contamination matrix: for every source pair, the number
+    * of winnowing fingerprints ([[graft.functions.WinnowSet]], x89's
+    * signature) both sources claim — the which-dumps-duplicate-each-other
+    * diagnostic ahead of mixing. Scale shape: one kernel pass → distinct
+    * (source, fp) — the only per-corpus-size shuffle — then a
+    * fp-keyed self-join whose fan-out is bounded by the SOURCE count per
+    * fingerprint (sources are dumps/crawls: dozens, not millions — the
+    * bounded-cardinality contract, stated here like x51's); the pair
+    * report is O(|sources|²). */
+  val x97 = Q("x97_source_overlap",
+    (s, d) => {
+      val fps = t(s, d, "documents").select("doc_id", "source", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"), explode(graft.functions.TextHashFunctions
+          .winnowSet(col("text"), 4, 5)).as("fp"))
+        .distinct()
+      reportSortFused(
+        fps.select(col("source").as("s1"), col("fp"))
+          .join(fps.select(col("source").as("s2"), col("fp")), Seq("fp"))
+          .where(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_shared")),
+        col("s1"), col("s2"))
+    },
+    Some(s"""WITH h AS (SELECT source,
+            |    ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)}
+            |      AS hs FROM documents),
+            |g AS (SELECT source, ${Portable.kgramHashes(DuckD, "hs", 4)} AS gs
+            |  FROM h WHERE length(hs) >= 8),
+            |f AS (SELECT DISTINCT source,
+            |    unnest(${Portable.winnow(DuckD, "gs", 5)}) AS fp FROM g)
+            |SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared
+            |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2565,7 +2624,7 @@ object Catalog {
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
-    x92, x93, x94, x95)
+    x92, x93, x94, x95, x96, x97)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -116,7 +116,9 @@ class CatalogSpec extends AnyFunSuite {
     "x93_zipf_spectrum" -> Seq("rank", "token", "n", "zipf_slope"),
     "x94_centroid_outliers" -> Seq("label", "n_vecs", "n_outliers",
       "sum_cos"),
-    "x95_hybrid_search" -> Seq("doc_id", "score", "cos", "hybrid"))
+    "x95_hybrid_search" -> Seq("doc_id", "score", "cos", "hybrid"),
+    "x96_quality_gate" -> Seq("source", "n_docs", "thr", "n_kept"),
+    "x97_source_overlap" -> Seq("s1", "s2", "n_shared"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -931,6 +931,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hs.zip(hs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("qualityGate: the discrete threshold is the ceil(p·n)-th smallest " +
+    "score, keep-all floors the rank, and the report is partition-invariant") {
+    // 10 docs per source with DISTINCT qualities: vary stopword density
+    // ("the" is an en-profile stopword, so en_hits/n drives the score)
+    def doc(i: Int) = ((1 to i).map(_ => "the") ++
+      (1 to (12 - i)).map(j => s"w$j")).mkString(" ")
+    val docs = (1 to 10).flatMap(i =>
+      Seq((i.toLong, "sA", doc(i)), (100L + i, "sB", doc(i))))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.qualityGate(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // expected: rank ⌈0.3·10⌉ = 3 → thr = 3rd smallest quality, kept = 8
+    val qs = TextAnalysis.quality(docs.where(col("source") === "sA"))
+      .select("quality").collect().map(_.getDouble(0)).sorted
+    assert(qs.distinct.length == 10) // the construction really varies them
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq(("sA", 10L, 8L), ("sB", 10L, 8L)))
+    assert(got.forall(_._3 == qs(2)))
+    // partition invariance and the keep-all edge
+    val re = TextAnalysis.qualityGate(docs.repartition(7)).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+    val all = TextAnalysis.qualityGate(docs, keepPermille = 1000)
+      .collect().map(_.getLong(3))
+    assert(all.forall(_ == 10L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityGate(docs, keepPermille = 0))
+  }
+
   test("groupCaps: kept counts respect the cap, dropped is the remainder, " +
     "and the report is partition-invariant") {
     val docs = ((1 to 30).map(i => (i.toLong, "big")) ++

@@ -81,7 +81,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "feeds the slope aggregate and the output rows; one lazy " +
       "localCheckpoint replaces a second corpus explode scan"),
     "x95_hybrid_search" -> ("inherits x90's checkpointed (doc_id, dl, " +
-      "tf…) projection inside the bm25 stage"))
+      "tf…) projection inside the bm25 stage"),
+    "x96_quality_gate" -> ("the scored (doc_id, source, quality) " +
+      "projection feeds the percentile aggregate and the gate; one lazy " +
+      "localCheckpoint replaces a second LangStats corpus scan"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {

@@ -59,7 +59,8 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (85, "passage_dedup"), (86, "dsir_weights"), (87, "shuffle_shards"),
     (88, "dsir_resample"), (89, "winnowing"), (90, "bm25"),
     (91, "pmi_collocations"), (92, "domain_caps"), (93, "zipf_spectrum"),
-    (94, "centroid_outliers"), (95, "hybrid_search")]]
+    (94, "centroid_outliers"), (95, "hybrid_search"), (96, "quality_gate"),
+    (97, "source_overlap")]]
 
 
 # queries declared WITHOUT an oracle by design (rows-only checks) — the only
