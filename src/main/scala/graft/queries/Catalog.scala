@@ -2550,6 +2550,10 @@ object Catalog {
     * see [[TextAnalysis.qualityGate]] (keep the top 70% of each source by
     * the x24 quality score). */
   val x96 = Q("x96_quality_gate",
+    // no kernelDocs spread: LangStats is cheap enough that the pinned
+    // exchange costs more than the single-split kernel pass (measured
+    // 0.50→0.63 — the spread pays off for winnowing/codec-class kernels,
+    // not this one); x97 probed AQE-unstable and stays adaptive
     (s, d) => reportSortFused(
       TextAnalysis.qualityGate(t(s, d, "documents")), col("source")),
     Some(s"""WITH t0 AS (SELECT doc_id, source,
