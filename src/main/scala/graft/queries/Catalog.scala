@@ -2609,6 +2609,86 @@ object Catalog {
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     bench = false)
 
+  /** Linear interpolation over the gap-filled daily spine — the resample +
+    * interpolate step that completes x72/x73's time-series kit (gapfill
+    * materializes zeros; forward-fill carries; this RECONSTRUCTS a value
+    * between observations): per-user daily value sums, missing days get
+    * pv + (nv − pv)·Δ/span from the nearest observations on both sides
+    * (spine endpoints are always observed, so every gap is bracketed).
+    *
+    * Determinism: daily sums are EXACT decimal sums of 4-decimal-rounded
+    * values (partition-order-free); observed days emit the exact
+    * decimal→double cast; interpolated days compute one shared double
+    * expression rounded at 4. Scale shape: x72's co-partitioned pipeline —
+    * one user_id exchange, checkpointed daily aggregate feeding span/spine
+    * and the join exchange-free, both IGNORE-NULLS windows on the same
+    * clustering. */
+  val x98 = Q("x98_interpolate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          expr("CAST(round(value, 4) AS DECIMAL(18,4))").as("v4"))
+        .repartition(col("user_id"))
+        .groupBy("user_id", "d").agg(sum(col("v4")).as("vd"))
+        .localCheckpoint(false)
+      val spine = daily.groupBy("user_id")
+        .agg(min("d").as("d0"), max("d").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val fw = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bw = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val w = spine.join(daily, Seq("user_id", "d"), "left")
+        .withColumn("pd",
+          last(when(col("vd").isNotNull, col("d")), ignoreNulls = true).over(fw))
+        .withColumn("pv", last(col("vd"), ignoreNulls = true).over(fw))
+        .withColumn("nd",
+          first(when(col("vd").isNotNull, col("d")), ignoreNulls = true).over(bw))
+        .withColumn("nv", first(col("vd"), ignoreNulls = true).over(bw))
+      reportSort(w.select(col("user_id"), col("d"),
+          when(col("vd").isNotNull, col("vd").cast("double"))
+            .otherwise(expr(
+              "round(CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) " +
+                "- CAST(pv AS DOUBLE)) * (CAST(datediff(d, pd) AS DOUBLE) " +
+                "/ CAST(datediff(nd, pd) AS DOUBLE)), 4)")).as("v"),
+          when(col("vd").isNull, 1L).otherwise(0L).as("interp")),
+        col("user_id"), col("d"))
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+           |    SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS vd
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+           |  FROM daily GROUP BY 1),
+           |spine AS (SELECT user_id,
+           |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           |      AS d FROM span),
+           |j AS (SELECT s.user_id, s.d, dl.vd FROM spine s
+           |  LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d),
+           |w AS (SELECT user_id, d, vd,
+           |    last_value(CASE WHEN vd IS NOT NULL THEN d END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY d
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           |    last_value(vd IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY d
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           |    first_value(CASE WHEN vd IS NOT NULL THEN d END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY d
+           |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+           |    first_value(vd IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY d
+           |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+           |  FROM j)
+           |SELECT user_id, d,
+           |  CASE WHEN vd IS NOT NULL THEN CAST(vd AS DOUBLE)
+           |    ELSE round(CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE)
+           |      - CAST(pv AS DOUBLE)) * (CAST(d - pd AS DOUBLE)
+           |      / CAST(nd - pd AS DOUBLE)), 4) END AS v,
+           |  CAST(CASE WHEN vd IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interp
+           |FROM w ORDER BY 1, 2""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2628,7 +2708,7 @@ object Catalog {
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
-    x92, x93, x94, x95, x96, x97)
+    x92, x93, x94, x95, x96, x97, x98)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *
@@ -2672,7 +2752,7 @@ object Catalog {
     // downstream aggregates/joins go exchange-free, but under AQE the
     // checkpoint sees AdaptiveSparkPlan's UnknownPartitioning and every
     // exchange reappears (PlanShapeSpec pins the fused shape)
-    "x62_funnel", "x72_gapfill",
+    "x62_funnel", "x72_gapfill", "x98_interpolate",
     "x67_winsorize",
     "x69_repetition", "x71_knn_label", "x73_forward_fill", "x76_rank_ties",
     "x77_mad", "x78_image_decode",

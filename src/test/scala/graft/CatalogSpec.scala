@@ -118,7 +118,8 @@ class CatalogSpec extends AnyFunSuite {
       "sum_cos"),
     "x95_hybrid_search" -> Seq("doc_id", "score", "cos", "hybrid"),
     "x96_quality_gate" -> Seq("source", "n_docs", "thr", "n_kept"),
-    "x97_source_overlap" -> Seq("s1", "s2", "n_shared"))
+    "x97_source_overlap" -> Seq("s1", "s2", "n_shared"),
+    "x98_interpolate" -> Seq("user_id", "d", "v", "interp"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

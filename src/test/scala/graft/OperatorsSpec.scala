@@ -961,6 +961,38 @@ class OperatorsSpec extends AnyFunSuite {
       TextAnalysis.qualityGate(docs, keepPermille = 0))
   }
 
+  test("x98 interpolate: dense per-user spine, observed endpoints, and " +
+    "every interpolated value bracketed by its observed neighbors") {
+    import SparkTestSession.sf0001
+    val rows = graft.queries.Catalog.queries("x98_interpolate")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty && rows.exists(_._4 == 1L)) // gaps really exist
+    val byUser = rows.groupBy(_._1)
+    for ((_, rs) <- byUser) {
+      val sorted = rs.sortBy(_._2.toEpochDay)
+      // dense daily spine with observed endpoints
+      assert(sorted.head._4 == 0L && sorted.last._4 == 0L)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+        b._2.toEpochDay - a._2.toEpochDay == 1 })
+      // each interpolated run is bracketed by its observed neighbors and
+      // every value in it lies between them
+      var i = 0
+      while (i < sorted.length) {
+        if (sorted(i)._4 == 1L) {
+          val j = sorted.indexWhere(_._4 == 0L, i)
+          val (lo, hi) = (sorted(i - 1)._3, sorted(j)._3)
+          val (mn, mx) = (math.min(lo, hi), math.max(lo, hi))
+          for (k <- i until j)
+            assert(sorted(k)._3 >= mn - 1e-9 && sorted(k)._3 <= mx + 1e-9,
+              s"interpolated value escapes its bracket at ${sorted(k)}")
+          i = j
+        } else i += 1
+      }
+    }
+  }
+
   test("groupCaps: kept counts respect the cap, dropped is the remainder, " +
     "and the report is partition-invariant") {
     val docs = ((1 to 30).map(i => (i.toLong, "big")) ++

@@ -84,7 +84,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "tf…) projection inside the bm25 stage"),
     "x96_quality_gate" -> ("the scored (doc_id, source, quality) " +
       "projection feeds the percentile aggregate and the gate; one lazy " +
-      "localCheckpoint replaces a second LangStats corpus scan"))
+      "localCheckpoint replaces a second LangStats corpus scan"),
+    "x98_interpolate" -> ("x72's co-partitioned pipeline: the bounded " +
+      "daily aggregate is localCheckpoint-ed for the spine derivation, " +
+      "the left join and both windows; partitioning preserved, " +
+      "downstream exchange-free"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
