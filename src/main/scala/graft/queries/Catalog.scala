@@ -1264,10 +1264,12 @@ object Catalog {
            |FROM documents ORDER BY doc_id""".stripMargin),
     bench = false)
 
-  private def duckClustersSql: String = {
+  /** The x60 oracle's CTE chain up to `reach` (shared with x99, which
+    * appends canonical-selection CTEs). */
+  private def duckClustersCtes: String = {
     val bs = (0 until 32)
       .map(b => s"${Portable.simhashBitSum(DuckD, "hs", b)} AS bs$b").mkString(",\n  ")
-    s"""WITH RECURSIVE h AS (SELECT doc_id,
+    s"""h AS (SELECT doc_id,
        |  ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
        |  FROM documents WHERE doc_id < 200),
        |bs AS (SELECT doc_id,
@@ -1283,10 +1285,13 @@ object Catalog {
        |reach(src, dst) AS (
        |  SELECT a, b FROM sym
        |  UNION
-       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)""".stripMargin
+  }
+
+  private def duckClustersSql: String =
+    s"""WITH RECURSIVE $duckClustersCtes
        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
        |FROM reach GROUP BY src ORDER BY src""".stripMargin
-  }
 
   /** Dedup cluster formation — the step AFTER pair generation: connected
     * components over a near-dup edge set ([[graft.operators.Clusters]],
@@ -1298,27 +1303,30 @@ object Catalog {
     * keeps the ORACLE's all-pairs + recursive-closure form cheap; the
     * Spark side scales unbounded. The oracle computes components via
     * DuckDB's recursive CTE (transitive closure, then min per node). */
+  /** x60's cluster table (doc_id, cluster) — shared with x99's canonical
+    * selection. */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.operators.Dedup.simhashSignatures(
+      t(s, d, "documents").where(col("doc_id") < 200))
+    val probeKeys = array(
+      col("simhash") +:
+        (0 until 32).map(b => col("simhash").bitwiseXOR(lit(1L << b))): _*)
+    val probes = sigs.select(col("doc_id"), col("simhash"),
+      explode(probeKeys).as("key"))
+    val edges = probes.as("l").join(probes.as("r"),
+        col("l.key") === col("r.key") && col("l.doc_id") < col("r.doc_id"))
+      .where(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= 1)
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    // adaptive tier: the bounded edge list union-finds on the driver after
+    // ONE job (broadcast-join-style size check); over-cap edge sets route
+    // to the distributed min-label rounds — see connectedComponentsAuto
+    graft.operators.Clusters.connectedComponentsAuto(edges)
+      .select(col("node").as("doc_id"), col("cluster"))
+  }
+
   val x60 = Q("x60_dedup_clusters",
-    (s, d) => {
-      val sigs = graft.operators.Dedup.simhashSignatures(
-        t(s, d, "documents").where(col("doc_id") < 200))
-      val probeKeys = array(
-        col("simhash") +:
-          (0 until 32).map(b => col("simhash").bitwiseXOR(lit(1L << b))): _*)
-      val probes = sigs.select(col("doc_id"), col("simhash"),
-        explode(probeKeys).as("key"))
-      val edges = probes.as("l").join(probes.as("r"),
-          col("l.key") === col("r.key") && col("l.doc_id") < col("r.doc_id"))
-        .where(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= 1)
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-        .distinct()
-      // adaptive tier: the bounded edge list union-finds on the driver after
-      // ONE job (broadcast-join-style size check); over-cap edge sets route
-      // to the distributed min-label rounds — see connectedComponentsAuto
-      graft.operators.Clusters.connectedComponentsAuto(edges)
-        .select(col("node").as("doc_id"), col("cluster"))
-        .orderBy("doc_id")
-    },
+    (s, d) => dupClusters(s, d).orderBy("doc_id"),
     Some(duckClustersSql),
     bench = false)
 
@@ -2689,6 +2697,55 @@ object Catalog {
            |FROM w ORDER BY 1, 2""".stripMargin),
     bench = false)
 
+  /** Quality-aware canonical selection — the step AFTER cluster formation
+    * that closes the dedup story (detect pairs → x60 clusters → keep the
+    * BEST document per cluster, not the lowest-id): each x60 cluster's
+    * canonical is its highest-quality member (x24's score), doc_id
+    * tiebreak. One max-of-struct aggregation per cluster — (quality,
+    * −doc_id) orders lexicographically so a single `max` picks the
+    * canonical with no per-cluster window or second join; cluster
+    * cardinality is unbounded and the agg is partial-agg friendly. Output:
+    * (cluster, n_docs, canon_id, canon_quality) over the x60 node set. */
+  val x99 = Q("x99_canonical_docs",
+    (s, d) => {
+      val q = TextAnalysis.quality(
+          t(s, d, "documents").where(col("doc_id") < 200))
+        .select(col("doc_id"), col("quality"))
+      reportSortFused(
+        dupClusters(s, d).join(q, Seq("doc_id"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("quality"), (-col("doc_id")).as("nid")))
+              .as("best"))
+          .select(col("cluster"), col("n_docs"),
+            (-col("best.nid")).as("canon_id"),
+            col("best.quality").as("canon_quality")),
+        col("cluster"))
+    },
+    Some(s"""WITH RECURSIVE $duckClustersCtes,
+            |cl AS (SELECT src AS doc_id,
+            |    CAST(least(src, min(dst)) AS BIGINT) AS cluster
+            |  FROM reach GROUP BY src),
+            |t0 AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM documents WHERE doc_id < 200),
+            |c0 AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+            |    ${TextAnalysis.langCount(DuckD, "toks", "en")} AS en_hits
+            |  FROM t0),
+            |q AS (SELECT doc_id,
+            |    ${TextAnalysis.qualityScore("n_tokens", "en_hits")} AS quality
+            |  FROM c0 WHERE n_tokens > 0),
+            |wq AS (SELECT cl.cluster, cl.doc_id, q.quality
+            |  FROM cl JOIN q ON q.doc_id = cl.doc_id),
+            |r AS (SELECT cluster, doc_id, quality, row_number() OVER (
+            |    PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn
+            |  FROM wq),
+            |sz AS (SELECT cluster, COUNT(*) AS n_docs FROM wq GROUP BY 1)
+            |SELECT sz.cluster, sz.n_docs, r.doc_id AS canon_id,
+            |  r.quality AS canon_quality
+            |FROM sz JOIN r ON r.cluster = sz.cluster AND r.rn = 1
+            |ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2708,7 +2765,7 @@ object Catalog {
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
-    x92, x93, x94, x95, x96, x97, x98)
+    x92, x93, x94, x95, x96, x97, x98, x99)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

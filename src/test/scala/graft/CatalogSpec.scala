@@ -119,7 +119,9 @@ class CatalogSpec extends AnyFunSuite {
     "x95_hybrid_search" -> Seq("doc_id", "score", "cos", "hybrid"),
     "x96_quality_gate" -> Seq("source", "n_docs", "thr", "n_kept"),
     "x97_source_overlap" -> Seq("s1", "s2", "n_shared"),
-    "x98_interpolate" -> Seq("user_id", "d", "v", "interp"))
+    "x98_interpolate" -> Seq("user_id", "d", "v", "interp"),
+    "x99_canonical_docs" -> Seq("cluster", "n_docs", "canon_id",
+      "canon_quality"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -993,6 +993,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("x99 canonical docs: each canonical is its cluster's max-quality, " +
+    "min-id member (struct-max ≡ independent reference)") {
+    import SparkTestSession.sf0001
+    val cl = graft.queries.Catalog.queries("x60_dedup_clusters")(
+      spark, sf0001).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val q = TextAnalysis.quality(graft.sources.Tables
+        .documents(spark, sf0001).where(col("doc_id") < 200))
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val canon = graft.queries.Catalog.queries("x99_canonical_docs")(
+      spark, sf0001).collect()
+    assert(canon.nonEmpty)
+    for (r <- canon) {
+      val members = cl.filter(_._2 == r.getLong(0)).map(_._1)
+        .filter(q.contains)
+      assert(r.getLong(1) == members.length)
+      val best = members.map(id => (q(id), -id)).max
+      assert(r.getLong(2) == -best._2, s"cluster ${r.getLong(0)} canonical")
+      assert(math.abs(r.getDouble(3) - best._1) < 1e-12)
+    }
+  }
+
   test("groupCaps: kept counts respect the cap, dropped is the remainder, " +
     "and the report is partition-invariant") {
     val docs = ((1 to 30).map(i => (i.toLong, "big")) ++

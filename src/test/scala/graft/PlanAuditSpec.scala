@@ -88,7 +88,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "x98_interpolate" -> ("x72's co-partitioned pipeline: the bounded " +
       "daily aggregate is localCheckpoint-ed for the spine derivation, " +
       "the left join and both windows; partitioning preserved, " +
-      "downstream exchange-free"))
+      "downstream exchange-free"),
+    "x99_canonical_docs" -> ("inherits x60's cluster machinery (driver " +
+      "union-find's one-job bounded edge collect materializes as an " +
+      "ExistingRDD-backed local table, or the distributed tier's " +
+      "per-round checkpoints)"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
