@@ -2746,6 +2746,101 @@ object Catalog {
             |ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** The end-to-end training-data pipeline as ONE query — the capstone
+    * composite a corpus team actually runs, chaining the tiers in their
+    * production order: exact dedup (x17's keep-first) → per-source
+    * DISCRETE-percentile quality gate computed on the DEDUPED population
+    * (x96's exact-integer-rank rule — stage order matters and is the
+    * declared semantics) → per-source caps by the deterministic Knuth draw
+    * over the GATED population (x92's rule via the scale-safe
+    * `keyedRowNumbers` two-pass, cap = 12 binds at every SF) → per-source
+    * funnel report (raw → deduped → gated → final docs + final tokens).
+    *
+    * Scale shape: one LangStats kernel pass lazily checkpointed (it feeds
+    * the threshold aggregate, the gate, and two stage counts); thresholds
+    * ride a broadcast; the cap ranks are the two-pass, never a per-source
+    * window; the funnel report is a join of source-bounded aggregates. */
+  val x100 = Q("x100_training_pipeline",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
+      val scored = keep.join(
+          docs.select(col("doc_id"), col("source"),
+              graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
+            .select(col("doc_id"), col("source"),
+              element_at(col("st"), TextAnalysis.profiles.length + 1)
+                .cast("int").as("n_tokens"),
+              element_at(col("st"), 1).cast("int").as("en_hits"))
+            .where(col("n_tokens") > 0)
+            .select(col("doc_id"), col("source"),
+              col("n_tokens").cast("bigint").as("n_toks"),
+              expr(TextAnalysis.qualityScore("n_tokens", "en_hits"))
+                .as("quality")),
+          Seq("doc_id"))
+        .localCheckpoint(false)
+      val thr = scored.groupBy("source").agg(expr(
+        "element_at(sort_array(collect_list(quality)), " +
+          "GREATEST(1, CAST((300 * count(quality) + 999) DIV 1000 AS INT)))")
+        .as("thr"))
+      val gated = scored.join(broadcast(thr), Seq("source"))
+        .where(col("quality") >= col("thr"))
+      val h = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) %
+        lit(1000000007L)
+      val capped = Relational.keyedRowNumbers(
+          gated.select(col("doc_id"), col("source"), col("n_toks"))
+            .withColumn("__h", h),
+          Seq("source"), Seq(col("__h"), col("doc_id")))
+        .where(col("__rn") <= 12)
+      val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val dd = scored.groupBy("source").agg(count(lit(1)).as("n_dedup"))
+      val gg = gated.groupBy("source").agg(count(lit(1)).as("n_gate"))
+      val fin = capped.groupBy("source")
+        .agg(count(lit(1)).as("n_final"), sum(col("n_toks")).as("toks_final"))
+      reportSort(raw
+        .join(dd, Seq("source"), "left").join(gg, Seq("source"), "left")
+        .join(fin, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_gate"), lit(0L)).as("n_gate"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("toks_final"), lit(0L)).as("toks_final")),
+        col("source"))
+    },
+    Some(s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+            |  GROUP BY md5(text)),
+            |t0 AS (SELECT doc_id, source, ${Portable.tokens(DuckD, "text")}
+            |    AS toks FROM documents),
+            |c AS (SELECT doc_id, source,
+            |    CAST(length(toks) AS BIGINT) AS n_tokens,
+            |    ${TextAnalysis.langCount(DuckD, "toks", "en")} AS en_hits
+            |  FROM t0),
+            |sc AS (SELECT c.doc_id, c.source, n_tokens AS n_toks,
+            |    ${TextAnalysis.qualityScore("n_tokens", "en_hits")} AS quality
+            |  FROM c JOIN keep USING (doc_id) WHERE n_tokens > 0),
+            |th AS (SELECT source, quantile_disc(quality, 0.3) AS thr
+            |  FROM sc GROUP BY 1),
+            |g AS (SELECT sc.* FROM sc JOIN th ON th.source = sc.source
+            |  WHERE quality >= thr),
+            |r AS (SELECT g.*, row_number() OVER (PARTITION BY source
+            |    ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007,
+            |      doc_id) AS rn FROM g),
+            |f AS (SELECT source, COUNT(*) AS n_final,
+            |    CAST(SUM(n_toks) AS BIGINT) AS toks_final
+            |  FROM r WHERE rn <= 12 GROUP BY 1),
+            |raw AS (SELECT source, COUNT(*) AS n_raw FROM documents
+            |  GROUP BY 1),
+            |dd AS (SELECT source, COUNT(*) AS n_dedup FROM sc GROUP BY 1),
+            |gg AS (SELECT source, COUNT(*) AS n_gate FROM g GROUP BY 1)
+            |SELECT raw.source, n_raw,
+            |  CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
+            |  CAST(COALESCE(n_gate, 0) AS BIGINT) AS n_gate,
+            |  CAST(COALESCE(n_final, 0) AS BIGINT) AS n_final,
+            |  CAST(COALESCE(toks_final, 0) AS BIGINT) AS toks_final
+            |FROM raw LEFT JOIN dd USING (source) LEFT JOIN gg USING (source)
+            |  LEFT JOIN f USING (source)
+            |ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2765,7 +2860,7 @@ object Catalog {
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
-    x92, x93, x94, x95, x96, x97, x98, x99)
+    x92, x93, x94, x95, x96, x97, x98, x99, x100)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

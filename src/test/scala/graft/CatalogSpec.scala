@@ -121,7 +121,9 @@ class CatalogSpec extends AnyFunSuite {
     "x97_source_overlap" -> Seq("s1", "s2", "n_shared"),
     "x98_interpolate" -> Seq("user_id", "d", "v", "interp"),
     "x99_canonical_docs" -> Seq("cluster", "n_docs", "canon_id",
-      "canon_quality"))
+      "canon_quality"),
+    "x100_training_pipeline" -> Seq("source", "n_raw", "n_dedup", "n_gate",
+      "n_final", "toks_final"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

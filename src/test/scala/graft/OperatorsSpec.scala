@@ -1015,6 +1015,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("x100 training pipeline: the funnel is monotone, the gate keeps " +
+    "~70% of the deduped population, and the cap binds exactly") {
+    import SparkTestSession.sf0001
+    val rows = graft.queries.Catalog.queries("x100_training_pipeline")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 20)
+    for ((src, raw, dd, gate, fin, toks) <- rows) {
+      assert(raw >= dd && dd >= gate && gate >= fin, s"$src funnel order")
+      assert(fin == math.min(12L, gate), s"$src cap")
+      assert(toks > 0 == fin > 0, s"$src token totals")
+      // discrete-percentile gate: kept = n − rank + 1 bounds (ties can
+      // only ADD members at the threshold value)
+      assert(gate >= dd - (3 * dd + 9) / 10 + 1 || dd == 0, s"$src gate")
+    }
+  }
+
   test("groupCaps: kept counts respect the cap, dropped is the remainder, " +
     "and the report is partition-invariant") {
     val docs = ((1 to 30).map(i => (i.toLong, "big")) ++

@@ -92,7 +92,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "x99_canonical_docs" -> ("inherits x60's cluster machinery (driver " +
       "union-find's one-job bounded edge collect materializes as an " +
       "ExistingRDD-backed local table, or the distributed tier's " +
-      "per-round checkpoints)"))
+      "per-round checkpoints)"),
+    "x100_training_pipeline" -> ("the scored dedup-survivor projection " +
+      "feeds the threshold aggregate, the gate and two stage counts (one " +
+      "lazy localCheckpoint, x96's rationale) + keyedRowNumbers' " +
+      "checkpoint for the cap ranks"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
