@@ -157,8 +157,8 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("co-partitioned pipelines: the one data exchange lives in the " +
-    "checkpoint job; the query plan itself is exchange-free (x62/x72)") {
-    for (name <- Seq("x62_funnel", "x72_gapfill")) {
+    "checkpoint job; the query plan itself is exchange-free (x62/x72/x98)") {
+    for (name <- Seq("x62_funnel", "x72_gapfill", "x98_interpolate")) {
       val plan = planOf(Catalog.queries(name)(spark, sf0001))
       // the repartition(user_id) ran once inside the localCheckpoint
       // materialization; every consumer reads the partitioning-preserving
