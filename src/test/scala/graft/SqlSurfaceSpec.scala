@@ -64,7 +64,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
       """SELECT user_id, event_id,
         |  unix_micros(ts) - lag(unix_micros(ts)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-        |FROM events ORDER BY user_id, event_id""".stripMargin)
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // the whole x89 winnowing dedup as pure SQL over the registered kernel
+    "x89_winnowing" ->
+      """SELECT doc_id, COUNT(*) AS n_fp,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_fp,
+        |  CAST(CASE WHEN SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 5
+        |      >= COUNT(*) * 4 THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+        |FROM (SELECT doc_id, fp, row_number() OVER (
+        |    PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id, explode(graft_winnow_set(text, 4, 5)) AS fp
+        |        FROM documents))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   for ((name, sql) <- sparkSql.toSeq.sortBy(_._1)) {
     test(s"$name: spark.sql ≡ DataFrame API") {
