@@ -85,9 +85,24 @@ object Bench {
     val head = benchSet(pick(Catalog.benchNames))
     val ext = benchSet(pick(Catalog.benchNamesExtended))
     val floorPost = floorProbe()
-    println(s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
+    val line =
+      s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
       s""""extended_total":${total(ext)},"extended_queries":${json(ext)},""" +
-      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},"sf":"$sfDir"}""")
+      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},"sf":"$sfDir"}"""
+    println(line)
+    // the driver greps stdout for the JSON line, but five rounds of
+    // BENCH_r0N.json carried "parsed": null — sbt/log4j interleaving can
+    // truncate or split the line. A file copy survives any stdout mangling.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_metric.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    } catch {
+      case e: Exception => // stdout line already printed; the file is a backup
+        System.err.println(s"[bench] could not write bench_metric.json: $e")
+    }
     spark.stop()
   }
 }

@@ -38,9 +38,11 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // testdata events.ts is parquet TIMESTAMP(NANOS) — unsupported natively;
-      // read as raw nanos and convert in Tables.events (ns→µs truncation,
-      // matching DuckDB's read of the same file).
+      // LEGACY fallback: pre-2026-08-13 testdata generations wrote events.ts
+      // as parquet TIMESTAMP(NANOS) (unsupported natively). The regeneration
+      // documented in FIXTURES.md made every timestamp column TIMESTAMP(MICROS),
+      // so this conf is now inert on current data; it stays so an older
+      // generation still reads as raw nanos, which Tables.events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The corpus' timestamp columns are parquet TIMESTAMP(MICROS) WITHOUT
       // the isAdjustedToUTC flag (naive wall-clock). Spark 4 infers those as

@@ -41,8 +41,6 @@ object Portable {
     def fold0(arr: String, acc: String, v: String, body: String): String
     /** 1-based element access (Spark element_at / DuckDB 1-based indexing) */
     def elemAt(arr: String, i: String): String
-    /** 1-based fixed-length slice */
-    def sliceLen(arr: String, start: String, len: Int): String
     /** the array [1, 2, …, n] (empty when n < 1 — callers must still guard
       * Spark's `sequence`, which DESCENDS for n < 1 instead of emptying) */
     def range1(n: String): String
@@ -59,8 +57,6 @@ object Portable {
     def fold0(arr: String, acc: String, v: String, body: String) =
       s"aggregate($arr, CAST(0 AS BIGINT), ($acc, $v) -> $body)"
     def elemAt(arr: String, i: String) = s"element_at($arr, $i)"
-    def sliceLen(arr: String, start: String, len: Int) =
-      s"slice($arr, $start, $len)"
     def range1(n: String) = s"sequence(1, $n)"
   }
 
@@ -75,8 +71,6 @@ object Portable {
     def fold0(arr: String, acc: String, v: String, body: String) =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $arr), ($acc, $v) -> $body)"
     def elemAt(arr: String, i: String) = s"$arr[$i]"
-    def sliceLen(arr: String, start: String, len: Int) =
-      s"$arr[($start):($start) + ${len - 1}]"
     def range1(n: String) = s"range(1, ($n) + 1)"
   }
 

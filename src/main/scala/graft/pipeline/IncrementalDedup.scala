@@ -170,7 +170,11 @@ object IncrementalDedup {
       .localCheckpoint(false)
     val hist =
       if (fs.exists(new Path(historyPath)))
-        spark.read.parquet(historyPath)
+        // explicit schema, not inference: a first batch whose docs all fall
+        // under k+w−1 tokens pins ZERO fingerprints, leaving historyPath
+        // holding only _SUCCESS — schema inference on that directory throws,
+        // while an explicit schema reads it as the empty relation it is
+        spark.read.schema("fp LONG, batch STRING").parquet(historyPath)
           .where(col("batch") =!= batchId) // partition-pruned re-run guard
           .select("fp").distinct()
           .withColumn("__h", lit(1))

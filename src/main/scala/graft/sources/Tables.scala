@@ -31,10 +31,11 @@ object Tables {
       relationCache.keySet.filter(_._1.sparkContext.isStopped)
         .foreach(relationCache.remove)
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw nanos
-      // (spark.sql.legacy.parquet.nanosAsLong). Floor ns→µs — `div` truncates
-      // toward zero, which would round PRE-epoch (negative) nanos up by 1 µs
-      // relative to DuckDB's floor conversion of the same file.
+      // LEGACY guard: only pre-2026-08-13 testdata wrote events.ts as parquet
+      // TIMESTAMP(NANOS), which nanosAsLong reads as raw LONG nanos (current
+      // generations are TIMESTAMP(MICROS) and skip this branch). Floor ns→µs —
+      // `div` truncates toward zero, which would round PRE-epoch (negative)
+      // nanos up by 1 µs relative to DuckDB's floor conversion of the file.
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts",
           timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))

@@ -114,4 +114,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val s2r = IncrementalDedup.winnowBatch(b2, hist, "b2")
     assert(s2r.select("doc_id").as[Long].collect().toSeq == Seq(60L))
   }
+
+  test("winnowBatch bootstrap: an all-short first batch leaves a data-free " +
+    "history dir the next batch must still read") {
+    val hist = Files.createTempDirectory("graft_fp_boot").toString + "/h"
+    // every doc under k+w-1 = 8 tokens: zero fingerprints pinned, so the
+    // state write produces historyPath holding only _SUCCESS — schema
+    // inference on that directory would throw (ADVICE r5)
+    val b1 = Seq((10L, "too short"), (20L, "also brief")).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.winnowBatch(b1, hist, "b1")
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+
+    val runC = (1 to 12).map(i => s"c$i").mkString(" ")
+    val b2 = Seq((30L, runC), (40L, runC)).toDF("doc_id", "text")
+    val s2 = IncrementalDedup.winnowBatch(b2, hist, "b2") // must not throw
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(30L))
+  }
 }
