@@ -2778,10 +2778,7 @@ object Catalog {
                 .as("quality")),
           Seq("doc_id"))
         .localCheckpoint(false)
-      val thr = scored.groupBy("source").agg(expr(
-        "element_at(sort_array(collect_list(quality)), " +
-          "GREATEST(1, CAST((300 * count(quality) + 999) DIV 1000 AS INT)))")
-        .as("thr"))
+      val thr = TextAnalysis.discreteThreshold(scored, dropPermille = 300)
       val gated = scored.join(broadcast(thr), Seq("source"))
         .where(col("quality") >= col("thr"))
       val h = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) %
