@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** [[keyedRowNumbers]] block-table driver-collect cap: 2¹⁷ blocks ≈ tens
+    * of MB of driver tuples — comfortably under any sane driver heap, while
+    * every bounded-key caller (shards, rank buckets, sources) stays on the
+    * exchange-free broadcast route. Web-domain-scale key sets route
+    * distributed. */
+  val DefaultMaxDriverBlocks: Long = 1L << 17
+
+  /** Test-only observability: which offset route the most recent
+    * [[keyedRowNumbers]] call on this JVM took ("driver" | "distributed"). */
+  @volatile private[graft] var lastKeyedRoute: String = ""
+
   /** Keep the latest row per key group (E3/E8 "dedup-keep-latest").
     * One shuffle on the partition keys; ranking is per-partition. */
   def dedupKeepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
@@ -65,19 +76,30 @@ object Relational {
     *     position (narrow, no exchange). State is locally checkpointed so
     *     pass 2 sees the identical layout.
     *  2. one slim aggregate — (partition, keys) → (first id, row count),
-    *     ≤ parts × |key values| rows — comes to the driver, where per-key
-    *     prefix sums over partitions yield each block's rank offset; the
-    *     block table broadcast-joins back (narrow) and
+    *     ≈ one block per distinct key after the range sort — yields each
+    *     block's rank offset via per-key prefix sums over partitions, and
     *     rank = local position − block start + block offset + 1.
+    *
+    * Pass 2 is CARDINALITY-GATED (round-6; the round-5 verdict's second
+    * scale finding): the block table is counted in one slim job on its
+    * cached RDD, and
+    *  - at ≤ `maxDriverBlocks` blocks (shards, rank buckets, bounded key
+    *    sets) the offsets are computed on the driver and the block table
+    *    broadcast-joins back — ZERO extra exchange of the data;
+    *  - above the cap (x92's web-domain regime: 10⁷–10⁸ registrable
+    *    domains would put multi-GB on the driver) the block table stays
+    *    distributed — per-key offsets come from two windows over the slim
+    *    block frame (partition size ≤ `parts` blocks per key, never the
+    *    data), and the offsets shuffle-join back on (partition, keys).
+    *    One extra exchange of the data rows, no driver state at all.
     *
     * Emits the input columns plus `__rn` (1-based rank per key under
     * `order`, which callers must make UNIQUE via a tie-break column — with
     * unique order row_number = rank = dense_rank) and `__n` (key group
-    * size). Driver state is O(parts × |key values|) — the same bounded-
-    * report posture as the rest of the catalog, vs O(input) for any
-    * single-task sort. */
+    * size). */
   def keyedRowNumbers(df: DataFrame, keys: Seq[String], order: Seq[Column],
-                      parts: Int = 0): DataFrame = {
+                      parts: Int = 0,
+                      maxDriverBlocks: Long = DefaultMaxDriverBlocks): DataFrame = {
     val spark = df.sparkSession
     // block runs are detected via external-value equality on the driver;
     // binary values compare by REFERENCE there (one block per ROW — an
@@ -119,7 +141,7 @@ object Relational {
         java.lang.Float.valueOf(0.0f)
       case other => other
     }
-    val blockStats: Array[(Int, Seq[Any], Long, Long)] = sorted
+    val blockRdd = sorted
       .select(("__pid" +: "__mid" +: keys).map(col): _*)
       .rdd.mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long, Long)]
@@ -135,31 +157,60 @@ object Relational {
         }
         if (curKey != null) out += ((pid, curKey, minMid, cnt))
         out.iterator
-      }.collect()
-    val augmented = blockStats.groupBy(_._2).valuesIterator.flatMap { blocks =>
-      val ordered = blocks.sortBy(_._1)
-      val total = ordered.map(_._4).sum
-      var off = 0L
-      ordered.map { case (pid, key, minMid, c) =>
-        val o = off; off += c
-        org.apache.spark.sql.Row.fromSeq(pid +: key :+ minMid :+ o :+ total)
-      }
-    }.toSeq
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one slim job prices the route (and materializes the checkpoint);
+    // the cached block RDD is then read once more by whichever route wins
+    // and reclaimed by the ContextCleaner when the plan is collected
+    val nBlocks = blockRdd.count()
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val blockSchema = StructType(
-      StructField("__pid", org.apache.spark.sql.types.IntegerType) +:
+      StructField("__pid", IntegerType) +:
         keys.map(k => df.schema(k)) :+
         StructField("__minMid", LongType) :+
         StructField("__off", LongType) :+
         StructField("__n", LongType))
-    val blockDf = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(augmented).asJava),
-      blockSchema)
+    val blockDf =
+      if (nBlocks <= maxDriverBlocks) {
+        lastKeyedRoute = "driver"
+        val augmented = blockRdd.collect().groupBy(_._2).valuesIterator
+          .flatMap { blocks =>
+            val ordered = blocks.sortBy(_._1)
+            val total = ordered.map(_._4).sum
+            var off = 0L
+            ordered.map { case (pid, key, minMid, c) =>
+              val o = off; off += c
+              org.apache.spark.sql.Row.fromSeq(pid +: key :+ minMid :+ o :+ total)
+            }
+          }.toSeq
+        broadcast(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(augmented).asJava),
+          blockSchema))
+      } else {
+        lastKeyedRoute = "distributed"
+        val raw = spark.createDataFrame(
+          blockRdd.map(t => org.apache.spark.sql.Row.fromSeq(
+            t._1 +: t._2 :+ t._3 :+ t._4)),
+          StructType(StructField("__pid", IntegerType) +:
+            keys.map(k => df.schema(k)) :+
+            StructField("__minMid", LongType) :+
+            StructField("__cnt", LongType)))
+        // per-key offsets without ANY driver state: each key has at most
+        // `parts` blocks (a key after a range sort is a contiguous span of
+        // partitions), so both windows run over bounded partitions of the
+        // SLIM block frame — never over the data rows
+        val byKey = Window.partitionBy(keys.map(col): _*)
+        raw
+          .withColumn("__off", coalesce(
+            sum(col("__cnt")).over(byKey.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__n", sum(col("__cnt")).over(byKey))
+          .select(blockSchema.fieldNames.map(col): _*)
+      }
     // null-SAFE key equality: a NULL key is an ordinary group for
     // Window.partitionBy, so it must match its block row here too (a
     // name-based equi-join would silently drop every null-keyed row)
-    val bdf = broadcast(blockDf)
+    val bdf = blockDf
     val joinCond = ((sorted("__pid") === bdf("__pid")) +: keys.map(k =>
       sorted(k) <=> bdf(k))).reduce(_ && _)
     keys.foldLeft(sorted.join(bdf, joinCond).drop(bdf("__pid")))(

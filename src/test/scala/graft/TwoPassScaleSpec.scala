@@ -63,6 +63,44 @@ class TwoPassScaleSpec extends AnyFunSuite {
       f"superlinear step at 10x rows: $t10%.1f s -> $t100%.1f s")
   }
 
+  test("keyedRowNumbers routes past the driver cap: 150k distinct keys go " +
+    "distributed and stay exact (closed form)", Slow) {
+    // 150k keys > DefaultMaxDriverBlocks (2^17 = 131072): the old
+    // unconditional .collect() would ship one tuple per key to the driver
+    // (the x92 web-domain ceiling, round-5 verdict finding 2); the gate
+    // must route this to the distributed offset windows instead
+    val n = 1500000L
+    val keys = 150000L
+    val df = spark.range(n).select(col("id"),
+      concat(lit("d"), col("id") % keys).as("k"))
+    val ranked = Relational.keyedRowNumbers(df, Seq("k"), Seq(col("id")))
+    val bad = ranked.where(col("__rn") =!= expr(s"id div $keys") + 1 ||
+      col("__n") =!= lit(n / keys)).count()
+    assert(Relational.lastKeyedRoute == "distributed",
+      s"150k keys should exceed the ${Relational.DefaultMaxDriverBlocks} cap")
+    assert(bad == 0)
+  }
+
+  test("distributed offset route ≡ driver route on the same input " +
+    "(forced via a tiny cap)") {
+    val df = spark.range(5000).select(col("id"),
+      (col("id") % 7).cast("string").as("k"),
+      // a NULL-keyed group and a value column to carry through
+      when(col("id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), col("id") % 13)).as("g"))
+    def run(cap: Long) = {
+      val out = Relational.keyedRowNumbers(df, Seq("k", "g"),
+          Seq(col("id")), maxDriverBlocks = cap)
+        .select("id", "__rn", "__n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      (out.toSeq, Relational.lastKeyedRoute)
+    }
+    val (viaDriver, r1) = run(Long.MaxValue)
+    val (viaDist, r2) = run(1L)
+    assert(r1 == "driver" && r2 == "distributed")
+    assert(viaDriver == viaDist)
+  }
+
   test("shuffleShards yields exact per-shard permutations and is " +
     "near-linear 100k → 1M rows", Slow) {
     def run(n: Long): (Long, Double) = {
