@@ -994,19 +994,38 @@ object Catalog {
     * chains before tokenization, composed: exact dedup (keep lowest id per
     * content hash) ∘ language ID ∘ quality gate, summarized per predicted
     * language. Quality totals go through DECIMAL so the aggregation order
-    * cannot perturb the hash. */
+    * cannot perturb the hash.
+    *
+    * ONE corpus scan (round 6; was two scans + a doc_id join): md5 and the
+    * LangStats kernel ride the same projection, and the keep-lowest-id rule
+    * is a min-of-struct per digest — doc_id leads the struct, so `min`
+    * selects the kept row WITH its (lang_pred, quality) payload, exactly
+    * x99's canonical-selection trick. Identical texts have identical
+    * payloads, so only (16-byte digest, small struct) pairs shuffle, with
+    * map-side partial min. Zero-token kept docs drop via the carried
+    * has_toks flag (their quality is NaN-safe: doc_id decides the min
+    * before the comparison ever reaches it). */
   val x49 = Q("x49_curation",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
-      // one LangStats pass yields both lang_pred and quality (the inner
-      // joins with languageId ⋈ quality kept exactly the token-bearing
-      // docs, which langQuality's n_tokens > 0 filter reproduces)
-      keep.join(TextAnalysis.langQuality(docs), "doc_id")
-        .where(col("quality") >= 0.5)
-        .groupBy("lang_pred")
+      val hitCols = TextAnalysis.profiles.zipWithIndex.map { case ((l, _), i) =>
+        element_at(col("st"), i + 1).cast("int").as(s"${l}_hits") }
+      docs
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
+        .select(col("doc_id") +: col("h") +: (hitCols :+
+          element_at(col("st"), TextAnalysis.profiles.length + 1).cast("int")
+            .as("n_tokens")): _*)
+        .select(col("h"), struct(col("doc_id"),
+          expr(TextAnalysis.langPick("en_hits", "de_hits", "fr_hits", "es_hits"))
+            .as("lang_pred"),
+          expr(TextAnalysis.qualityScore("n_tokens", "en_hits")).as("quality"),
+          (col("n_tokens") > 0).as("has_toks")).as("p"))
+        .groupBy("h").agg(min(col("p")).as("k"))
+        .where(col("k.has_toks") && col("k.quality") >= 0.5)
+        .groupBy(col("k.lang_pred").as("lang_pred"))
         .agg(count(lit(1)).as("n_kept"),
-          sum(col("quality").cast("decimal(18,6)")).cast("double")
+          sum(col("k.quality").cast("decimal(18,6)")).cast("double")
             .as("total_quality"))
         .transform(reportSort(_, col("lang_pred")))
     },
@@ -2627,41 +2646,42 @@ object Catalog {
     * Determinism: daily sums are EXACT decimal sums of 4-decimal-rounded
     * values (partition-order-free); observed days emit the exact
     * decimal→double cast; interpolated days compute one shared double
-    * expression rounded at 4. Scale shape: x72's co-partitioned pipeline —
-    * one user_id exchange, checkpointed daily aggregate feeding span/spine
-    * and the join exchange-free, both IGNORE-NULLS windows on the same
-    * clustering. */
+    * expression rounded at 4 — byte-identical to the oracle's
+    * spine+IGNORE-NULLS-window formulation because every gap day's
+    * (pd, pv, nd, nv) bracket is the same pair of observations.
+    *
+    * Scale shape (round 6; was spine ⋈ daily + four IGNORE-NULLS window
+    * columns over every SPINE day): each consecutive-observation SEGMENT
+    * [d, next d) emits its own days via one `lead` window over the daily
+    * aggregate and a `sequence` explode — the only window runs over
+    * OBSERVED days (the small aggregate, not the dense spine), the join
+    * disappears, and the whole query is one user_id exchange → partial-agg
+    * groupBy → lead → explode. The last observation (lead = NULL) emits
+    * exactly itself, so endpoints stay observed. */
   val x98 = Q("x98_interpolate",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val daily = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val seg = t(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("d"),
           expr("CAST(round(value, 4) AS DECIMAL(18,4))").as("v4"))
         .repartition(col("user_id"))
         .groupBy("user_id", "d").agg(sum(col("v4")).as("vd"))
-        .localCheckpoint(false)
-      val spine = daily.groupBy("user_id")
-        .agg(min("d").as("d0"), max("d").as("d1"))
-        .select(col("user_id"),
-          explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
-      val fw = Window.partitionBy("user_id").orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bw = Window.partitionBy("user_id").orderBy("d")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val w = spine.join(daily, Seq("user_id", "d"), "left")
-        .withColumn("pd",
-          last(when(col("vd").isNotNull, col("d")), ignoreNulls = true).over(fw))
-        .withColumn("pv", last(col("vd"), ignoreNulls = true).over(fw))
-        .withColumn("nd",
-          first(when(col("vd").isNotNull, col("d")), ignoreNulls = true).over(bw))
-        .withColumn("nv", first(col("vd"), ignoreNulls = true).over(bw))
-      reportSort(w.select(col("user_id"), col("d"),
-          when(col("vd").isNotNull, col("vd").cast("double"))
+        .withColumn("nd", lead(col("d"), 1).over(w))
+        .withColumn("nv", lead(col("vd"), 1).over(w))
+      reportSort(seg
+        .select(col("user_id"), col("d").as("pd"), col("vd"), col("nd"),
+          col("nv"),
+          explode(expr(
+            "sequence(d, coalesce(date_sub(nd, 1), d), interval 1 day)"))
+            .as("d"))
+        .select(col("user_id"), col("d"),
+          when(col("d") === col("pd"), col("vd").cast("double"))
             .otherwise(expr(
-              "round(CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) " +
-                "- CAST(pv AS DOUBLE)) * (CAST(datediff(d, pd) AS DOUBLE) " +
+              "round(CAST(vd AS DOUBLE) + (CAST(nv AS DOUBLE) " +
+                "- CAST(vd AS DOUBLE)) * (CAST(datediff(d, pd) AS DOUBLE) " +
                 "/ CAST(datediff(nd, pd) AS DOUBLE)), 4)")).as("v"),
-          when(col("vd").isNull, 1L).otherwise(0L).as("interp")),
+          when(col("d") === col("pd"), 0L).otherwise(1L).as("interp")),
         col("user_id"), col("d"))
     },
     Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
