@@ -46,7 +46,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * works in local mode where executors share the JVM).
   *
   * Options: `url` (base endpoint), `pageSize` (default 100),
-  * `transport` (default http).
+  * `transport` (default http), `maxPartitions` (0 = one page per
+  * partition; > 0 caps the task count — each partition then fetches its
+  * contiguous page run concurrently), `fetchConcurrency` (in-flight
+  * requests per task for multi-page runs, default 4).
   */
 class HttpLaunchSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -158,22 +161,42 @@ final class LaunchScan(options: Map[String, String],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // Probe page 0 on the driver for the envelope count, then one partition
-    // per page so executors fetch pages in parallel. A pushed limit caps the
-    // planned pages and the last page's row budget. The probed body ships
-    // inside partition 0 (≤ one page of JSON) so its reader does not
-    // re-download the identical URL.
+    // Probe page 0 on the driver for the envelope count, then plan the
+    // pages across partitions so executors fetch in parallel. A pushed
+    // limit caps the planned pages and the last page's row budget. The
+    // probed body ships inside the partition holding page 0 (≤ one page of
+    // JSON) so its reader does not re-download the identical URL.
+    //
+    // By default every page is its own partition (task parallelism = page
+    // parallelism — right when pages ≈ cluster cores). A large interval
+    // can plan thousands of page-sized tasks whose scheduling overhead
+    // dwarfs the fetches; option `maxPartitions` caps the partition count
+    // by handing each partition a contiguous RUN of pages, which its
+    // reader then fetches CONCURRENTLY (option `fetchConcurrency` per
+    // task, default 4) while emitting rows in page order — same rows,
+    // same order, bounded task count, latency still overlapped.
     val transport = Transport(options.getOrElse("transport", "http"))
     val firstBody = transport.get(pageUrl(0))
     val first = new ObjectMapper().readTree(firstBody)
     val count0 = first.path("count").asLong(0L)
     val count = limit.map(l => math.min(count0, l.toLong)).getOrElse(count0)
     val pages = math.max(1, math.ceil(count.toDouble / pageSize).toInt)
-    (0 until pages).map { p =>
+    val perPage = (0 until pages).map { p =>
       val budget = math.min(pageSize.toLong, count - p.toLong * pageSize).toInt
-      LaunchPage(pageUrl(p * pageSize),
-        if (limit.isDefined) budget else Int.MaxValue,
-        if (p == 0) Some(firstBody) else None): InputPartition
+      (pageUrl(p * pageSize), if (limit.isDefined) budget else Int.MaxValue)
+    }
+    val maxParts = options.getOrElse("maxPartitions", "0").toInt
+    val nParts = if (maxParts > 0) math.min(maxParts, pages) else pages
+    val concurrency = options.getOrElse("fetchConcurrency", "4").toInt
+    // contiguous runs, sized within ±1 page of each other
+    val runs = (0 until nParts).map { i =>
+      val lo = (i.toLong * pages / nParts).toInt
+      val hi = ((i + 1).toLong * pages / nParts).toInt
+      perPage.slice(lo, hi)
+    }
+    runs.zipWithIndex.map { case (run, i) =>
+      LaunchPages(run, if (i == 0) Some(firstBody) else None,
+        concurrency): InputPartition
     }.toArray
   }
 
@@ -182,34 +205,86 @@ final class LaunchScan(options: Map[String, String],
       required.fieldNames)
 }
 
-final case class LaunchPage(url: String, maxRows: Int,
-                            prefetched: Option[String] = None) extends InputPartition
+/** A contiguous run of pages: (url, row budget) per page, in page order.
+  * `prefetched` is the planner's probe body for the FIRST page of the run
+  * (only ever set on the partition holding page 0). */
+final case class LaunchPages(pages: Seq[(String, Int)],
+                             prefetched: Option[String],
+                             concurrency: Int) extends InputPartition
 
 final class LaunchReaderFactory(transportName: String, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LaunchPageReader(partition.asInstanceOf[LaunchPage],
+    new LaunchPageReader(partition.asInstanceOf[LaunchPages],
       Transport(transportName), fields)
 }
 
-/** Fetches one page and flattens `results` into rows (the C10 explode +
-  * nested projection, done source-side), parsing only the pruned fields. */
-final class LaunchPageReader(page: LaunchPage, transport: Transport,
+/** Fetches a run of pages and flattens `results` into rows (the C10
+  * explode + nested projection, done source-side), parsing only the pruned
+  * fields. A multi-page run fetches through a bounded thread pool — all
+  * pages are submitted up front, the pool caps in-flight requests at
+  * `concurrency`, and rows are emitted strictly in page order (futures are
+  * drained in submission order). Each page's fetch goes through the same
+  * retrying transport as the single-page path. */
+final class LaunchPageReader(part: LaunchPages, transport: Transport,
                              fields: Array[String])
     extends PartitionReader[InternalRow] {
 
-  private lazy val results: Iterator[JsonNode] = {
-    val body = page.prefetched.getOrElse(transport.get(page.url))
-    val root = new ObjectMapper().readTree(body)
-    root.path("results").elements().asScala
+  private val pool: Option[java.util.concurrent.ExecutorService] =
+    if (part.pages.length > 1 && part.concurrency > 1)
+      Some(java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(part.concurrency, part.pages.length)))
+    else None
+
+  /** (body thunk, row budget) per page, in page order. With a pool the
+    * thunks are pre-submitted futures; without one they fetch lazily. */
+  private lazy val pageBodies: Iterator[(() => String, Int)] = {
+    val withPrefetch = part.pages.zipWithIndex.map { case ((url, budget), i) =>
+      val fetch: () => String = part.prefetched match {
+        case Some(body) if i == 0 => () => body
+        case _ => () => transport.get(url)
+      }
+      (fetch, budget)
+    }
+    pool match {
+      case Some(p) =>
+        val futs = withPrefetch.map { case (fetch, budget) =>
+          (p.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = fetch()
+          }), budget)
+        }
+        futs.iterator.map { case (f, budget) =>
+          (() => try f.get()
+          catch { // surface the page's own failure, not the wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              val cause: Throwable =
+                e.getCause match { case null => e; case c => c }
+              throw cause
+          }, budget)
+        }
+      case None => withPrefetch.iterator
+    }
   }
+
+  private var results: Iterator[JsonNode] = Iterator.empty
   private var current: JsonNode = _
   private var emitted = 0
+  private var budget = 0
+
+  private def advancePage(): Boolean = pageBodies.hasNext && {
+    val (body, b) = pageBodies.next()
+    val root = new ObjectMapper().readTree(body())
+    results = root.path("results").elements().asScala
+    emitted = 0; budget = b
+    true
+  }
 
   override def next(): Boolean = {
-    if (emitted < page.maxRows && results.hasNext) {
-      current = results.next(); emitted += 1; true
-    } else false
+    while (!(emitted < budget && results.hasNext)) {
+      if (!advancePage()) return false
+    }
+    current = results.next(); emitted += 1
+    true
   }
 
   private def str(n: JsonNode, path: String*): UTF8String = {
@@ -238,7 +313,7 @@ final class LaunchPageReader(page: LaunchPage, transport: Transport,
   override def get(): InternalRow =
     new GenericInternalRow(fields.map(field))
 
-  override def close(): Unit = ()
+  override def close(): Unit = pool.foreach(_.shutdownNow())
 }
 
 /** Pluggable page transport. */

@@ -187,6 +187,49 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming quality gate — the online face of the batch
+    * [[graft.functions.TextAnalysis.qualityGate]] (x96), completing the
+    * curation seam the dedup tier already has: score each arriving
+    * document with the ONE-PASS LangStats kernel (per-row, no shuffle, no
+    * state) and keep documents at or above their source's quality
+    * threshold.
+    *
+    * Thresholds are an input, not computed here, and that is the
+    * semantics, not a shortcut: a per-source PERCENTILE over an unbounded
+    * stream is not well-defined (the population keeps growing), so the
+    * production pattern is thresholds computed OFFLINE on a reference
+    * corpus — [[graft.functions.TextAnalysis.discreteThreshold]] on the
+    * last batch snapshot — and applied as fixed values online, refreshed
+    * by restarting the query with the next snapshot's thresholds. The
+    * (source, thr) frame is a static table in a stream-static broadcast
+    * join (tiny by the bounded-sources contract).
+    *
+    * Documents from sources ABSENT from the threshold table pass with
+    * `defaultThr` (default −∞ = collect-and-tag; a stricter pipeline
+    * passes `Double.MaxValue` to quarantine unknown sources). Token-free
+    * docs carry no quality signal and are dropped, matching the batch
+    * gate's n_tokens > 0 population. Emits the input columns plus
+    * `quality` — the downstream corpus append usually wants it. */
+  def streamingQualityGate(docs: DataFrame, thresholds: DataFrame,
+                           textCol: String = "text",
+                           defaultThr: Double = Double.NegativeInfinity): DataFrame = {
+    import graft.functions.{TextAnalysis, TextHashFunctions}
+    val scored = docs
+      .withColumn("__st", TextHashFunctions.langStats(col(textCol)))
+      .withColumn("__n_tokens",
+        element_at(col("__st"), TextAnalysis.profiles.length + 1).cast("int"))
+      .withColumn("__en_hits", element_at(col("__st"), 1).cast("int"))
+      .where(col("__n_tokens") > 0)
+      .withColumn("quality",
+        expr(TextAnalysis.qualityScore("__n_tokens", "__en_hits")))
+      .drop("__st", "__n_tokens", "__en_hits")
+    scored
+      .join(broadcast(thresholds.select(col("source"), col("thr"))),
+        Seq("source"), "left")
+      .where(col("quality") >= coalesce(col("thr"), lit(defaultThr)))
+      .drop("thr")
+  }
+
   /** Watermarked stream-stream interval join — the streaming face of the
     * batch range join (x50 / [[graft.operators.Relational.rangeJoin]]):
     * each purchase joined to the same user's error events from the

@@ -277,6 +277,58 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate ≡ batch gate population under the same " +
+    "offline thresholds; unknown sources follow defaultThr") {
+    import java.sql.Timestamp
+    import graft.functions.TextAnalysis
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // reference corpus: 10 docs per source with distinct qualities (the
+    // OperatorsSpec construction) — thresholds computed OFFLINE
+    def doc(i: Int) = ((1 to i).map(_ => "the") ++
+      (1 to (12 - i)).map(j => s"w$j")).mkString(" ")
+    val ref = (1 to 10).flatMap(i =>
+      Seq((i.toLong, "sA", doc(i)), (100L + i, "sB", doc(i))))
+      .toDF("doc_id", "source", "text")
+    val thr = TextAnalysis.discreteThreshold(
+      TextAnalysis.quality(ref.select(col("doc_id"), col("text")))
+        .join(ref.select(col("doc_id"), col("source")), "doc_id"), 300)
+    // batch-side expectation on the STREAMED population (two batches of
+    // new arrivals incl. a token-free doc and an unknown source)
+    val b1 = (1 to 6).map(i => (200L + i, "sA", doc(i), ts(i)))
+    val b2 = (1 to 6).map(i => (300L + i, "sB", doc(i), ts(10 + i))) :+
+      (400L, "sA", "   ", ts(20)) :+ (401L, "sNEW", doc(9), ts(21))
+    val all = (b1 ++ b2).toDF("doc_id", "source", "text", "ts")
+    val expectKeep = all.join(thr, Seq("source"), "left")
+      .join(TextAnalysis.quality(all.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .where(col("quality") >= coalesce(col("thr"), lit(Double.NegativeInfinity)))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val dir = Files.createTempDirectory("graft_squality").toString
+    b1.toDF("doc_id", "source", "text", "ts").coalesce(1)
+      .write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(all.schema).option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingQualityGate(src, thr)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("squality").start()
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "source", "text", "ts").coalesce(1)
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("squality").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expectKeep)
+      assert(got.contains(401L)) // unknown source passes at default −∞
+      assert(!got.contains(400L)) // token-free doc carries no signal
+      // the strict default quarantines the unknown source instead
+      val strict = EventStreams.streamingQualityGate(
+        all.where(col("doc_id") === 401L), thr, defaultThr = Double.MaxValue)
+      assert(strict.count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming passage dedup keeps only first-seen chunks across micro-batches") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_spassage").toString

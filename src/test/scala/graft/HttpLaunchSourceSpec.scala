@@ -55,6 +55,51 @@ class HttpLaunchSourceSpec extends AnyFunSuite {
       plan.contains("PushedFilters") || plan.contains("LaunchScan"))
   }
 
+  test("maxPartitions groups pages into concurrent-fetch runs: same rows, " +
+    "same per-page URLs, bounded task count") {
+    FakeTransport.reset()
+    // 7 pages of 2 rows under a 3-partition cap → runs of 2/2/3 pages,
+    // each fetched through the reader's bounded pool
+    val n = 13
+    val ids = (0 until n).map(i => f"d$i%02d")
+    val urls = (0 until 7).map(p => s"$base?mode=list&limit=2&offset=${p * 2}")
+    for (p <- 0 until 7) {
+      val slice = ids.slice(p * 2, p * 2 + 2)
+        .map(id => launch(id, "2024-12-01T01:00:00Z"))
+      FakeTransport.register(urls(p), page(n, slice,
+        if (p < 6) Some(urls(p + 1)) else None))
+    }
+    val df = spark.read.format(fmt)
+      .option("url", base).option("pageSize", "2").option("transport", "fake")
+      .option("maxPartitions", "3").option("fetchConcurrency", "3")
+      .load()
+    // ONE action: rows + the partition they came from
+    val got = df.select(col("id"), spark_partition_id().as("pid")).collect()
+    assert(got.map(_.getString(0)).sorted.toSeq == ids)
+    assert(got.map(_.getInt(1)).distinct.sorted.toSeq == Seq(0, 1, 2))
+    // pages 1..6 fetched EXACTLY once each (readers do no duplicate work);
+    // page 0's URL may appear more than once — the planner probes it per
+    // (re)planning, but the probe body rides the partition so the READER
+    // never re-downloads it
+    val reqs = FakeTransport.requested.toArray(Array.empty[String])
+    assert(reqs.filterNot(_.endsWith("offset=0")).sorted.toSeq ==
+      urls.tail.sorted.toSeq)
+    assert(reqs.toSet == urls.toSet)
+    // a mid-run page failure surfaces the page's own exception
+    FakeTransport.reset()
+    for (p <- Seq(0, 1, 3, 4, 5, 6)) { // page 2 missing
+      val slice = ids.slice(p * 2, p * 2 + 2)
+        .map(id => launch(id, "2024-12-01T01:00:00Z"))
+      FakeTransport.register(urls(p), page(n, slice, None))
+    }
+    val failing = spark.read.format(fmt)
+      .option("url", base).option("pageSize", "2").option("transport", "fake")
+      .option("maxPartitions", "2").load()
+    val e = intercept[org.apache.spark.SparkException](failing.count())
+    assert(e.getMessage.contains("no fixture") ||
+      Option(e.getCause).exists(_.getMessage.contains("no fixture")))
+  }
+
   test("duplicate net conjuncts fold to the TIGHTEST bound, not the last one") {
     FakeTransport.reset()
     // Accepted pushed filters are never re-applied post-scan (DSv2 contract),
