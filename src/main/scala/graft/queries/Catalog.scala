@@ -2776,27 +2776,32 @@ object Catalog {
     * `keyedRowNumbers` two-pass, cap = 12 binds at every SF) → per-source
     * funnel report (raw → deduped → gated → final docs + final tokens).
     *
-    * Scale shape: one LangStats kernel pass lazily checkpointed (it feeds
-    * the threshold aggregate, the gate, and two stage counts); thresholds
-    * ride a broadcast; the cap ranks are the two-pass, never a per-source
-    * window; the funnel report is a join of source-bounded aggregates. */
+    * Scale shape: ONE corpus scan — md5 and the LangStats kernel ride the
+    * same projection and the keep-lowest-id rule is a min-of-struct per
+    * digest (x49's round-6 fusion; doc_id leads the struct, so `min`
+    * carries the kept row's payload — only 16-byte digests + small structs
+    * shuffle, with map-side partial min). The deduped scored set is lazily
+    * checkpointed (it feeds the threshold aggregate, the gate, and two
+    * stage counts); quality is computed AFTER the keep selection, on one
+    * row per digest; thresholds ride a broadcast; the cap ranks are the
+    * two-pass, never a per-source window; the funnel report is a join of
+    * source-bounded aggregates. */
   val x100 = Q("x100_training_pipeline",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
-      val scored = keep.join(
-          docs.select(col("doc_id"), col("source"),
-              graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
-            .select(col("doc_id"), col("source"),
-              element_at(col("st"), TextAnalysis.profiles.length + 1)
-                .cast("int").as("n_tokens"),
-              element_at(col("st"), 1).cast("int").as("en_hits"))
-            .where(col("n_tokens") > 0)
-            .select(col("doc_id"), col("source"),
-              col("n_tokens").cast("bigint").as("n_toks"),
-              expr(TextAnalysis.qualityScore("n_tokens", "en_hits"))
-                .as("quality")),
-          Seq("doc_id"))
+      val scored = docs
+        .select(md5(col("text")).as("h"), col("doc_id"), col("source"),
+          graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
+        .select(col("h"), struct(col("doc_id"), col("source"),
+          element_at(col("st"), TextAnalysis.profiles.length + 1)
+            .cast("int").as("n_tokens"),
+          element_at(col("st"), 1).cast("int").as("en_hits")).as("p"))
+        .groupBy("h").agg(min(col("p")).as("k"))
+        .where(col("k.n_tokens") > 0)
+        .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+          col("k.n_tokens").cast("bigint").as("n_toks"),
+          expr(TextAnalysis.qualityScore("k.n_tokens", "k.en_hits"))
+            .as("quality"))
         .localCheckpoint(false)
       val thr = TextAnalysis.discreteThreshold(scored, dropPermille = 300)
       val gated = scored.join(broadcast(thr), Seq("source"))
