@@ -2139,19 +2139,29 @@ object Catalog {
     * dedup at τ = 0.4, per-cell report. See [[Dedup.semanticDedup]] for the
     * scale contract (pair work Σ|cell|², never cross-cell; the cell-key
     * cardinality is the centroid count k, which the algorithm grows with
-    * the corpus — locally k = 8 over 2k vectors; at 100 TB the trained
-    * [[Similarity.kmeansCentroids]] path sets k ≈ n / target-cell-size). */
+    * the corpus; at 100 TB the trained [[Similarity.kmeansCentroids]]
+    * path sets k ≈ n / target-cell-size).
+    *
+    * Round 6: the query ITSELF now grows k — k = max(8, n/500), one slim
+    * count job, the oracle computing the identical floor division. At the
+    * correctness SFs (≤ 2k vectors) k = 8, bit-identical to the round-5
+    * fixed-k form; at sf1 the fixed k meant 2.5k-vector cells and 50M
+    * within-cell pairs (measured 34.8 s — the one genuine sf1 straggler),
+    * where the contract form keeps cells ≈ 500 at any corpus size. */
   val x83 = Q("x83_semantic_dedup",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb.where(col("vec_id") < 8)
+      val k = math.max(8L, emb.count() / 500)
+      val cents = emb.where(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       reportSortFused(Dedup.semanticDedup(emb, cents, 0.4), col("cell"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
            |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e
+           |  WHERE vec_id < (SELECT GREATEST(8, count(*) // 500)
+           |                  FROM embeddings)),
            |sc AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
            |    row_number() OVER (PARTITION BY e.vec_id
            |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS crn
