@@ -2154,7 +2154,16 @@ object Catalog {
       val k = math.max(8L, emb.count() / 500)
       val cents = emb.where(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      reportSortFused(Dedup.semanticDedup(emb, cents, 0.4), col("cell"))
+      // salt only as far as parallelism needs: cells × salts ≈ 2× cores
+      // (two task waves — enough spread to absorb cell-size skew) instead
+      // of a fixed 8× b-side replication; at k = 8 this reproduces the
+      // round-5 salts exactly, and in the corpus-scale regime (k ≥ 2×
+      // cores) replication drops out entirely (semanticDedup's documented
+      // knob — pairs meet exactly once at ANY saltParts, results identical;
+      // measured at sf1: salts 8 → 1 took 7.85 → 5.65 s)
+      val cores = s.sparkContext.defaultParallelism
+      val salts = math.max(1L, (2L * cores + k - 1) / k).toInt
+      reportSortFused(Dedup.semanticDedup(emb, cents, 0.4, salts), col("cell"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
