@@ -2823,8 +2823,11 @@ object Catalog {
             .as("quality"))
         .localCheckpoint(false)
       val thr = TextAnalysis.discreteThreshold(scored, dropPermille = 300)
-      val gated = scored.join(broadcast(thr), Seq("source"))
-        .where(col("quality") >= col("thr"))
+      // every scored source has a threshold (it was computed from scored),
+      // so the broadcast join preserves rows and ONE aggregate yields both
+      // the dedup and gate stage counts (conditional sum = the gate)
+      val joined = scored.join(broadcast(thr), Seq("source"))
+      val gated = joined.where(col("quality") >= col("thr"))
       val h = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) %
         lit(1000000007L)
       val capped = Relational.keyedRowNumbers(
@@ -2833,12 +2836,14 @@ object Catalog {
           Seq("source"), Seq(col("__h"), col("doc_id")))
         .where(col("__rn") <= 12)
       val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
-      val dd = scored.groupBy("source").agg(count(lit(1)).as("n_dedup"))
-      val gg = gated.groupBy("source").agg(count(lit(1)).as("n_gate"))
+      val ddgg = joined.groupBy("source").agg(
+        count(lit(1)).as("n_dedup"),
+        sum(when(col("quality") >= col("thr"), 1L).otherwise(0L))
+          .as("n_gate"))
       val fin = capped.groupBy("source")
         .agg(count(lit(1)).as("n_final"), sum(col("n_toks")).as("toks_final"))
       reportSort(raw
-        .join(dd, Seq("source"), "left").join(gg, Seq("source"), "left")
+        .join(ddgg, Seq("source"), "left")
         .join(fin, Seq("source"), "left")
         .select(col("source"), col("n_raw"),
           coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
