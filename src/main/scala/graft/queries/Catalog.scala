@@ -1467,7 +1467,18 @@ object Catalog {
     * (sequence + slice inside codegen) — no shuffle until the output sort;
     * the last chunk per doc may be short, never empty. */
   val x64 = Q("x64_doc_chunks",
+    // the range exchange comes FIRST, on the raw (doc_id, text) rows, for
+    // two measured reasons (sf1 profile): (a) an orderBy at the tail let
+    // AQE size the sort's read by compressed shuffle bytes — chunk strings
+    // compress so well the 536k-row output collapsed to TWO 0.5 s serial
+    // sort tasks (the x89 under-split lesson); (b) a tail range sort's
+    // SAMPLING pass re-runs the whole tokenize+explode plan. Ranging by
+    // doc_id up front samples raw rows only, tokenizes ONCE after the
+    // exchange, and the within-partition (doc_id, off) sort still yields
+    // the same global order (partitions are doc_id ranges).
     (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .where(col("n") > 0)
@@ -1477,7 +1488,7 @@ object Catalog {
         (least(col("off") + 29, col("n")) - col("off") + 1).cast("bigint")
           .as("n_chunk"),
         concat_ws(" ", slice(col("toks"), col("off"), lit(30))).as("chunk"))
-      .orderBy("doc_id", "off"),
+      .sortWithinPartitions("doc_id", "off"),
     Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")} AS toks
             |  FROM documents),
             |t2 AS (SELECT doc_id, toks, length(toks) AS n FROM t
