@@ -2482,7 +2482,10 @@ object Catalog {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ranked = t(s, d, "documents")
-        .select(explode(expr(Portable.tokens(SparkD, "text"))).as("token"))
+        // the one-pass AllTokens kernel, not the split+filter HOF chain —
+        // q13's route; same token multiset, ~2× on the corpus pass (sf1)
+        .select(explode(
+          graft.functions.TextHashFunctions.allTokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("n").desc, col("token"))))
