@@ -1793,18 +1793,26 @@ object Catalog {
 
   /** Debounce/throttle: keep only the FIRST event per (user, type) inside
     * each 10-minute tumbling window and count what was suppressed — the
-    * rate-limiting primitive upstream of alerting/feature pipelines. One
-    * partial-agg shuffle on (user, type, window); window index is exact
-    * integer division of epoch µs. The O(groups) output fuses final agg +
-    * total sort into one task (reportSortFused) — the map side keeps full
-    * parallelism behind the agg exchange. */
+    * rate-limiting primitive upstream of alerting/feature pipelines.
+    * Window index is exact integer division of epoch µs.
+    *
+    * The output is one row per (user, type, window) — TABLE-shaped, it
+    * grows with the data — so the tail is NOT a reportSortFused
+    * single-task merge (at sf1 that coalesced the final agg + sort of
+    * ~100k groups into one 1.4 s serial task, measured). Instead the
+    * input range-partitions by the group keys up front: the aggregation
+    * reuses the range clustering (no second exchange), the
+    * within-partition sort yields the same global order in parallel, and
+    * the range sampling sees only the raw scan projection. */
   val x74 = Q("x74_debounce",
-    (s, d) => reportSortFused(t(s, d, "events")
-        .withColumn("w", expr("unix_micros(ts) div 600000000"))
-        .groupBy("user_id", "event_type", "w")
-        .agg(min("event_id").as("first_event_id"),
-          (count(lit(1)) - 1).as("n_suppressed")),
-      col("user_id"), col("event_type"), col("w")),
+    (s, d) => t(s, d, "events")
+      .withColumn("w", expr("unix_micros(ts) div 600000000"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("user_id"), col("event_type"), col("w"))
+      .groupBy("user_id", "event_type", "w")
+      .agg(min("event_id").as("first_event_id"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      .sortWithinPartitions("user_id", "event_type", "w"),
     Some("""SELECT user_id, event_type,
            |  epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS w,
            |  min(event_id) AS first_event_id,
