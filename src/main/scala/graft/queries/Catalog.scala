@@ -1726,31 +1726,36 @@ object Catalog {
 
   /** Date-spine gap fill: per-user daily event counts with missing days
     * materialized as 0 over each user's own [min, max] date range — the
-    * resample step before any time-series feature build. The spine comes
-    * from a per-user sequence(explode) off a bounded aggregate, never a
-    * calendar cross join. */
+    * resample step before any time-series feature build. Days come from
+    * per-segment sequence(explode) between consecutive observations,
+    * never a calendar cross join. */
   val x72 = Q("x72_gapfill",
     (s, d) => {
-      // ONE data exchange (same co-partitioning as x62): hash-partition by
-      // user_id, aggregate daily counts exchange-free on that clustering,
-      // and MATERIALIZE the bounded O(users × days) aggregate (lazy
-      // localCheckpoint) — it feeds both the span/spine derivation and the
-      // left join, which otherwise each replan their own scan + exchange.
-      // The checkpoint preserves the partitioning, so the spine aggregate
-      // and the (user_id, d) join stay exchange-free too.
-      val daily = t(s, d, "events")
+      // x98's round-6 segment-explode shape, applied to gap fill: each
+      // consecutive-observation segment [d, next d) emits its own days via
+      // one lead window over OBSERVED days + sequence explode — no spine
+      // aggregate, no (user_id, d) join, no checkpoint. The input
+      // RANGE-partitions by user_id up front (sampling sees the raw
+      // projection) so the daily aggregate and the window reuse the one
+      // exchange, and the table-shaped output (O(users × days), grows
+      // with data) sorts in PARALLEL within user_id-ranged partitions —
+      // not the single-task report merge (the x74 sf1 lesson).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("d")
+      t(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("d"))
-        .repartition(col("user_id"))
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("user_id"))
         .groupBy("user_id", "d")
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(false)
-      val spine = daily.groupBy("user_id")
-        .agg(min("d").as("d0"), max("d").as("d1"))
-        .select(col("user_id"),
-          explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
-      reportSort(spine.join(daily, Seq("user_id", "d"), "left")
-        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n")),
-        col("user_id"), col("d"))
+        .withColumn("nd", lead(col("d"), 1).over(w))
+        .select(col("user_id"), col("d").as("pd"), col("n"),
+          explode(expr(
+            "sequence(d, coalesce(date_sub(nd, 1), d), interval 1 day)"))
+            .as("d"))
+        .select(col("user_id"), col("d"),
+          when(col("d") === col("pd"), col("n")).otherwise(lit(0L)).as("n"))
+        .sortWithinPartitions("user_id", "d")
     },
     Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
            |  FROM events GROUP BY 1, 2),
@@ -2706,11 +2711,17 @@ object Catalog {
       val seg = t(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("d"),
           expr("CAST(round(value, 4) AS DECIMAL(18,4))").as("v4"))
-        .repartition(col("user_id"))
+        // range, not hash: the daily agg and the lead window reuse the one
+        // exchange either way, but user_id-ranged partitions let the
+        // table-shaped output (O(users × days)) sort in PARALLEL within
+        // partitions instead of the single-task report merge (x74's sf1
+        // lesson), and the sampling sees only the raw projection
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("user_id"))
         .groupBy("user_id", "d").agg(sum(col("v4")).as("vd"))
         .withColumn("nd", lead(col("d"), 1).over(w))
         .withColumn("nv", lead(col("vd"), 1).over(w))
-      reportSort(seg
+      seg
         .select(col("user_id"), col("d").as("pd"), col("vd"), col("nd"),
           col("nv"),
           explode(expr(
@@ -2722,8 +2733,8 @@ object Catalog {
               "round(CAST(vd AS DOUBLE) + (CAST(nv AS DOUBLE) " +
                 "- CAST(vd AS DOUBLE)) * (CAST(datediff(d, pd) AS DOUBLE) " +
                 "/ CAST(datediff(nd, pd) AS DOUBLE)), 4)")).as("v"),
-          when(col("d") === col("pd"), 0L).otherwise(1L).as("interp")),
-        col("user_id"), col("d"))
+          when(col("d") === col("pd"), 0L).otherwise(1L).as("interp"))
+        .sortWithinPartitions("user_id", "d")
     },
     Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
            |    SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS vd

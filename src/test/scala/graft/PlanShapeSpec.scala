@@ -156,26 +156,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("x98 segment-explode shape: ONE data exchange, ONE window over " +
-    "observed days, and no join at all") {
-    // round 6 replaced the spine ⋈ daily + four-window build with a lead
-    // window over the daily aggregate + sequence explode — the repartition
-    // (user_id) is the only data exchange (groupBy and window both reuse
-    // it), the spine join is gone, and the report tail stays the bounded
-    // single-partition sort
-    val plan = planOf(Catalog.queries("x98_interpolate")(spark, sf0001))
-    assert("Exchange (range|hash)partitioning".r.findAllIn(plan).length == 1,
-      s"x98 must keep exactly the one user_id exchange:\n$plan")
-    assert(!plan.contains("Join"), s"x98's spine join should be gone:\n$plan")
-    assert("Window".r.findAllIn(plan).length == 1,
-      s"x98 should run exactly one Window (lead over observations):\n$plan")
-    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1,
-      s"x98's bounded report tail must be the single-partition sort:\n$plan")
+  test("x72/x98 segment-explode shape: ONE data exchange, ONE window over " +
+    "observed days, no join, and a PARALLEL table-shaped tail") {
+    // round 6 replaced the spine ⋈ daily (+ x98's four dense-day windows)
+    // with a lead window over the daily aggregate + per-segment sequence
+    // explode: the up-front repartitionByRange(user_id) is the only data
+    // exchange (aggregate and window both reuse it), and the table-shaped
+    // output (grows with the data) sorts WITHIN user_id-ranged partitions —
+    // never a single-task report merge (the x74 sf1 lesson)
+    for (name <- Seq("x72_gapfill", "x98_interpolate")) {
+      val plan = planOf(Catalog.queries(name)(spark, sf0001))
+      assert("Exchange (range|hash)partitioning".r.findAllIn(plan).length == 1,
+        s"$name must keep exactly the one user_id exchange:\n$plan")
+      assert(!plan.contains("Join"), s"$name's spine join should be gone:\n$plan")
+      assert("Window".r.findAllIn(plan).length == 1,
+        s"$name should run exactly one Window (lead over observations):\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name's table-shaped output must not merge to one task:\n$plan")
+    }
   }
 
   test("co-partitioned pipelines: the one data exchange lives in the " +
-    "checkpoint job; the query plan itself is exchange-free (x62/x72)") {
-    for (name <- Seq("x62_funnel", "x72_gapfill")) {
+    "checkpoint job; the query plan itself is exchange-free (x62)") {
+    for (name <- Seq("x62_funnel")) {
       val plan = planOf(Catalog.queries(name)(spark, sf0001))
       // the repartition(user_id) ran once inside the localCheckpoint
       // materialization; every consumer reads the partitioning-preserving
