@@ -2488,13 +2488,19 @@ object Catalog {
     * from EXACT decimal sums of the 6-decimal log terms — closed-form
     * least squares, not `regr_slope`, whose double accumulation is
     * partition-order-dependent — with the final quotient in identical
-    * double arithmetic on both engines. The ranked table is checkpointed
-    * once for the slope aggregate and the output rows (vocab-bounded
-    * state; re-deriving it would re-scan the corpus). */
+    * double arithmetic on both engines. The slope's corpus-wide sums run
+    * as UNBOUNDED-frame window aggregates over the SAME single partition
+    * the rank window already established (vocab-bounded state, report
+    * class) — one job end-to-end, no checkpoint, no second scan, no
+    * crossJoin (was: checkpoint + slope aggregate + broadcast join; the
+    * fusion removes one job and the checkpoint materialization; wall time
+    * unchanged at sf1 — the corpus scan stage dominates — but the
+    * single-job shape is the scale posture and the decimal window sums
+    * stay order-exact). */
   val x93 = Q("x93_zipf_spectrum",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ranked = t(s, d, "documents")
+      t(s, d, "documents")
         // the one-pass AllTokens kernel, not the split+filter HOF chain —
         // q13's route; same token multiset, ~2× on the corpus pass (sf1)
         .select(explode(
@@ -2506,17 +2512,18 @@ object Catalog {
           "CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))"))
         .withColumn("ly", expr(
           "CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))"))
-        .localCheckpoint(false)
-      val slope = ranked.agg(count(lit(1)).as("cn"),
-          sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
-          sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"))
-        .select(expr(
+        // corpus-wide sums as unbounded windows on the same 1-partition
+        // clustering the rank window pinned — no extra exchange
+        .withColumn("cn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("sx", sum(col("lx")).over(Window.partitionBy()))
+        .withColumn("sy", sum(col("ly")).over(Window.partitionBy()))
+        .withColumn("sxy", sum(expr("lx * ly")).over(Window.partitionBy()))
+        .withColumn("sxx", sum(expr("lx * lx")).over(Window.partitionBy()))
+        .withColumn("zipf_slope", expr(
           "round((CAST(cn AS DOUBLE) * CAST(sxy AS DOUBLE) " +
             "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
             "(CAST(cn AS DOUBLE) * CAST(sxx AS DOUBLE) " +
-            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)")
-          .as("zipf_slope"))
-      ranked.crossJoin(broadcast(slope))
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)"))
         .select(col("rank"), col("token"), col("n"), col("zipf_slope"))
         .orderBy("rank").limit(30)
     },
