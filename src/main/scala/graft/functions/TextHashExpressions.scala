@@ -297,12 +297,24 @@ object TokenHasher {
 
   /** All tokens as strings, one pass, with multiplicity — the
     * `filter(split(text,' '), t -> t <> '')` fragment without the
-    * per-token HOF lambda (q13-class term counting). */
+    * per-token HOF lambda (q13-class term counting). Byte-level: the
+    * delimiter 0x20 never occurs inside a UTF-8 multibyte sequence, so
+    * splitting on raw bytes is exact, and `UTF8String.fromBytes(b, off,
+    * len)` is a zero-copy VIEW — the whole pass does no String
+    * decode/encode at all (the String round-trip was ~40% of the q13
+    * corpus stage at sf1). */
   def allTokens(u: UTF8String): ArrayData = {
-    val s = u.toString
+    val b = u.getBytes
+    val n = b.length
     val out = new java.util.ArrayList[AnyRef]()
-    foreachToken(s) { (from, until) =>
-      out.add(UTF8String.fromString(s.substring(from, until)))
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        if (i > start) out.add(UTF8String.fromBytes(b, start, i - start))
+        start = i + 1
+      }
+      i += 1
     }
     new GenericArrayData(out.toArray)
   }
