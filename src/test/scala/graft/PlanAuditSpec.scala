@@ -26,8 +26,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "x90_bm25" -> "crossJoin with a broadcast 1-row corpus-stats aggregate",
     "x91_pmi_collocations" ->
       "crossJoins with broadcast 1-row unigram/bigram grand totals",
-    "x93_zipf_spectrum" ->
-      "crossJoin with the broadcast 1-row slope aggregate",
     "x95_hybrid_search" -> ("crossJoins with the broadcast 1-row query " +
       "vector, max-score row, and the inner bm25 stats row"))
 
@@ -77,9 +75,6 @@ class PlanAuditSpec extends AnyFunSuite {
       "table feeds both join sides and both grand totals; one lazy " +
       "localCheckpoint replaces re-running the corpus explode per " +
       "consumer"),
-    "x93_zipf_spectrum" -> ("the vocabulary-bounded ranked count table " +
-      "feeds the slope aggregate and the output rows; one lazy " +
-      "localCheckpoint replaces a second corpus explode scan"),
     "x95_hybrid_search" -> ("inherits x90's checkpointed (doc_id, dl, " +
       "tf…) projection inside the bm25 stage"),
     "x96_quality_gate" -> ("the scored (doc_id, source, quality) " +
