@@ -166,6 +166,35 @@ class KernelParitySpec extends AnyFunSuite {
     assert(declAll.exceptAll(kernAll).count() == 0)
   }
 
+  test("AllTokens byte-split ≡ declarative split on multibyte UTF-8 " +
+    "(0x20 never occurs inside a multibyte sequence)") {
+    // the kernel splits raw UTF-8 bytes on 0x20; these cases pin that 2-,
+    // 3- and 4-byte sequences, combining marks, NBSP (U+00A0 — not a
+    // delimiter), tabs/newlines (also not delimiters), and empty /
+    // all-space strings all agree with the String-level split semantics
+    import spark.implicits._
+    val texts = Seq(
+      "héllo wörld",                       // 2-byte sequences
+      "日本語 の テスト",                   // 3-byte CJK with spaces
+      "emoji 😀😀 run 🎉",                  // 4-byte surrogate-pair emoji
+      "café combining",              // combining acute on 'e'
+      "nbsp joined stays one",        // NBSP must NOT split
+      "  leading and  double  spaces ",
+      "tab\tand\nnewline stay in-token",
+      "",
+      "   ",
+      "mixed ascii 中文 and ひらがな 😀 end")
+      .toDF("text")
+    val decl = texts.select(
+      explode(expr(Portable.tokens(SparkD, "text"))).as("tok"))
+    val kern = texts.select(
+      explode(TextHashFunctions.allTokens(col("text"))).as("tok"))
+    assert(kern.exceptAll(decl).count() == 0)
+    assert(decl.exceptAll(kern).count() == 0)
+    // and the token count matches exactly (multiplicity-sensitive)
+    assert(kern.count() == decl.count())
+  }
+
   test("PairBuckets kernel ≡ tokHash of materialized bigram strings mod B") {
     // the kernel hashes the VIRTUAL "w1 w2" concatenation; the oracle
     // hashes the materialized string — array equality (order AND
