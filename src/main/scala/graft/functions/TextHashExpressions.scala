@@ -319,6 +319,26 @@ object TokenHasher {
     new GenericArrayData(out.toArray)
   }
 
+  /** Token COUNT without materializing anything — the
+    * `size(filter(split(text,' '), t -> t <> ''))` value as one byte scan
+    * (counts maximal runs of non-0x20 bytes; exact for UTF-8 since the
+    * delimiter never occurs inside a multibyte sequence). The n_tokens
+    * input of packing/length-bucketing queries (x79-class), where even the
+    * zero-copy token-view array is pure overhead. */
+  def tokenCount(u: UTF8String): Long = {
+    val b = u.getBytes
+    val n = b.length
+    var cnt = 0L
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      if (b(i) == ' ') inTok = false
+      else if (!inTok) { cnt += 1; inTok = true }
+      i += 1
+    }
+    cnt
+  }
+
   /** Distinct tokens as strings, one pass, first-appearance order —
     * `array_distinct(tokens)` without materializing the full token array
     * (the document-frequency input of x39/x47-class queries). */
@@ -349,6 +369,7 @@ object TextHashFunctions {
   def winnowSet(c: Column, k: Int, w: Int): Column =
     B.column(WinnowSet(B.expression(c), k, w))
   def allTokens(c: Column): Column = B.column(AllTokens(B.expression(c)))
+  def tokenCount(c: Column): Column = B.column(TokenCount(B.expression(c)))
   def shinglePrefix(c: Column,
                     dfMap: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
                     tEff: Double): Column =
@@ -450,6 +471,17 @@ case class AllTokens(child: Expression) extends TextHashExpression {
   override def nullSafeEval(input: Any): Any =
     TokenHasher.allTokens(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): AllTokens =
+    copy(child = newChild)
+}
+
+/** Token count as a long — one byte scan, no array. */
+case class TokenCount(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_count"
+  protected def kernel: String = "tokenCount"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
     copy(child = newChild)
 }
 

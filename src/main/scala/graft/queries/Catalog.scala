@@ -1955,7 +1955,11 @@ object Catalog {
     (s, d) => {
       val nTok = t(s, d, "documents")
         .select(col("doc_id"),
-          size(expr(Portable.tokens(SparkD, "text"))).cast("bigint")
+          // TokenCount kernel: one byte scan, no array — the running-total
+          // two-pass evaluates this scan TWICE (block stats + final), so
+          // the per-row tokenize cost is paid double; the HOF
+          // split+filter form measured 2×0.3 s of x79's 1.17 s at sf1
+          graft.functions.TextHashFunctions.tokenCount(col("text"))
             .as("n_tokens"))
       // parallel range sort on the tail, NOT reportSortFused: the bin count
       // is O(corpus_tokens / 512) — it grows with the input, so the

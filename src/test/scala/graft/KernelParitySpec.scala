@@ -193,6 +193,12 @@ class KernelParitySpec extends AnyFunSuite {
     assert(decl.exceptAll(kern).count() == 0)
     // and the token count matches exactly (multiplicity-sensitive)
     assert(kern.count() == decl.count())
+    // TokenCount kernel ≡ size(declarative tokens), same cases + corpus
+    val cntMismatch = texts.union(docs.select("text"))
+      .select(TextHashFunctions.tokenCount(col("text")).as("k"),
+        size(expr(Portable.tokens(SparkD, "text"))).cast("bigint").as("d"))
+      .where(col("k") =!= col("d")).count()
+    assert(cntMismatch == 0)
   }
 
   test("PairBuckets kernel ≡ tokHash of materialized bigram strings mod B") {
