@@ -36,6 +36,27 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
   }
 
+  /** Bounded top-k AGGREGATE (round 6): the k smallest (`smallestK`) /
+    * largest (`largestK`) values of `c` per group as a sorted array —
+    * Spark's `CollectTopK` bounded priority queue, surfaced through the
+    * bridge. This is the scale-correct small-k selection shape:
+    * partial-agg friendly with per-group state capped at k elements
+    * REGARDLESS of group size — where a `PARTITION BY key` ranking window
+    * sorts every group member through one task (the x51 hot-key trap) and
+    * the [[keyedRowNumbers]] two-pass pays a full range sort + offset
+    * recovery, a k≪group selection (per-source caps, exemplar picks) needs
+    * neither: map-side heaps shrink each partition's contribution to ≤ k
+    * rows before the exchange, so only O(groups·k) structs ever shuffle.
+    * NULL inputs are ignored (Collect semantics) — `when(cond, v)` doubles
+    * as a pre-aggregation filter. Use a struct child with a unique trailing
+    * tie-break field for deterministic selection. */
+  def smallestK(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.collectTopK(c, k, reverse = true)
+
+  /** See [[smallestK]]; keeps the k largest, descending output order. */
+  def largestK(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.collectTopK(c, k, reverse = false)
+
   /** Rows of `left` with no key match in `right` (E2). Planned as a
     * left-anti join — broadcastable when `right` is a dim table. */
   def antiJoinKeys(left: DataFrame, right: DataFrame,

@@ -2835,20 +2835,22 @@ object Catalog {
     * DISCRETE-percentile quality gate computed on the DEDUPED population
     * (x96's exact-integer-rank rule — stage order matters and is the
     * declared semantics) → per-source caps by the deterministic Knuth draw
-    * over the GATED population (x92's rule via the scale-safe
-    * `keyedRowNumbers` two-pass, cap = 12 binds at every SF) → per-source
-    * funnel report (raw → deduped → gated → final docs + final tokens).
+    * over the GATED population (x92's rule, cap = 12 binds at every SF) →
+    * per-source funnel report (raw → deduped → gated → final docs + final
+    * tokens).
     *
     * Scale shape: ONE corpus scan — md5 and the LangStats kernel ride the
     * same projection and the keep-lowest-id rule is a min-of-struct per
     * digest (x49's round-6 fusion; doc_id leads the struct, so `min`
     * carries the kept row's payload — only 16-byte digests + small structs
     * shuffle, with map-side partial min). The deduped scored set is lazily
-    * checkpointed (it feeds the threshold aggregate, the gate, and two
-    * stage counts); quality is computed AFTER the keep selection, on one
-    * row per digest; thresholds ride a broadcast; the cap ranks are the
-    * two-pass, never a per-source window; the funnel report is a join of
-    * source-bounded aggregates. */
+    * checkpointed (it feeds the threshold aggregate and the funnel
+    * aggregate); quality is computed AFTER the keep selection, on one row
+    * per digest; thresholds ride a broadcast; the cap selection is a
+    * bounded top-12 heap INSIDE the funnel aggregate
+    * ([[Relational.smallestK]] — k≪group needs neither a per-source window
+    * nor the two-pass's full ranks; per-group state is 12 structs at any
+    * source size); the report is one join of source-bounded aggregates. */
   val x100 = Q("x100_training_pipeline",
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -2868,27 +2870,36 @@ object Catalog {
         .localCheckpoint(false)
       val thr = TextAnalysis.discreteThreshold(scored, dropPermille = 300)
       // every scored source has a threshold (it was computed from scored),
-      // so the broadcast join preserves rows and ONE aggregate yields both
-      // the dedup and gate stage counts (conditional sum = the gate)
-      val joined = scored.join(broadcast(thr), Seq("source"))
-      val gated = joined.where(col("quality") >= col("thr"))
+      // so the broadcast join preserves rows and ONE aggregate yields the
+      // dedup count, the gate count (conditional sum) AND the capped final
+      // selection: the bounded top-12 heap (Relational.smallestK — round-6
+      // continuation) keeps the smallest (knuth hash, doc_id) draws among
+      // GATED rows only (the when() child is NULL below threshold and
+      // Collect ignores nulls), with n_toks riding as payload. The
+      // keyedRowNumbers range sort, its route-probe job and the two
+      // downstream report joins are gone — per-group aggregation state is
+      // 12 structs regardless of source size, and only O(sources·12)
+      // structs survive the partial agg (x51/x87/x92 still exercise the
+      // two-pass, whose full ranks a k≪group selection doesn't need).
       val h = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) %
         lit(1000000007L)
-      val capped = Relational.keyedRowNumbers(
-          gated.select(col("doc_id"), col("source"), col("n_toks"))
-            .withColumn("__h", h),
-          Seq("source"), Seq(col("__h"), col("doc_id")))
-        .where(col("__rn") <= 12)
+      val ddgf = scored.join(broadcast(thr), Seq("source"))
+        .withColumn("__h", h)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_dedup"),
+          sum(when(col("quality") >= col("thr"), 1L).otherwise(0L))
+            .as("n_gate"),
+          Relational.smallestK(
+            when(col("quality") >= col("thr"),
+              struct(col("__h"), col("doc_id"), col("n_toks"))), 12)
+            .as("__top"))
+        .select(col("source"), col("n_dedup"), col("n_gate"),
+          size(col("__top")).cast("bigint").as("n_final"),
+          coalesce(expr("aggregate(__top, 0L, (a, x) -> a + x.n_toks)"),
+            lit(0L)).as("toks_final"))
       val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
-      val ddgg = joined.groupBy("source").agg(
-        count(lit(1)).as("n_dedup"),
-        sum(when(col("quality") >= col("thr"), 1L).otherwise(0L))
-          .as("n_gate"))
-      val fin = capped.groupBy("source")
-        .agg(count(lit(1)).as("n_final"), sum(col("n_toks")).as("toks_final"))
       reportSort(raw
-        .join(ddgg, Seq("source"), "left")
-        .join(fin, Seq("source"), "left")
+        .join(ddgf, Seq("source"), "left")
         .select(col("source"), col("n_raw"),
           coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
           coalesce(col("n_gate"), lit(0L)).as("n_gate"),
@@ -2931,6 +2942,62 @@ object Catalog {
             |ORDER BY 1""".stripMargin),
     bench = false)
 
+  /** Bounded top-k exemplar selection per group — the curation step that
+    * surfaces each source's k best documents (few-shot exemplar picks,
+    * quality audits, per-dump spot-check samples) without ranking the
+    * whole group: one LangStats kernel pass scores quality (x24's
+    * formula), then ONE aggregation per source keeps the top 3 by
+    * (quality DESC, doc_id ASC) in a bounded heap
+    * ([[Relational.largestK]], round-6 continuation). Scale shape: a
+    * `PARTITION BY source` ranking window sorts every group member
+    * through one task (the x51 hot-key trap) and the `keyedRowNumbers`
+    * two-pass pays a full range sort + offset recovery — a k≪group
+    * selection needs neither; per-group aggregation state is k structs at
+    * ANY source size and only O(sources·k) structs survive the map-side
+    * partial heaps. The asc doc_id tiebreak inverts inside the max-heap
+    * as −doc_id; posexplode of the (descending-sorted) heap array IS the
+    * rank — no window anywhere in the plan. */
+  val x101 = Q("x101_topk_exemplars",
+    (s, d) => {
+      val q = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
+        .select(col("doc_id"), col("source"),
+          element_at(col("st"), TextAnalysis.profiles.length + 1)
+            .cast("int").as("n_tokens"),
+          element_at(col("st"), 1).cast("int").as("en_hits"))
+        .where(col("n_tokens") > 0)
+        .select(col("source"), col("doc_id"),
+          expr(TextAnalysis.qualityScore("n_tokens", "en_hits"))
+            .as("quality"))
+      reportSortFused(
+        q.groupBy("source")
+          .agg(Relational.largestK(
+            struct(col("quality"), (-col("doc_id")).as("nid"),
+              col("doc_id")), 3).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).as("rk"),
+            col("col.doc_id").as("doc_id"),
+            col("col.quality").as("quality")),
+        col("source"), col("rk"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, source,
+            |    ${Portable.tokens(DuckD, "text")} AS toks FROM documents),
+            |c AS (SELECT doc_id, source,
+            |    CAST(length(toks) AS BIGINT) AS n_tokens,
+            |    ${TextAnalysis.langCount(DuckD, "toks", "en")} AS en_hits
+            |  FROM t0),
+            |q AS (SELECT source, doc_id,
+            |    ${TextAnalysis.qualityScore("n_tokens", "en_hits")}
+            |      AS quality
+            |  FROM c WHERE n_tokens > 0),
+            |r AS (SELECT source, doc_id, quality, row_number() OVER (
+            |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+            |  FROM q)
+            |SELECT source, rk, doc_id, quality FROM r WHERE rk <= 3
+            |ORDER BY source, rk""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -2950,7 +3017,7 @@ object Catalog {
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
-    x92, x93, x94, x95, x96, x97, x98, x99, x100)
+    x92, x93, x94, x95, x96, x97, x98, x99, x100, x101)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -123,7 +123,8 @@ class CatalogSpec extends AnyFunSuite {
     "x99_canonical_docs" -> Seq("cluster", "n_docs", "canon_id",
       "canon_quality"),
     "x100_training_pipeline" -> Seq("source", "n_raw", "n_dedup", "n_gate",
-      "n_final", "toks_final"))
+      "n_final", "toks_final"),
+    "x101_topk_exemplars" -> Seq("source", "rk", "doc_id", "quality"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -1049,4 +1049,53 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Relational.groupCaps(docs, "source", "doc_id", cap = -1))
   }
+
+  test("smallestK/largestK: bounded top-k aggregate semantics") {
+    val df = Seq(5L, 3L, 9L, 1L, 7L).toDF("v")
+    val small = df.agg(Relational.smallestK(col("v"), 3).as("t"))
+      .head.getSeq[Long](0)
+    assert(small == Seq(1L, 3L, 5L), s"smallestK ascending: $small")
+    val large = df.agg(Relational.largestK(col("v"), 3).as("t"))
+      .head.getSeq[Long](0)
+    assert(large == Seq(9L, 7L, 5L), s"largestK descending: $large")
+    // group smaller than k -> every member, still sorted
+    val all = df.agg(Relational.smallestK(col("v"), 10).as("t"))
+      .head.getSeq[Long](0)
+    assert(all == Seq(1L, 3L, 5L, 7L, 9L))
+    // NULL children are ignored (Collect semantics): when() is a filter
+    val gated = df.agg(Relational.smallestK(
+        when(col("v") > 3L, col("v")), 2).as("t"))
+      .head.getSeq[Long](0)
+    assert(gated == Seq(5L, 7L))
+  }
+
+  test("smallestK: struct selection matches the ranking window at any partitioning") {
+    // 3 groups x 200 rows, selection key = (knuth hash, id) like the cap
+    // draw; payload rides in the struct's tail and never affects selection
+    val rows = for (g <- Seq("a", "b", "c"); i <- 0L until 200L) yield
+      (g, i * 3 + g.hashCode.abs % 3, (i % 17) + 1)
+    val df = rows.toDF("g", "id", "toks")
+      .withColumn("h", (col("id") * 2654435761L) % 1000000007L)
+    def viaHeap(parts: Int) = df.repartition(parts)
+      .groupBy("g")
+      .agg(Relational.smallestK(
+        struct(col("h"), col("id"), col("toks")), 12).as("top"))
+      .select(col("g"), expr("transform(top, x -> x.id)").as("ids"),
+        expr("aggregate(top, 0L, (a, x) -> a + x.toks)").as("tok_sum"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq
+    val viaWindow = Relational.topKPerGroup(
+        df, Seq("g"), Seq(col("h"), col("id")), 12)
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("rn"), col("id")))).as("o"),
+        sum("toks").as("tok_sum"))
+      .select(col("g"), expr("transform(o, x -> x.id)").as("ids"),
+        col("tok_sum"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq
+    assert(viaHeap(1) == viaWindow)
+    assert(viaHeap(13) == viaWindow) // partial-merge across partitions
+  }
 }

@@ -89,9 +89,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "ExistingRDD-backed local table, or the distributed tier's " +
       "per-round checkpoints)"),
     "x100_training_pipeline" -> ("the scored dedup-survivor projection " +
-      "feeds the threshold aggregate, the gate and two stage counts (one " +
-      "lazy localCheckpoint, x96's rationale) + keyedRowNumbers' " +
-      "checkpoint for the cap ranks"))
+      "feeds the threshold aggregate and the funnel aggregate (one lazy " +
+      "localCheckpoint, x96's rationale); the cap is a bounded top-12 " +
+      "heap inside the funnel aggregate, no second pass"))
 
   for (q <- Catalog.all if q.name != "q08_roundtrip") {
     test(s"${q.name}: no unexpected cartesian/NLJ, no RDD fallback") {
