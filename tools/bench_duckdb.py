@@ -61,7 +61,8 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (91, "pmi_collocations"), (92, "domain_caps"), (93, "zipf_spectrum"),
     (94, "centroid_outliers"), (95, "hybrid_search"), (96, "quality_gate"),
     (97, "source_overlap"), (98, "interpolate"),
-    (99, "canonical_docs"), (100, "training_pipeline")]]
+    (99, "canonical_docs"), (100, "training_pipeline"),
+    (101, "topk_exemplars")]]
 
 
 # queries declared WITHOUT an oracle by design (rows-only checks) — the only
