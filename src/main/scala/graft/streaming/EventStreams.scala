@@ -230,6 +230,53 @@ object EventStreams {
       .drop("thr")
   }
 
+  final case class ScoredDoc(source: String, doc_id: Long, quality: Double)
+
+  final case class Exemplars(source: String, doc_ids: Seq[Long],
+                             qualities: Seq[Double])
+
+  /** Streaming bounded top-k exemplars per source — the online face of
+    * x101 / [[graft.operators.Relational.largestK]]: each micro-batch
+    * re-emits, for every source that received documents, its current k
+    * best (quality DESC, doc_id ASC) documents seen SO FAR. State per
+    * source is exactly the k kept (quality, doc_id) pairs — bounded by
+    * construction, which is why this uses NoTimeout rather than a
+    * watermark: there is nothing growing to evict (the same reason the
+    * batch aggregate's heap is scale-safe). Each batch's candidates merge
+    * with the stored pairs under the identical (quality, −doc_id) order
+    * the batch aggregate uses, deduplicated by pair first — so an
+    * at-least-once redelivery of a document merges idempotently instead
+    * of occupying two of the k slots. Update output mode (the result row
+    * REPLACES the source's previous row downstream). */
+  def streamingTopExemplars(docs: DataFrame, k: Int = 3,
+                            textCol: String = "text"): Dataset[Exemplars] = {
+    import graft.functions.{TextAnalysis, TextHashFunctions}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val scored = docs
+      .withColumn("__st", TextHashFunctions.langStats(col(textCol)))
+      .withColumn("__n",
+        element_at(col("__st"), TextAnalysis.profiles.length + 1).cast("int"))
+      .withColumn("__en", element_at(col("__st"), 1).cast("int"))
+      .where(col("__n") > 0)
+      .select(col("source"), col("doc_id"),
+        expr(TextAnalysis.qualityScore("__n", "__en")).as("quality"))
+      .as[ScoredDoc]
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    scored.groupByKey(_.source)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[ScoredDoc],
+         state: GroupState[Seq[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+              batch.map(d => (d.quality, d.doc_id)))
+            .distinct.sortWith(better).take(k)
+          state.update(merged)
+          Exemplars(source, merged.map(_._2), merged.map(_._1))
+      }
+  }
+
   /** Watermarked stream-stream interval join — the streaming face of the
     * batch range join (x50 / [[graft.operators.Relational.rangeJoin]]):
     * each purchase joined to the same user's error events from the

@@ -510,4 +510,55 @@ class EventStreamsSpec extends AnyFunSuite {
         Seq("id", "url", "name", "status", "image_url", "license", "net"))
     } finally q.stop()
   }
+
+  test("streaming top-k exemplars track the batch largestK after each " +
+    "micro-batch; redelivery merges idempotently") {
+    import graft.functions.TextAnalysis
+    import graft.operators.Relational
+    // quality(doc(i)) strictly increases with i (i stopword hits out of a
+    // fixed 12 tokens — the OperatorsSpec construction)
+    def doc(i: Int) = ((1 to i).map(_ => "the") ++
+      (1 to (12 - i)).map(j => s"w$j")).mkString(" ")
+    val b1 = Seq((1L, "sA", doc(2)), (2L, "sA", doc(5)), (3L, "sB", doc(4)))
+    // batch 2: a better sA doc, a REDELIVERY of doc 2, a worse sB doc
+    val b2 = Seq((4L, "sA", doc(9)), (2L, "sA", doc(5)), (5L, "sB", doc(1)))
+    def expected(docs: Seq[(Long, String, String)]) = {
+      val df = docs.distinct.toDF("doc_id", "source", "text")
+      val sc = TextAnalysis.quality(df.select(col("doc_id"), col("text")))
+        .join(df.select(col("doc_id"), col("source")), "doc_id")
+      sc.groupBy("source").agg(Relational.largestK(
+          struct(col("quality"), (-col("doc_id")).as("nid"),
+            col("doc_id")), 2).as("top"))
+        .collect().map { r =>
+          val top = r.getSeq[org.apache.spark.sql.Row](1)
+          r.getString(0) -> ((top.map(_.getLong(2)), top.map(_.getDouble(0))))
+        }.toMap
+    }
+    val dir = Files.createTempDirectory("graft_stopk").toString
+    b1.toDF("doc_id", "source", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "source", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingTopExemplars(src, k = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stopk").start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("stopk").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Double](2)))
+        .toSeq
+      val after1 = rows()
+      assert(after1.map(t => t._1 -> ((t._2, t._3))).toMap == expected(b1))
+      b2.toDF("doc_id", "source", "text").coalesce(1)
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val newRows = rows().drop(after1.size)
+      // both sources received batch-2 docs, so both re-emit; the merged
+      // state equals the batch top-k over the DEDUPLICATED union — doc 2's
+      // redelivery must not occupy two of sA's k slots
+      assert(newRows.map(t => t._1 -> ((t._2, t._3))).toMap ==
+        expected(b1 ++ b2))
+    } finally q.stop()
+  }
 }

@@ -156,6 +156,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x101 bounded top-k: heap aggregate, no window, no sort over data") {
+    // the whole point of the largestK tier: per-group k-selection WITHOUT
+    // ranking machinery — the plan must carry the object-hash aggregate
+    // (CollectTopK is a TypedImperativeAggregate) in partial+final form
+    // and NO Window or per-group sort anywhere
+    val plan = planOf(Catalog.queries("x101_topk_exemplars")(spark, sf0001))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"x101 lost the heap aggregate:\n$plan")
+    assert(plan.contains("collect_top_k") || plan.contains("CollectTopK"),
+      s"x101 lost collect_top_k:\n$plan")
+    assert(!plan.contains("Window"), s"x101 must not plan a window:\n$plan")
+    val dataExchanges = "Exchange (range|hash)partitioning".r
+      .findAllIn(plan).length
+    assert(dataExchanges == 1,
+      s"x101 must shuffle exactly once — the partial-heap exchange " +
+        s"(found $dataExchanges):\n$plan")
+  }
+
   test("x72/x98 segment-explode shape: ONE data exchange, ONE window over " +
     "observed days, no join, and a PARALLEL table-shaped tail") {
     // round 6 replaced the spine ⋈ daily (+ x98's four dense-day windows)
