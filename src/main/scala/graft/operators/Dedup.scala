@@ -532,13 +532,30 @@ object Dedup {
 
   def passageDedup(docs: DataFrame, chunkTokens: Int = 30,
                    textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("h").orderBy("doc_id", "off")
-    passageChunks(docs, chunkTokens, textCol)
-      .withColumn("rn", row_number().over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"))
+    // Keep-first as ONE min-of-struct aggregate per digest (x49/x99's
+    // move; round-6 continuation — replaced a per-h ranking window): the
+    // h exchange now carries one (digest, min-struct) row per distinct
+    // digest per map partition (partial agg), never every chunk, and
+    // nothing sorts. A doc's dupe count is then recovered WITHOUT joining
+    // the chunks back: n_dupes(doc) = n_chunks(doc) − #digests whose
+    // first occurrence lies in doc, and n_chunks is closed-form from the
+    // token count (offsets step by chunkTokens), via the one-byte-scan
+    // TokenCount kernel — no second tokenize, no explode on that side.
+    val perDoc = docs
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.tokenCount(col(textCol)).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"),
+        expr(s"CAST((n + ${chunkTokens - 1}) div $chunkTokens AS BIGINT)")
+          .as("n_chunks"))
+    val firstsPerDoc = passageChunks(docs, chunkTokens, textCol)
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("off"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    perDoc.join(firstsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dupes"))
   }
 
   /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap
