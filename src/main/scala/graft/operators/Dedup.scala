@@ -392,8 +392,20 @@ object Dedup {
     * ([[Similarity.cellsRanked]]); the cell table feeds three consumers
     * (both pair sides and the size report), so it is lazily checkpointed
     * once instead of re-running the assignment window per consumer. */
+  /** [[semanticDedup]] per-cell kernel-route cap (rows in the LARGEST
+    * cell): a cell's vectors are buffered in one task's memory on that
+    * route (65536 × 64-dim doubles ≈ 32 MB); bigger cells keep the
+    * spill-safe salted pair join. Under the SemDeDup k-growth contract
+    * cell size is roughly constant, so real corpora stay far under it. */
+  val MaxKernelCellRows: Int = 1 << 16
+
+  /** Test-only observability: which pair route the most recent
+    * [[semanticDedup]] call on this JVM took ("kernel" | "join"). */
+  @volatile private[graft] var lastSemanticRoute: String = ""
+
   def semanticDedup(emb: DataFrame, cents: DataFrame, threshold: Double,
-                    saltParts: Int = 8): DataFrame = {
+                    saltParts: Int = 8,
+                    maxKernelCell: Int = MaxKernelCellRows): DataFrame = {
     require(saltParts > 0, s"saltParts must be positive, got $saltParts")
     // Cell assignment is the size-gated kernel/window route shared with
     // the IVF tier ([[Similarity.cellsRankedAuto]] at p = 1): under the
@@ -415,6 +427,22 @@ object Dedup {
         col("cid").as("cell"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
       .localCheckpoint(false)
+    // Route on the LARGEST cell (one slim aggregate over the checkpointed
+    // cell table — the connectedComponentsAuto/boundedRows probe pattern).
+    // The declarative pair join materializes |cell|²/2 join rows each
+    // carrying TWO d-dim double arrays — at sf1 that row copying, not the
+    // dot arithmetic, was 7 of the query's 8 seconds. Within the cell-size
+    // contract the per-cell kernel below scores the same pairs in a tight
+    // primitive loop with zero pair-row materialization; oversized cells
+    // keep the spill-safe salted join.
+    val maxCell = Option(cells.groupBy("cell").agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head.get(0)).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
+    if (maxCell <= maxKernelCell) {
+      lastSemanticRoute = "kernel"
+      return semanticDedupKernel(cells, threshold)
+    }
+    lastSemanticRoute = "join"
     // Salted pair join: colocating by cell alone caps parallelism at k
     // cells — fine at corpus scale (k ≥ cores by construction), a 3-task
     // bottleneck locally where k = 8 < 32. The b side is replicated
@@ -449,6 +477,57 @@ object Dedup {
         countDistinct(col("b_id")).as("n_dropped"))
       .select(col("cell"), col("n_vectors"), col("n_dropped"),
         (col("n_vectors") - col("n_dropped")).as("n_kept"))
+  }
+
+  /** [[semanticDedup]]'s within-cell pair scoring as a per-cell primitive
+    * loop — the documented tier-(d) imperative case
+    * ([[embeddingNearDupPairs]]'s rationale, SURVEY.md §2.10): the
+    * declarative join expresses "every within-cell pair" only by
+    * MATERIALIZING every pair as a row carrying both d-dim arrays; this
+    * route buffers one cell per task (bounded by the route gate + the
+    * SemDeDup k-growth contract), sorts by vec_id and scans each j's
+    * lower-id mates with EARLY EXIT on the first cosine hit — the
+    * keep-lowest-id rule needs existence, not the full hit list.
+    * Parallelism = k cells (≥ cores at corpus scale by the k-growth
+    * contract; the checkpointed cell exchange spreads them).
+    *
+    * Determinism: dotArr's sequential dot order, sqrt-of-self-dot norms
+    * and HALF_UP round4 replicate the declarative cosine bit-for-bit, and
+    * a NaN cosine (zero-norm vector) counts as a hit because Spark SQL
+    * orders NaN above every double — `cos >= threshold` is TRUE on the
+    * join route, so the kernel must agree (plain Scala `>=` would not). */
+  private def semanticDedupKernel(cells: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.select(col("cell"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val vs = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val n = vs.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          norms(i) = math.sqrt(dotArr(vs(i)._2, vs(i)._2)); i += 1
+        }
+        var dropped = 0L
+        var j = 1
+        while (j < n) {
+          var hit = false
+          var k = 0
+          while (!hit && k < j) {
+            val cos = round4(dotArr(vs(k)._2, vs(j)._2) / (norms(k) * norms(j)))
+            if (cos.isNaN || cos >= threshold) hit = true
+            k += 1
+          }
+          if (hit) dropped += 1
+          j += 1
+        }
+        (cell, n.toLong, dropped)
+      }
+      .toDF("cell", "n_vectors", "n_dropped")
+      .withColumn("n_kept", col("n_vectors") - col("n_dropped"))
   }
 
   /** Cross-document repeated-passage removal — the C4/RefinedWeb passage

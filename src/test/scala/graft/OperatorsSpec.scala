@@ -358,7 +358,8 @@ class OperatorsSpec extends AnyFunSuite {
       Row(0L, 1L, 0L), Row(1L, 2L, 2L), Row(2L, 1L, 0L), Row(4L, 1L, 1L)))
   }
 
-  test("semanticDedup output is salt-invariant (saltParts 1 ≡ 8)") {
+  test("semanticDedup join route is salt-invariant (saltParts 1 ≡ 8) and " +
+    "kernel route ≡ join route at any partitioning") {
     val cents = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
       (1L, Array(0f, 1f, 0f, 0f))).toDF("cid", "cv")
@@ -366,9 +367,21 @@ class OperatorsSpec extends AnyFunSuite {
       (i, Array(math.sin(i * 3.7).toFloat, math.cos(i * 1.3).toFloat,
         math.sin(i * 0.9).toFloat, math.cos(i * 2.1).toFloat)))
       .toDF("vec_id", "embedding")
-    def run(p: Int) = Dedup.semanticDedup(emb, cents, 0.9, saltParts = p)
+    // maxKernelCell = 0 forces the salted-join route (every cell is bigger)
+    def runJoin(p: Int) = {
+      val r = Dedup.semanticDedup(emb, cents, 0.9, saltParts = p,
+        maxKernelCell = 0).orderBy("cell").collect().toSeq
+      assert(Dedup.lastSemanticRoute == "join"); r
+    }
+    val joined = runJoin(1)
+    assert(joined == runJoin(8))
+    val kernel = Dedup.semanticDedup(emb, cents, 0.9)
       .orderBy("cell").collect().toSeq
-    assert(run(1) == run(8))
+    assert(Dedup.lastSemanticRoute == "kernel")
+    assert(kernel == joined)
+    val kernel7 = Dedup.semanticDedup(emb.repartition(7), cents, 0.9)
+      .orderBy("cell").collect().toSeq
+    assert(kernel7 == joined)
     intercept[IllegalArgumentException](Dedup.semanticDedup(emb, cents, 0.9, 0))
   }
 

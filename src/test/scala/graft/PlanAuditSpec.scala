@@ -55,10 +55,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "cumulative sum needs a per-partition sequential prefix scan (the " +
       "documented mapPartitions tier) — the declarative alternative is a " +
       "single-partition window over the whole corpus"),
-    "x83_semantic_dedup" -> ("cell-assignment table feeds three consumers " +
-      "(both within-cell pair sides and the size report); one lazy " +
-      "localCheckpoint replaces three NearestCentroids assignment passes " +
-      "(k dots per row each) — every consumer is still Catalyst-planned"),
+    "x83_semantic_dedup" -> ("cell-assignment table feeds the route probe " +
+      "and the pair scoring; one lazy localCheckpoint replaces repeated " +
+      "NearestCentroids assignment passes (k dots per row each). Scoring " +
+      "routes by largest cell: in-contract cells take the per-cell " +
+      "mapGroups kernel (tier-d, embeddingNearDupPairs' rationale — the " +
+      "declarative join MATERIALIZES every pair row), oversized cells the " +
+      "salted Catalyst join"),
     "x84_mixture_sample" -> ("the (doc_id, source, n_toks) projection " +
       "feeds the totals probe and the sample pass; one lazy localCheckpoint " +
       "replaces a second tokens-kernel corpus scan"),
