@@ -90,11 +90,18 @@ object Similarity {
     * here would be partition-order-dependent. Per-row products stay full
     * double (deterministic, no ordering involved).
     *
-    * Scale shape: the standard exploded map-reduce centroid — posexplode
-    * to (label, dim) terms, one partial-agg shuffle for centroids (labels
-    * × dim rows — tiny), a broadcastable join back, one (vec_id) agg, one
-    * (label) report agg. No collect, no windows, no per-label serial
-    * path; dim is a per-row constant factor. */
+    * Scale shape (round-6 continuation): posexplode to (label, dim) terms
+    * feeds ONE partial-agg shuffle for centroids (labels × dim rows —
+    * tiny); the centroids then fold into one d-length array per label
+    * (collect_list bounded by the DIMENSION count, not the corpus) that
+    * broadcast-joins back to the VECTORS, where the dot and norm are
+    * narrow per-row DECIMAL HOF folds. The earlier shape joined the full
+    * exploded table (rows × dim) back to the centroid terms and
+    * re-aggregated per vector — that join exchange and the second
+    * exploded pass are gone (sf1: 0.88 → structurally join-free per-vec
+    * scoring); the exact same per-term roundings produce bit-identical
+    * sums, accumulated at DECIMAL(38,6) (exact — 38 digits over d ≤ 10⁴
+    * terms of magnitude ≤ 10¹²). */
   def labelCentroidOutliers(emb: DataFrame,
                             threshold: Double = 0.0): DataFrame = {
     val ex = emb
@@ -105,14 +112,29 @@ object Similarity {
         count(lit(1)).as("n"))
       .select(col("label"), col("i"),
         (col("m").cast("double") / col("n")).as("cp"))
-    val centNorm = cent.groupBy("label")
-      .agg(sum(expr("CAST(round(cp * cp, 6) AS DECIMAL(18,6))")).as("sc"))
-    val perVec = ex.join(cent, Seq("label", "i"))
-      .groupBy("vec_id", "label")
-      .agg(sum(expr("CAST(round(x * cp, 6) AS DECIMAL(18,6))")).as("dot"),
-        sum(expr("CAST(round(x * x, 6) AS DECIMAL(18,6))")).as("sv"))
-    perVec.join(broadcast(centNorm), Seq("label"))
-      .where(col("sv") > 0 && col("sc") > 0)
+    def decSum(terms: String) =
+      s"aggregate($terms, CAST(0 AS DECIMAL(38,6)), (a, e) -> a + e)"
+    val centArr = cent.groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(i, cp))), " +
+        "s -> s.cp)").as("cpArr"))
+      .withColumn("sc", expr(decSum(
+        "transform(cpArr, c -> CAST(round(c * c, 6) AS DECIMAL(38,6)))")))
+    emb.select(col("label"), V.asDouble(col("embedding")).as("v"))
+      .join(broadcast(centArr), Seq("label"))
+      .select(col("label"), col("sc"),
+        expr(decSum("zip_with(v, cpArr, " +
+          "(x, c) -> CAST(round(x * c, 6) AS DECIMAL(38,6)))")).as("dot"),
+        expr(decSum(
+          "transform(v, x -> CAST(round(x * x, 6) AS DECIMAL(38,6)))"))
+          .as("sv"))
+      // CHEAP equivalent of sv > 0 (the x52 move): the fold terms are
+      // round(x², 6) ≥ 0, so the sum is positive iff SOME term is — and a
+      // per-row filter here gets pushed below the exchange onto the scan,
+      // where `sv > 0` would evaluate the whole DECIMAL fold on the scan's
+      // 1–2 input splits and then AGAIN above (profiled at sf1: a 1.8 s
+      // 2-task stage). `exists` short-circuits, allocates nothing, and is
+      // the predicate we WANT scan-side.
+      .where(expr("exists(v, x -> round(x * x, 6) > 0D)") && col("sc") > 0)
       .select(col("label"),
         expr("CAST(round(CAST(dot AS DOUBLE) / " +
           "(sqrt(CAST(sv AS DOUBLE)) * sqrt(CAST(sc AS DOUBLE))), 4) " +
