@@ -76,6 +76,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg("graft_band_keys", "bands", args, 1),
         intArg("graft_band_keys", "rowsPerBand", args, 2),
         intArg("graft_band_keys", "dim", args, 3))))
+    // bounded top-k AGGREGATES (Relational.smallestK/largestK's SQL face):
+    // the builder returns the raw AggregateFunction — the analyzer wraps it
+    e.injectFunction((FunctionIdentifier("graft_smallest_k"),
+      info("graft_smallest_k", "graft_smallest_k(v, k) - the k smallest values as a sorted array (bounded-heap aggregate; k-capped state per group)"),
+      (args: Seq[Expression]) => org.apache.spark.sql.GraftSqlBridge
+        .collectTopKExpr(args(0),
+          intArg("graft_smallest_k", "k", args, 1), reverse = true)))
+    e.injectFunction((FunctionIdentifier("graft_largest_k"),
+      info("graft_largest_k", "graft_largest_k(v, k) - the k largest values, descending (bounded-heap aggregate; k-capped state per group)"),
+      (args: Seq[Expression]) => org.apache.spark.sql.GraftSqlBridge
+        .collectTopKExpr(args(0),
+          intArg("graft_largest_k", "k", args, 1), reverse = false)))
   }
 
   // The builders below eval() their config arguments at ANALYSIS time, so

@@ -26,4 +26,10 @@ object GraftSqlBridge {
       new catalyst.expressions.aggregate.CollectTopK(
         classic.ExpressionUtils.expression(c), num, reverse, 0, 0)
         .toAggregateExpression())
+
+  /** Raw (unwrapped) `CollectTopK` for SQL-surface registration — the
+    * analyzer wraps a builder-returned AggregateFunction itself. */
+  def collectTopKExpr(child: Expression, num: Int,
+                      reverse: Boolean): Expression =
+    new catalyst.expressions.aggregate.CollectTopK(child, num, reverse, 0, 0)
 }

@@ -76,7 +76,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |    PARTITION BY fp ORDER BY doc_id) AS rn
         |  FROM (SELECT doc_id, explode(graft_winnow_set(text, 4, 5)) AS fp
         |        FROM documents))
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the bounded top-k aggregate's SQL face (graft_largest_k): x101 as
+    // pure spark.sql — same heap, same (quality DESC, doc_id ASC) order
+    // via the -doc_id inversion, posexplode as the rank
+    "x101_topk_exemplars" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    CAST(element_at(graft_lang_stats(text), 5) AS INT) AS n_tokens,
+        |    CAST(element_at(graft_lang_stats(text), 1) AS INT) AS en_hits
+        |  FROM documents),
+        |q AS (SELECT source, doc_id,
+        |    round(1.0 / (1.0 + exp(-(0.2 * ln(1.0 + n_tokens) +
+        |      2.0 * (en_hits / (1.0 * n_tokens)) - 1.0))), 4) AS quality
+        |  FROM c WHERE n_tokens > 0),
+        |t AS (SELECT source,
+        |    graft_largest_k(struct(quality, -doc_id AS nid, doc_id), 3)
+        |      AS top
+        |  FROM q GROUP BY source)
+        |SELECT source, CAST(pos + 1 AS INT) AS rk,
+        |  col.doc_id AS doc_id, col.quality AS quality
+        |FROM t LATERAL VIEW posexplode(top) AS pos, col
+        |ORDER BY source, rk""".stripMargin)
 
   for ((name, sql) <- sparkSql.toSeq.sortBy(_._1)) {
     test(s"$name: spark.sql ≡ DataFrame API") {
