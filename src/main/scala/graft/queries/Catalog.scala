@@ -2271,14 +2271,12 @@ object Catalog {
     * for the window (key cardinality = distinct passages), one doc_id agg;
     * the x51-audit is clean on both keys. */
   val x85 = Q("x85_passage_dedup",
-    // kernelDocs spread (x89/x90/x91/x97's rationale): the tokenize + md5
-    // chunk pass otherwise runs on the byte-tiny scan's 1–2 input splits
-    // (sf1 profiled pre-spread: 5 jobs, SEVEN tasks total — the whole
-    // chunk stage on two cores). sf1 wall time is floor-bound either way
-    // (~1.3 s best-of-5 before and after the spread AND the operator's
-    // sort-free reshape); both changes are the 100 TB posture, not an
-    // sf1 win — see passageDedup's scaladoc for the trade
-    (s, d) => Dedup.passageDedup(kernelDocs(s, d)).orderBy("doc_id"),
+    // NO kernelDocs spread: A/B'd at sf1 as a wash (1.34 pre / 1.23–1.40
+    // post — the chunk stage on 2 input splits is NOT the binding cost)
+    // while at sf0.1 its exchange + AQE stage jobs are pure floor; at
+    // corpus scale input splits abound and the question disappears. See
+    // passageDedup's scaladoc for the sort-free keep-first trade
+    (s, d) => Dedup.passageDedup(t(s, d, "documents")).orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")}
             |    AS toks FROM documents),
             |t2 AS (SELECT doc_id, toks, length(toks) AS n FROM t
