@@ -435,4 +435,21 @@ class PropertySpec extends AnyFunSuite {
       assert(triples == 0, "hash-colliding aliases must stay adjacent")
     }
   }
+
+  test("smallestK/largestK ≡ sorted-take-k over generated multisets " +
+    "(duplicates, any k, any partitioning)") {
+    import graft.operators.Relational
+    val listGen = Gen.listOfN(40,
+      Gen.chooseNum(-50L, 50L)) // narrow range => guaranteed duplicates
+    for ((vals, i) <- samples(listGen, 6).zipWithIndex) {
+      val k = 1 + i * 3 // spans under- and over-sized k (1..16 vs 40 rows)
+      val df = vals.toDF("v").repartition(1 + i % 5)
+      val small = df.agg(Relational.smallestK(col("v"), k).as("t"))
+        .head.getSeq[Long](0)
+      assert(small == vals.sorted.take(k), s"seed=${i + 1} k=$k")
+      val large = df.agg(Relational.largestK(col("v"), k).as("t"))
+        .head.getSeq[Long](0)
+      assert(large == vals.sorted.reverse.take(k), s"seed=${i + 1} k=$k")
+    }
+  }
 }
