@@ -591,8 +591,16 @@ object Dedup {
     * pre-filter was itself the fix for a pushed-down size(hs) predicate
     * that re-ran the kernel on the scan side, the x20 trap). The only
     * shuffle carries (fp: BIGINT, doc_id) pairs — fingerprint-cardinality
-    * keys, never text; the keep-first window and doc agg are exactly
-    * x85's shapes. */
+    * keys, never text. Keep-first here remains the per-fp WINDOW (unlike
+    * [[passageDedup]]'s round-6 min-of-struct reshape): the per-doc n_fp
+    * has no closed form short of running the winnow kernel twice (the
+    * size() pushdown would be exactly the x20 trap the pre-filter removal
+    * fixed), so the x85 pattern would need a checkpoint of the kernel
+    * output. If hot-fingerprint skew (a boilerplate run shared corpus-wide
+    * serializing one sort task) ever binds, that checkpointed reshape is
+    * the designed escape hatch — min(doc_id) per fp is partial-agg
+    * friendly and n_dup_fp = n_fp − #first-claims-in-doc recovers the
+    * report without a join back to the exploded rows. */
   def winnowingDedup(docs: DataFrame, k: Int = 4, w: Int = 5,
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -29,7 +29,11 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Top-k rows per group with a deterministic total order. */
+  /** Top-k rows per group with a deterministic total order — the WINDOW
+    * tier, right when groups are bounded (x39's 5-doc probe). For k≪group
+    * on unbounded groups prefer the [[smallestK]]/[[largestK]] heap
+    * aggregate (k-capped state, no per-group sort); for FULL ranks at low
+    * key cardinality, [[keyedRowNumbers]]' two-pass. */
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
                    rankCol: String = "rn"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
