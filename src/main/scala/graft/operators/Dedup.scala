@@ -500,31 +500,52 @@ object Dedup {
                                   threshold: Double): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
+    // Pinned cell exchange, NOT a lambda-keyed groupByKey (codecDocIds'
+    // rationale): AQE sizes post-shuffle partitions by BYTES and cannot
+    // see the Σ|cell|² pair cost — at sf0.1 it coalesced the whole pair
+    // stage onto 2 tasks. A user-specified repartition is coalesce-exempt,
+    // and the within-partition (cell, vec_id) sort makes each cell a
+    // contiguous id-ordered run the per-partition scan groups directly —
+    // no typed-groupBy exchange, no per-group sortBy.
     cells.select(col("cell"), col("vec_id"), col("v"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
       .as[(Long, Long, Array[Double])]
-      .groupByKey(_._1)
-      .mapGroups { (cell, it) =>
-        val vs = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        val n = vs.length
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          norms(i) = math.sqrt(dotArr(vs(i)._2, vs(i)._2)); i += 1
-        }
-        var dropped = 0L
-        var j = 1
-        while (j < n) {
-          var hit = false
-          var k = 0
-          while (!hit && k < j) {
-            val cos = round4(dotArr(vs(k)._2, vs(j)._2) / (norms(k) * norms(j)))
-            if (cos.isNaN || cos >= threshold) hit = true
-            k += 1
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        // the keep-lowest-id rule needs only the id ORDER, which the
+        // within-partition (cell, vec_id) sort already provides
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        var cur = 0L; var has = false
+        def flush(): Unit = if (has) {
+          val n = vecs.length
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            norms(i) = math.sqrt(dotArr(vecs(i), vecs(i))); i += 1
           }
-          if (hit) dropped += 1
-          j += 1
+          var dropped = 0L
+          var j = 1
+          while (j < n) {
+            var hit = false
+            var k = 0
+            while (!hit && k < j) {
+              val cos = round4(dotArr(vecs(k), vecs(j)) / (norms(k) * norms(j)))
+              if (cos.isNaN || cos >= threshold) hit = true
+              k += 1
+            }
+            if (hit) dropped += 1
+            j += 1
+          }
+          out += ((cur, n.toLong, dropped))
+          vecs.clear()
         }
-        (cell, n.toLong, dropped)
+        it.foreach { case (c, _, v) =>
+          if (!has || c != cur) { flush(); cur = c; has = true }
+          vecs += v
+        }
+        flush()
+        out.iterator
       }
       .toDF("cell", "n_vectors", "n_dropped")
       .withColumn("n_kept", col("n_vectors") - col("n_dropped"))

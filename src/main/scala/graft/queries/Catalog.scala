@@ -2191,6 +2191,9 @@ object Catalog {
       // measured at sf1: salts 8 → 1 took 7.85 → 5.65 s)
       val cores = s.sparkContext.defaultParallelism
       val salts = math.max(1L, (2L * cores + k - 1) / k).toInt
+      // NO pinned scan spread: A/B'd (the x94 move) as a wash at sf0.1 AND
+      // sf1 — the assignment kernel on 2 input splits costs what the extra
+      // exchange saves; at corpus scale splits abound
       reportSortFused(Dedup.semanticDedup(emb, cents, 0.4, salts), col("cell"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
