@@ -1958,9 +1958,16 @@ object Catalog {
           // TokenCount kernel: one byte scan, no array — the running-total
           // two-pass evaluates this scan TWICE (block stats + final), so
           // the per-row tokenize cost is paid double; the HOF
-          // split+filter form measured 2×0.3 s of x79's 1.17 s at sf1
+          // split+filter form measured 2×0.3 s of x79's 1.17 s at sf1.
+          // The lazy checkpoint below cuts even the kernel's second run:
+          // the range sort's SAMPLING pass re-executes its child (the x64
+          // trap), so without it the kernel runs in the sampling job AND
+          // the exchange map; materializing the slim (doc_id, n_tokens)
+          // projection at the sampling job makes every later pass read
+          // 16-byte rows instead of re-scanning text
           graft.functions.TextHashFunctions.tokenCount(col("text"))
             .as("n_tokens"))
+        .localCheckpoint(false)
       // parallel range sort on the tail, NOT reportSortFused: the bin count
       // is O(corpus_tokens / 512) — it grows with the input, so the
       // single-task fused tail would be exactly the shape this query's
