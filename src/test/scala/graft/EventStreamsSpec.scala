@@ -560,5 +560,8 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(newRows.map(t => t._1 -> ((t._2, t._3))).toMap ==
         expected(b1 ++ b2))
     } finally q.stop()
+    intercept[IllegalArgumentException](
+      EventStreams.streamingTopExemplars(
+        b1.toDF("doc_id", "source", "text"), k = 0))
   }
 }
