@@ -200,6 +200,78 @@ object IncrementalDedup {
     batch.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** PASSAGE variant of [[winnowBatch]], completing the cross-batch tier's
+    * symmetry with the one-shot operators (exact ↔ [[dedupBatch]], MinHash
+    * ↔ [[nearDupBatch]], winnowing ↔ [[winnowBatch]], passage ↔ here): the
+    * persistent state is the distinct md5 digests of surviving documents'
+    * non-overlapping `chunkTokens`-token passages ([[Dedup.passageChunks]] —
+    * ONE chunking implementation shared with the batch report and the
+    * streaming claim stream, so semantics cannot drift). A batch doc is
+    * dropped when ≥ `dupFrac` of its chunks are CLAIMED — repeated from an
+    * earlier batch, or repeating an earlier (doc_id, off) chunk of its own
+    * batch (copies-with-boilerplate across ingest days, the C4 case).
+    *
+    * Scale shape — x85's round-6 discipline, not a per-digest window:
+    * keep-first is one min-of-(doc_id, off)-struct aggregate per digest
+    * (partial-agg, nothing sorts, hot boilerplate passages collapse
+    * map-side); a doc's claimed count is recovered WITHOUT joining chunks
+    * back — claimed(doc) = n_chunks(doc) − #digests first-claimed by doc
+    * that are also ABSENT from history — and n_chunks is closed-form from
+    * the TokenCount kernel. Only 16-byte digests + slim id pairs shuffle.
+    *
+    * Retry contract: identical to [[dedupBatch]] (partition-pruned history
+    * read + dynamic-overwrite state write → a redelivered batch reproduces
+    * its original survivor set). The history read carries an explicit
+    * schema ([[winnowBatch]]'s guard): a first batch of token-free docs
+    * pins zero digests and leaves a data-free state dir. */
+  def passageBatch(batch: DataFrame, historyPath: String, batchId: String,
+                   chunkTokens: Int = 30, dupFrac: Double = 0.8,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(dupFrac > 0 && dupFrac <= 1,
+      s"dupFrac must be in (0,1], got $dupFrac")
+    val spark = batch.sparkSession
+    val fs = FileSystem.get(new java.net.URI(historyPath),
+      spark.sessionState.newHadoopConf())
+    // slim (id, off, digest) rows feed the claim check AND the state
+    // write — checkpoint so the tokenize+md5 chunk pass runs once
+    val chunks = Dedup.passageChunks(
+        batch.select(col(idCol), col(textCol)), chunkTokens, textCol)
+      .select(col(idCol), col("off"), col("h"))
+      .localCheckpoint(false)
+    val hist =
+      if (fs.exists(new Path(historyPath)))
+        spark.read.schema("h BINARY, batch STRING").parquet(historyPath)
+          .where(col("batch") =!= batchId) // partition-pruned re-run guard
+          .select("h").distinct()
+      else chunks.select("h").limit(0)
+    // per-digest keep-first (min struct), minus digests an earlier batch
+    // already claimed → each doc's count of FRESH first-claims
+    val freshFirsts = chunks
+      .groupBy("h").agg(min(struct(col(idCol), col("off"))).as("f"))
+      .join(hist, Seq("h"), "left_anti")
+      .groupBy(col(s"f.$idCol").as(idCol))
+      .agg(count(lit(1)).as("__n_fresh"))
+    val perDoc = batch.select(col(idCol),
+        graft.functions.TextHashFunctions.tokenCount(col(textCol)).as("__n"))
+      .where(col("__n") > 0)
+      .select(col(idCol), expr(
+        s"CAST((__n + ${chunkTokens - 1}) div $chunkTokens AS BIGINT)")
+        .as("__n_chunks"))
+    val dropped = perDoc
+      .join(freshFirsts, Seq(idCol), "left")
+      .where(col("__n_chunks") - coalesce(col("__n_fresh"), lit(0L)) >=
+        col("__n_chunks") * dupFrac)
+      .select(idCol)
+    val pinned = chunks.join(dropped, Seq(idCol), "left_anti")
+      .select("h").distinct().localCheckpoint(false)
+    pinned.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(historyPath)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** One row per (doc row, band): the [[Dedup.bandKeyCols]] keys exploded
     * alongside the carried columns. */
   private def explodeBands(df: DataFrame, sigCol: Column): DataFrame = {

@@ -115,6 +115,54 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(s2r.select("doc_id").as[Long].collect().toSeq == Seq(60L))
   }
 
+  test("passageBatch: chunk-digest history, within-batch full-copy drop, " +
+    "cross-batch drop, half-overlap passthrough, token-free passthrough, " +
+    "idempotent retry") {
+    val hist = Files.createTempDirectory("graft_pg_hist").toString + "/h"
+    def run(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val (w1, w2, w3, w4) = (run("p"), run("q"), run("r"), run("s"))
+
+    val b1 = Seq(
+      (10L, s"$w1 $w2"),  // two chunks, both fresh
+      (20L, s"$w3 $w4"),  // novel
+      (30L, s"$w1 $w2"),  // full within-batch copy of 10 → dropped
+      (40L, "   ")        // token-free: no chunks, survives
+    ).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.passageBatch(b1, hist, "b1")
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 40L))
+    assert(spark.read.parquet(hist).count() == 4) // 4 distinct survivor chunks
+
+    val b2 = Seq(
+      (50L, s"$w3 $w4"),          // cross-batch full dup → dropped
+      (60L, s"${run("t")} ${run("u")}")) // novel
+      .toDF("doc_id", "text")
+    val s2 = IncrementalDedup.passageBatch(b2, hist, "b2")
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(60L))
+
+    // half overlap (1 of 2 chunks claimed) stays under dupFrac = 0.8
+    val b3 = Seq((70L, s"$w1 ${run("v")}")).toDF("doc_id", "text")
+    val s3 = IncrementalDedup.passageBatch(b3, hist, "b3")
+    assert(s3.select("doc_id").as[Long].collect().toSeq == Seq(70L))
+
+    // retry: own chunk digests must not suppress the batch
+    val s2r = IncrementalDedup.passageBatch(b2, hist, "b2")
+    assert(s2r.select("doc_id").as[Long].collect().toSeq == Seq(60L))
+  }
+
+  test("passageBatch bootstrap: a token-free first batch leaves a " +
+    "data-free history dir the next batch must still read") {
+    val hist = Files.createTempDirectory("graft_pg_boot").toString + "/h"
+    val b1 = Seq((10L, "   "), (20L, " ")).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.passageBatch(b1, hist, "b1")
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L))
+    val w = (1 to 30).map(i => s"c$i").mkString(" ")
+    val b2 = Seq((30L, w), (40L, w)).toDF("doc_id", "text")
+    val s2 = IncrementalDedup.passageBatch(b2, hist, "b2") // must not throw
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(30L))
+  }
+
   test("winnowBatch bootstrap: an all-short first batch leaves a data-free " +
     "history dir the next batch must still read") {
     val hist = Files.createTempDirectory("graft_fp_boot").toString + "/h"
