@@ -104,5 +104,13 @@ object Bench {
         System.err.println(s"[bench] could not write bench_metric.json: $e")
     }
     spark.stop()
+    // Re-print the metric line as the ABSOLUTE last stdout action, after
+    // spark.stop(): six rounds of BENCH_r0N.json carried "parsed": null even
+    // with the early println — Spark's shutdown logging interleaves with (or
+    // splits) any line printed while the session is live. With the session
+    // stopped nothing else writes to stdout, so a tail-grep sees one intact
+    // line. (The early println and the file copy above are kept as backups.)
+    println(line)
+    System.out.flush()
   }
 }

@@ -81,12 +81,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_smallest_k"),
       info("graft_smallest_k", "graft_smallest_k(v, k) - the k smallest values as a sorted array (bounded-heap aggregate; k-capped state per group)"),
       (args: Seq[Expression]) => org.apache.spark.sql.GraftSqlBridge
-        .collectTopKExpr(args(0),
+        .collectTopKExpr(arity("graft_smallest_k", "(v, k)", args, 2).head,
           intArg("graft_smallest_k", "k", args, 1), reverse = true)))
     e.injectFunction((FunctionIdentifier("graft_largest_k"),
       info("graft_largest_k", "graft_largest_k(v, k) - the k largest values, descending (bounded-heap aggregate; k-capped state per group)"),
       (args: Seq[Expression]) => org.apache.spark.sql.GraftSqlBridge
-        .collectTopKExpr(args(0),
+        .collectTopKExpr(arity("graft_largest_k", "(v, k)", args, 2).head,
           intArg("graft_largest_k", "k", args, 1), reverse = false)))
   }
 
@@ -94,6 +94,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   // anything but a non-null foldable literal must fail with a real message —
   // a raw eval() would surface as an opaque NPE / 'Cannot evaluate
   // expression' / IndexOutOfBounds from inside the analyzer.
+  // SELECT graft_smallest_k() would otherwise surface as an analyzer-internal
+  // IndexOutOfBoundsException from args(0) — intArg only guards the k slot
+  private def arity(fn: String, sig: String,
+                    args: Seq[Expression], n: Int): Seq[Expression] = {
+    require(args.length == n,
+      s"$fn: expected $n arguments $sig, got ${args.length}")
+    args
+  }
+
   private def literalArg(fn: String, arg: String,
                          args: Seq[Expression], i: Int): Any = {
     require(args.length > i,

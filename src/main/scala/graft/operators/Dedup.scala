@@ -394,10 +394,21 @@ object Dedup {
     * once instead of re-running the assignment window per consumer. */
   /** [[semanticDedup]] per-cell kernel-route cap (rows in the LARGEST
     * cell): a cell's vectors are buffered in one task's memory on that
-    * route (65536 × 64-dim doubles ≈ 32 MB); bigger cells keep the
-    * spill-safe salted pair join. Under the SemDeDup k-growth contract
-    * cell size is roughly constant, so real corpora stay far under it. */
+    * route; bigger cells keep the spill-safe salted pair join. Under the
+    * SemDeDup k-growth contract cell size is roughly constant, so real
+    * corpora stay far under it. The row cap is additionally DIMENSION-
+    * AWARE: the effective cap is min(maxKernelCell,
+    * [[KernelCellBytes]] / (dim × 8)) with dim probed from the data in
+    * the same routing aggregate — 65536 rows is ~32 MB at 64 dims but
+    * would be ~400 MB at 768 dims (one-task OOM territory), and just
+    * under a row-only cap the O(|cell|²·d) scoring of one huge wide-dim
+    * cell would serialize on a single core where the salted join spreads
+    * it over saltParts tasks. */
   val MaxKernelCellRows: Int = 1 << 16
+
+  /** Per-task buffer budget for the [[semanticDedup]] kernel route:
+    * 32 MB of vector doubles (the measured-safe size at 64 dims). */
+  val KernelCellBytes: Long = 32L << 20
 
   /** Test-only observability: which pair route the most recent
     * [[semanticDedup]] call on this JVM took ("kernel" | "join"). */
@@ -405,7 +416,8 @@ object Dedup {
 
   def semanticDedup(emb: DataFrame, cents: DataFrame, threshold: Double,
                     saltParts: Int = 8,
-                    maxKernelCell: Int = MaxKernelCellRows): DataFrame = {
+                    maxKernelCell: Int = MaxKernelCellRows,
+                    kernelCellBytes: Long = KernelCellBytes): DataFrame = {
     require(saltParts > 0, s"saltParts must be positive, got $saltParts")
     // Cell assignment is the size-gated kernel/window route shared with
     // the IVF tier ([[Similarity.cellsRankedAuto]] at p = 1): under the
@@ -435,10 +447,18 @@ object Dedup {
     // contract the per-cell kernel below scores the same pairs in a tight
     // primitive loop with zero pair-row materialization; oversized cells
     // keep the spill-safe salted join.
-    val maxCell = Option(cells.groupBy("cell").agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head.get(0)).map(_.asInstanceOf[Long])
-      .getOrElse(0L)
-    if (maxCell <= maxKernelCell) {
+    // One routing aggregate yields BOTH the largest cell and the embedding
+    // dimension: the kernel buffers maxCell × dim doubles in one task, so
+    // the row cap alone is meaningless for wide embeddings (65536 rows of
+    // 768-dim = ~400 MB). Effective cap = min(rows, bytes-budget / row).
+    val stats = cells.groupBy("cell")
+      .agg(count(lit(1)).as("c"), max(size(col("v"))).as("d"))
+      .agg(max(col("c")), max(col("d"))).head
+    val maxCell = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val dim = Option(stats.get(1)).map(_.asInstanceOf[Int]).getOrElse(1).max(1)
+    val effectiveCap = math.min(maxKernelCell.toLong,
+      kernelCellBytes / (dim.toLong * 8L))
+    if (maxCell <= effectiveCap) {
       lastSemanticRoute = "kernel"
       return semanticDedupKernel(cells, threshold)
     }

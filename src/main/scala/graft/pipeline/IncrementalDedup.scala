@@ -33,6 +33,27 @@ import graft.operators.Dedup
   * signatures instead of digests. */
 object IncrementalDedup {
 
+  /** `claimed ≥ total × dupFrac` as an EXACT predicate: dupFrac read as
+    * the decimal the caller typed (Scala's BigDecimal(Double) is the
+    * shortest-decimal valueOf, so 0.8 is exactly 8/10, never the binary
+    * 0.8000…0444), then cross-multiplied in integers — `claimed × 10^s ≥
+    * total × num`. A doc sitting exactly on the boundary (claimed/total
+    * == dupFrac as a rational) otherwise flips on the IEEE rounding of
+    * `total * dupFrac`. Falls back to the double product only for a
+    * dupFrac needing > 6 decimal digits (where the caller's own literal
+    * was already binary-rounded and no exact rational intent exists);
+    * the 10^6 scale bounds the cross-products well under Long overflow
+    * for any per-doc chunk/fingerprint count. */
+  private def claimedAtLeast(claimed: Column, total: Column,
+                             dupFrac: Double): Column = {
+    val bd = BigDecimal(dupFrac)
+    if (bd.scale >= 0 && bd.scale <= 6) {
+      val den = BigDecimal(10).pow(bd.scale).toLongExact
+      val num = (bd * den).toLongExact
+      claimed * lit(den) >= total * lit(num)
+    } else claimed >= total * dupFrac
+  }
+
   /** Dedup `batch` (tagged `batchId`) within itself and against every
     * OTHER batch recorded under `historyPath`, record the survivors'
     * digests under `batch=batchId`, and return the surviving rows (all
@@ -189,7 +210,7 @@ object IncrementalDedup {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_fp"),
         sum(when(col("claimed"), 1L).otherwise(0L)).as("n_cl"))
-      .where(col("n_cl") >= col("n_fp") * dupFrac)
+      .where(claimedAtLeast(col("n_cl"), col("n_fp"), dupFrac))
       .select(idCol)
     val pinned = fps.join(dropped, Seq(idCol), "left_anti")
       .select("fp").distinct().localCheckpoint(false)
@@ -260,8 +281,9 @@ object IncrementalDedup {
         .as("__n_chunks"))
     val dropped = perDoc
       .join(freshFirsts, Seq(idCol), "left")
-      .where(col("__n_chunks") - coalesce(col("__n_fresh"), lit(0L)) >=
-        col("__n_chunks") * dupFrac)
+      .where(claimedAtLeast(
+        col("__n_chunks") - coalesce(col("__n_fresh"), lit(0L)),
+        col("__n_chunks"), dupFrac))
       .select(idCol)
     val pinned = chunks.join(dropped, Seq(idCol), "left_anti")
       .select("h").distinct().localCheckpoint(false)

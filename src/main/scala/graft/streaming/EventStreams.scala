@@ -244,10 +244,15 @@ object EventStreams {
     * watermark: there is nothing growing to evict (the same reason the
     * batch aggregate's heap is scale-safe). Each batch's candidates merge
     * with the stored pairs under the identical (quality, −doc_id) order
-    * the batch aggregate uses, deduplicated by pair first — so an
-    * at-least-once redelivery of a document merges idempotently instead
-    * of occupying two of the k slots. Update output mode (the result row
-    * REPLACES the source's previous row downstream). */
+    * the batch aggregate uses, deduplicated by doc_id first (keeping the
+    * max-quality occurrence) — so an at-least-once redelivery merges
+    * idempotently instead of occupying two of the k slots, EVEN when the
+    * redelivered document's text (hence quality) changed upstream. One
+    * bounded-state caveat is inherent: a doc_id evicted from the k slots
+    * cannot re-enter at its old quality if later entries are removed —
+    * the price of O(k) state, shared by any streaming top-k. Update
+    * output mode (the result row REPLACES the source's previous row
+    * downstream). */
   def streamingTopExemplars(docs: DataFrame, k: Int = 3,
                             textCol: String = "text"): Dataset[Exemplars] = {
     import graft.functions.{TextAnalysis, TextHashFunctions}
@@ -269,9 +274,14 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (source: String, batch: Iterator[ScoredDoc],
          state: GroupState[Seq[(Double, Long)]]) =>
+          // doc_id-keyed dedup BEFORE the k-cut: a redelivered doc whose
+          // quality changed would otherwise survive .distinct as two
+          // pairs and burn two of the k slots
           val merged = (state.getOption.getOrElse(Seq.empty) ++
               batch.map(d => (d.quality, d.doc_id)))
-            .distinct.sortWith(better).take(k)
+            .groupBy(_._2).valuesIterator
+            .map(_.reduce((a, b) => if (better(a, b)) a else b))
+            .toSeq.sortWith(better).take(k)
           state.update(merged)
           Exemplars(source, merged.map(_._2), merged.map(_._1))
       }

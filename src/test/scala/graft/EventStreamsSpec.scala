@@ -564,4 +564,35 @@ class EventStreamsSpec extends AnyFunSuite {
       EventStreams.streamingTopExemplars(
         b1.toDF("doc_id", "source", "text"), k = 0))
   }
+
+  test("streaming top-k exemplars: a MUTATED redelivery (same doc_id, new " +
+    "text/quality) occupies one slot at its best quality") {
+    def doc(i: Int) = ((1 to i).map(_ => "the") ++
+      (1 to (12 - i)).map(j => s"w$j")).mkString(" ")
+    // batch 1: docs 1..3, quality rises with the stopword count
+    val b1 = Seq((1L, "sA", doc(2)), (2L, "sA", doc(5)), (3L, "sA", doc(4)))
+    // batch 2: doc 2 redelivered with CHANGED text — higher quality now.
+    // Pre-fix, (q5, 2) and (q9, 2) both survived the pair-level distinct
+    // and doc 2 burned two of the k=2 slots, evicting doc 3.
+    val b2 = Seq((2L, "sA", doc(9)))
+    val dir = Files.createTempDirectory("graft_stopk_mut").toString
+    b1.toDF("doc_id", "source", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "source", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingTopExemplars(src, k = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stopk_mut").start()
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "source", "text").coalesce(1)
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val last = spark.table("stopk_mut").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1))).last
+      // doc 2 once (at its new, higher quality), then doc 3 — not [2, 2]
+      assert(last == (("sA", Seq(2L, 3L))))
+    } finally q.stop()
+  }
 }

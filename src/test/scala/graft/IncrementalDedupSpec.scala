@@ -178,4 +178,23 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val s2 = IncrementalDedup.winnowBatch(b2, hist, "b2") // must not throw
     assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(30L))
   }
+
+  test("dupFrac boundary is exact-rational, not IEEE: a doc with exactly " +
+    "claimed/total == dupFrac drops even where the double product rounds up") {
+    // 100 × 0.55 computes as 55.000000000000007 in doubles, so the naive
+    // `claimed >= total * dupFrac` KEEPS a doc sitting exactly on the
+    // 55/100 boundary; the cross-multiplied integer compare (55·100 ≥
+    // 100·55) drops it, matching the rational the caller typed (r6 advice).
+    val hist = Files.createTempDirectory("graft_pg_bnd").toString + "/h"
+    def run(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val claimedChunks = (1 to 55).map(i => run(s"c$i"))
+    val freshChunks = (1 to 45).map(i => run(s"f$i"))
+    val b1 = Seq((10L, claimedChunks.mkString(" "))).toDF("doc_id", "text")
+    IncrementalDedup.passageBatch(b1, hist, "b1", dupFrac = 0.55)
+    // doc 20: 100 chunks, 55 already claimed by batch 1 → exactly on 0.55
+    val b2 = Seq((20L, (claimedChunks ++ freshChunks).mkString(" ")))
+      .toDF("doc_id", "text")
+    val s2 = IncrementalDedup.passageBatch(b2, hist, "b2", dupFrac = 0.55)
+    assert(s2.count() == 0L, "boundary doc must drop under exact compare")
+  }
 }

@@ -383,6 +383,15 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("cell").collect().toSeq
     assert(kernel7 == joined)
     intercept[IllegalArgumentException](Dedup.semanticDedup(emb, cents, 0.9, 0))
+    // The kernel gate is DIMENSION-aware, not row-count-only: with a bytes
+    // budget that 4-dim cells of this size exceed (cap = 256/(4·8) = 8
+    // rows < the ~20-row cells), the same data routes to the salted join
+    // even though maxKernelCell would admit it — the wide-embedding OOM
+    // guard from the round-6 advice.
+    val narrow = Dedup.semanticDedup(emb, cents, 0.9,
+        kernelCellBytes = 256L).orderBy("cell").collect().toSeq
+    assert(Dedup.lastSemanticRoute == "join")
+    assert(narrow == joined)
   }
 
   test("cellsRankedAuto kernel route: NaN dots rank first like the window's " +

@@ -125,4 +125,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // typed filter compiles and runs on the Dataset
     assert(ds.filter(_.net != null).count() == 1)
   }
+
+  test("graft_smallest_k/largest_k reject wrong arity with a styled " +
+    "message, not an analyzer IndexOutOfBounds") {
+    Tables.registerAll(spark, SparkTestSession.sf0001)
+    for ((fn, bad) <- Seq(
+        "graft_smallest_k" -> "SELECT graft_smallest_k() FROM documents",
+        "graft_largest_k" ->
+          "SELECT graft_largest_k(doc_id) FROM documents",
+        "graft_smallest_k" ->
+          "SELECT graft_smallest_k(doc_id, 2, 3) FROM documents")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      // the arity guard's message, surfaced through the analyzer wrapper
+      assert(e.getMessage.contains(s"$fn: expected 2 arguments"),
+        s"got: ${e.getMessage.take(200)}")
+    }
+  }
 }
