@@ -28,6 +28,29 @@ object Actions {
     * Exactness: if the job completes under the cap, no partition was
     * truncated — a partition only truncates when it holds > cap + 1 rows,
     * which alone already pushes the total past the cap and returns None. */
+  /** Count up to `cap` rows in exactly ONE job, or None when the input has
+    * more — [[boundedRows]]'s shape with NOTHING shipped to the driver but
+    * one long per partition. Per-partition iteration stops at cap + 1 rows,
+    * so over-cap inputs never pay a full scan of any one partition past the
+    * point the answer is known to be "too big". The probe EXECUTES the
+    * input's plan (bounded per partition); callers whose input is expensive
+    * to recompute should localCheckpoint it first — every Auto-gated caller
+    * in this repo already materializes the slim probe frame for its own
+    * two-pass anyway. */
+  def boundedCount(df: DataFrame, cap: Long): Option[Long] = {
+    val n = cap + 1
+    val counts = df.rdd.mapPartitions { it =>
+      var c = 0L
+      while (c < n && it.hasNext) { it.next(); c += 1 }
+      Iterator.single(c)
+    }.collect()
+    if (counts.exists(_ >= n)) None
+    else {
+      val total = counts.sum
+      if (total > cap) None else Some(total)
+    }
+  }
+
   def boundedRows(df: DataFrame, cap: Int): Option[Array[Row]] = {
     val rdd = df.rdd
     val sc = rdd.sparkContext

@@ -22,6 +22,16 @@ object Relational {
     * [[keyedRowNumbers]] call on this JVM took ("driver" | "distributed"). */
   @volatile private[graft] var lastKeyedRoute: String = ""
 
+  /** [[orderedRunningTotal]] single-window row cap: up to 2²⁰ slim rows
+    * sort in one task in well under a second, so the two-pass's extra
+    * jobs are pure scheduling floor below it; anything bigger keeps the
+    * distributed two-pass. */
+  val MaxSingleWindowRows: Long = 1L << 20
+
+  /** Test-only observability: which route the most recent
+    * [[orderedRunningTotal]] call on this JVM took ("window" | "two-pass"). */
+  @volatile private[graft] var lastRunningTotalRoute: String = ""
+
   /** Keep the latest row per key group (E3/E8 "dedup-keep-latest").
     * One shuffle on the partition keys; ranking is per-partition. */
   def dedupKeepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
@@ -324,9 +334,24 @@ object Relational {
     * distributed layout, never one giant task. `valueCol` must be a long
     * column (token counts, byte sizes, row weights); NULL values add 0 to
     * the running total — the same treatment a running `SUM(v) OVER` window
-    * gives them. */
+    * gives them.
+    *
+    * SIZE-GATED (the Auto pattern shared with connectedComponentsAuto /
+    * cellsRankedAuto / the keyedRowNumbers cardinality gate): inputs at or
+    * under `maxSingleWindow` rows take the declarative single-partition
+    * window — ONE job against the two-pass's three plus a checkpoint,
+    * which at sub-cap volume is pure scheduling floor (x79 billed 4.9×
+    * DuckDB at sf1 for exactly this). A ≤2²⁰-row slim frame sorts in one
+    * task in well under a second; REAL volume keeps the two-pass, so no
+    * single task ever sees the whole corpus. The route probe is one
+    * bounded-count job ([[graft.engine.Actions.boundedCount]]) that
+    * re-executes the input plan bounded per partition — callers with an
+    * expensive input should localCheckpoint the slim projection first
+    * (x79 does). `maxSingleWindow = 0` forces the two-pass (the
+    * scale-proof specs and the route A/B test do). */
   def orderedRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
-                          parts: Int = 0): DataFrame = {
+                          parts: Int = 0,
+                          maxSingleWindow: Long = MaxSingleWindowRows): DataFrame = {
     val spark = df.sparkSession
     // the partition scans below read the value via getLong — anything else
     // would ClassCastException deep inside an executor task, so check here
@@ -334,6 +359,17 @@ object Relational {
         org.apache.spark.sql.types.LongType,
       s"orderedRunningTotal: value column '$valueCol' must be BIGINT, got " +
         s"${df.schema(valueCol).dataType.simpleString} — cast('bigint') first")
+    if (maxSingleWindow > 0 &&
+        graft.engine.Actions.boundedCount(df, maxSingleWindow).isDefined) {
+      lastRunningTotalRoute = "window"
+      // coalesce: a leading run of NULL values leaves the window sum NULL
+      // where the two-pass emits 0 — pin the two routes to identical output
+      return df.withColumn("__cum",
+        coalesce(sum(col(valueCol)).over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*)),
+          lit(0L)))
+    }
+    lastRunningTotalRoute = "two-pass"
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)

@@ -1945,12 +1945,15 @@ object Catalog {
     * offset; the report aggregates per bin.
     *
     * The global running token total comes from
-    * [[Relational.orderedRunningTotal]] — the scale-safe two-pass — and
-    * NOT from `sum(n) OVER (ORDER BY doc_id)`, which Spark would plan as a
-    * single-partition window over the whole corpus (the one-task shape the
-    * x51-class audit exists to keep out). The oracle uses exactly that
-    * window form — DuckDB's single-node executor is the right place for
-    * it. */
+    * [[Relational.orderedRunningTotal]], which since round 7 is
+    * SIZE-GATED: a sub-2²⁰-row token table (every local SF) takes the
+    * declarative one-window plan — the two-pass's extra jobs measured as
+    * pure scheduling floor against DuckDB (4.9× at sf1) — while real
+    * volume keeps the scale-safe two-pass, so no single task ever sees
+    * the whole corpus (the one-task shape the x51-class audit exists to
+    * keep out; route A/B pinned in OperatorsSpec). The oracle uses the
+    * window form unconditionally — DuckDB's single-node executor is the
+    * right place for it. */
   val x79 = Q("x79_sequence_packing",
     (s, d) => {
       val nTok = t(s, d, "documents")

@@ -16,6 +16,9 @@ class DriverBoundSpec extends AnyFunSuite {
   val allowed: Map[String, (Int, String)] = Map(
     // Actions.boundedRows is the bounded-collect primitive itself but uses
     // sc.runJob + take, not .collect() — outside this pattern by design
+    "Actions.scala" -> (1,
+      "boundedCount partition-count collect — ONE long per partition, " +
+        "row iteration capped at cap + 1 per task"),
     "EventStreams.scala" -> (1,
       "distinct partition values of ONE micro-batch (bounded by batch size)"),
     "Similarity.scala" -> (2,

@@ -62,12 +62,24 @@ class OperatorsSpec extends AnyFunSuite {
       Relational.keyedRowNumbers(df, Seq("k"), Seq(col("v"))))
   }
 
-  test("orderedRunningTotal treats NULL values as 0 (running-SUM parity)") {
-    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L))).toDF("k", "v")
-    val got = Relational.orderedRunningTotal(df, Seq(col("k")), "v", parts = 2)
+  test("orderedRunningTotal treats NULL values as 0 (running-SUM parity) " +
+    "on BOTH routes, including a leading NULL run") {
+    // doc starts with NULLs: the window route's raw sum is NULL there while
+    // the two-pass emits 0 — the coalesce pins them identical
+    val df = Seq((0L, None), (1L, Some(5L)), (2L, None), (3L, Some(2L)))
+      .toDF("k", "v")
+    val want = Set((0L, 0L), (1L, 5L), (2L, 5L), (3L, 7L))
+    val win = Relational.orderedRunningTotal(df, Seq(col("k")), "v", parts = 2)
       .select("k", "__cum").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 5L), (2L, 5L), (3L, 7L)))
+    assert(Relational.lastRunningTotalRoute == "window")
+    assert(win == want)
+    val twoPass = Relational.orderedRunningTotal(df, Seq(col("k")), "v",
+        parts = 2, maxSingleWindow = 0)
+      .select("k", "__cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Relational.lastRunningTotalRoute == "two-pass")
+    assert(twoPass == want)
   }
 
   test("keyedRowNumbers: multi-key grouping and single-row keys") {
@@ -83,12 +95,16 @@ class OperatorsSpec extends AnyFunSuite {
       ("a", 2, 5, 1L, 1L), ("b", 1, 7, 1L, 1L)))
   }
 
-  test("orderedRunningTotal ≡ global running-sum window on the real corpus") {
+  test("orderedRunningTotal two-pass ≡ global running-sum window on the " +
+    "real corpus (forced route)") {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.sources.Tables.events(spark, SparkTestSession.sf0001)
       .select(col("event_id"), col("user_id"))
+    // maxSingleWindow = 0 forces the two-pass; the reference window IS
+    // the small route's plan, so this doubles as the route A/B oracle
     val got = Relational.orderedRunningTotal(ev, Seq(col("event_id")),
-      "user_id", parts = 7)
+      "user_id", parts = 7, maxSingleWindow = 0)
+    assert(Relational.lastRunningTotalRoute == "two-pass")
     val want = ev.withColumn("__cum", sum("user_id").over(
       Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
         Window.currentRow)))
@@ -96,13 +112,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.count() == want.count())
   }
 
-  test("orderedRunningTotal: empty input and single partition") {
+  test("orderedRunningTotal: empty input and single partition, both routes") {
     val empty = spark.range(0).toDF("v").withColumn("k", col("v"))
     assert(Relational.orderedRunningTotal(empty, Seq(col("k")), "v").count() == 0)
+    assert(Relational.orderedRunningTotal(empty, Seq(col("k")), "v",
+      maxSingleWindow = 0).count() == 0)
     val one = Seq((1L, 5L), (2L, 7L), (3L, 2L)).toDF("k", "v")
-    val got = Relational.orderedRunningTotal(one, Seq(col("k")), "v", parts = 1)
-      .select("k", "__cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 5L), (2L, 12L), (3L, 14L)))
+    for (cap <- Seq(0L, Relational.MaxSingleWindowRows)) {
+      val got = Relational.orderedRunningTotal(one, Seq(col("k")), "v",
+          parts = 1, maxSingleWindow = cap)
+        .select("k", "__cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 5L), (2L, 12L), (3L, 14L)))
+    }
   }
 
   test("saltedDistinctCount is exactly COUNT(DISTINCT) on the real corpus") {

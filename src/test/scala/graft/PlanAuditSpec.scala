@@ -51,7 +51,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x72_gapfill" -> ("bounded daily aggregate localCheckpoint-ed for the " +
       "spine derivation and the left join; partitioning preserved, " +
       "downstream exchange-free (PlanShapeSpec pins it)"),
-    "x79_sequence_packing" -> ("orderedRunningTotal two-pass: the global " +
+    "x79_sequence_packing" -> ("orderedRunningTotal OVER-CAP route only " +
+      "(since the r7 size gate, sub-2²⁰-row inputs — every local SF — " +
+      "take the declarative window and plan no RDD scan): the global " +
       "cumulative sum needs a per-partition sequential prefix scan (the " +
       "documented mapPartitions tier) — the declarative alternative is a " +
       "single-partition window over the whole corpus"),

@@ -50,7 +50,10 @@ class TwoPassScaleSpec extends AnyFunSuite {
   test("orderedRunningTotal is exact (closed form) and near-linear 100k → 1M rows", Slow) {
     def run(n: Long): (Long, Double) = {
       val df = spark.range(n).select(col("id"), col("id").as("w"))
-      val cum = Relational.orderedRunningTotal(df, Seq(col("id")), "w")
+      // force the two-pass — the route this scale proof exists to cover
+      // (the default gate would take the window plan at these row counts)
+      val cum = Relational.orderedRunningTotal(df, Seq(col("id")), "w",
+        maxSingleWindow = 0)
       // inclusive running total of 0..id = id(id+1)/2
       timed(cum.where(col("__cum") =!= expr("id * (id + 1) div 2")).count())
     }
