@@ -369,8 +369,8 @@ object Dedup {
     l.join(r, Seq("band", "key"))
       .where(col("a") < col("b") && firstMatch)
       .select(col("a"), col("b"),
-        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-          .as("cos"))
+        cosine4(VectorFunctions.dot(col("va"), col("vb")),
+          col("na"), col("nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -482,8 +482,8 @@ object Dedup {
       .withColumn("s", explode(salts))
     val hits = a.join(b, Seq("cell", "s"))
       .where(col("a_id") < col("b_id") &&
-        round(VectorFunctions.dot(col("a_v"), col("b_v"))
-          / (col("na") * col("nb")), 4) >= lit(threshold))
+        cosine4(VectorFunctions.dot(col("a_v"), col("b_v")),
+          col("na"), col("nb")) >= lit(threshold))
       .select(col("cell"), col("b_id"))
     // ONE aggregation produces the whole report: the pair hits union the
     // vector rows (tagged b_id = null), then per cell n_vectors counts the
@@ -569,6 +569,100 @@ object Dedup {
       }
       .toDF("cell", "n_vectors", "n_dropped")
       .withColumn("n_kept", col("n_vectors") - col("n_dropped"))
+  }
+
+  /** Dropped-batch-ids core for CROSS-BATCH semantic dedup
+    * ([[graft.pipeline.IncrementalDedup.semanticBatch]]'s scoring seam):
+    * `cells` carries (cell, tag, vec_id, v) where tag 0 marks HISTORY
+    * vectors — kept by an earlier batch, they claim but are never dropped
+    * themselves — and tag 1 marks current-batch vectors. A batch vector is
+    * dropped when its round-4 cosine with ANY history cell-mate or ANY
+    * lower-id batch cell-mate reaches `threshold`; `struct(tag, vec_id)`
+    * IS the priority order, so this is exactly [[semanticDedup]]'s greedy
+    * keep-lowest-id rule extended by "history outranks every batch vector".
+    * Greedy like the one-shot: a DROPPED batch vector still claims later
+    * ids (same-batch determinism; exhaustive clusters are x60's job).
+    * Returns the dropped vec_ids (one column, distinct).
+    *
+    * Size-gated exactly like [[semanticDedup]] (shared dimension-aware
+    * cap): in-contract cells take a per-cell primitive loop with early
+    * exit and zero pair-row materialization; oversized cells the
+    * spill-safe salted pair join. NaN cosines (zero-norm vectors) count
+    * as hits on both routes — Spark SQL orders NaN above every double. */
+  private[graft] def semanticClaimedIds(cells: DataFrame, threshold: Double,
+      saltParts: Int = 8, maxKernelCell: Int = MaxKernelCellRows,
+      kernelCellBytes: Long = KernelCellBytes): DataFrame = {
+    require(saltParts > 0, s"saltParts must be positive, got $saltParts")
+    val stats = cells.groupBy("cell")
+      .agg(count(lit(1)).as("c"), max(size(col("v"))).as("d"))
+      .agg(max(col("c")), max(col("d"))).head
+    val maxCell = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val dim = Option(stats.get(1)).map(_.asInstanceOf[Int]).getOrElse(1).max(1)
+    val cap = math.min(maxKernelCell.toLong,
+      kernelCellBytes / (dim.toLong * 8L))
+    if (maxCell <= cap) {
+      lastSemanticRoute = "kernel"
+      return semanticClaimedKernel(cells, threshold)
+    }
+    lastSemanticRoute = "join"
+    // x83's salted pair join with the id order generalized to the
+    // (tag, vec_id) struct: a = claimants (every row), b = batch rows;
+    // each qualifying pair meets exactly once at s = pmod(a_id).
+    val salts = array((0 until saltParts).map(i => lit(i.toLong)): _*)
+    val withN = cells.withColumn("nrm", VectorFunctions.norm(col("v")))
+    val a = withN.select(col("cell"),
+      struct(col("tag"), col("vec_id")).as("ak"),
+      col("v").as("a_v"), col("nrm").as("na"),
+      pmod(col("vec_id"), lit(saltParts.toLong)).as("s"))
+    val b = withN.where(col("tag") === 1)
+      .select(col("cell"), struct(col("tag"), col("vec_id")).as("bk"),
+        col("v").as("b_v"), col("nrm").as("nb"))
+      .withColumn("s", explode(salts))
+    a.join(b, Seq("cell", "s"))
+      .where(col("ak") < col("bk") &&
+        cosine4(VectorFunctions.dot(col("a_v"), col("b_v")),
+          col("na"), col("nb")) >= lit(threshold))
+      .select(col("bk.vec_id").as("vec_id")).distinct()
+  }
+
+  /** [[semanticClaimedIds]]' kernel route: one cell buffered per task
+    * (bounded by the shared dimension-aware gate), history-first
+    * (cell, tag, vec_id) sort, early-exit scan of each batch vector's
+    * predecessors. [[semanticDedupKernel]]'s determinism contract —
+    * dotArr order, sqrt-of-self-dot norms, HALF_UP round4, NaN = hit. */
+  private def semanticClaimedKernel(cells: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.select(col("cell"), col("tag"), col("vec_id"), col("v"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions("cell", "tag", "vec_id")
+      .as[(Long, Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var cur = 0L; var has = false
+        it.foreach { case (c, tag, id, v) =>
+          if (!has || c != cur) {
+            vecs.clear(); norms.clear(); cur = c; has = true
+          }
+          val nrm = math.sqrt(dotArr(v, v))
+          if (tag == 1) {
+            var hit = false
+            var k = 0
+            while (!hit && k < vecs.length) {
+              val cos = round4(dotArr(vecs(k), v) / (norms(k) * nrm))
+              if (cos.isNaN || cos >= threshold) hit = true
+              k += 1
+            }
+            if (hit) out += id
+          }
+          vecs += v; norms += nrm
+        }
+        out.iterator
+      }
+      .toDF("vec_id")
   }
 
   /** Cross-document repeated-passage removal — the C4/RefinedWeb passage
@@ -756,6 +850,15 @@ object Dedup {
 
   /** Sequential left-to-right dot — the exact summation order of
     * [[graft.functions.DotProduct]] and DuckDB's list_dot_product. */
+  /** Round-4 cosine from precomputed norms, ANSI-safe: Spark 4 raises
+    * DIVIDE_BY_ZERO on double division, so a zero-norm pair must go
+    * through try_divide; the NULL it returns is coalesced to NaN, which
+    * Spark SQL orders above every double — `>= threshold` treats it as a
+    * hit, the same contract the kernels implement in Scala. For nonzero
+    * norms this is bit-identical to the plain division. */
+  private def cosine4(dot: Column, na: Column, nb: Column): Column =
+    round(coalesce(try_divide(dot, na * nb), lit(Double.NaN)), 4)
+
   private def dotArr(x: Array[Double], y: Array[Double]): Double = {
     val n = math.min(x.length, y.length)
     var s = 0.0; var i = 0

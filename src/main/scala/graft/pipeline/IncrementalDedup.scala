@@ -294,6 +294,93 @@ object IncrementalDedup {
     batch.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** SEMANTIC variant of [[dedupBatch]], completing the cross-batch tier's
+    * symmetry with the one-shot operators (exact ↔ [[dedupBatch]], MinHash
+    * ↔ [[nearDupBatch]], winnowing ↔ [[winnowBatch]], passage ↔
+    * [[passageBatch]], SemDeDup x83 ↔ here): the persistent state is the
+    * surviving vectors themselves — (vec_id, v, cell), hive-partitioned by
+    * batch — because semantic claims need the actual embedding, not a
+    * digest. A batch vector is dropped when its round-4 cosine with any
+    * KEPT vector of an earlier batch in its cell, or any lower-id vector
+    * of its own batch in its cell, reaches `threshold`
+    * ([[Dedup.semanticClaimedIds]] — history outranks batch, batch is
+    * keep-lowest-id, greedy like every incremental tier).
+    *
+    * The cell space is PINNED at bootstrap: the first call persists
+    * `cents` under `historyPath/centroids`, and every later call loads
+    * the persisted table and IGNORES its `cents` argument — retrained
+    * centroids would reassign cells and silently break cross-batch claims
+    * (the SemDeDup contract compares within a fixed cell space; re-pin by
+    * starting a new history path). `threshold` is the caller's contract
+    * to keep stable, as with `dupFrac` in the text tiers.
+    *
+    * Scale shape: x83's discipline end to end — cell assignment is the
+    * size-gated NearestCentroids kernel/window route, the claim check
+    * routes per-cell kernel vs salted join on the shared dimension-aware
+    * gate, and only the slim (vec_id, v, cell) rows of SURVIVORS are
+    * persisted (the state grows with the kept corpus, the minimum any
+    * semantic claim can carry). History reads are partition-pruned
+    * single-pass scans of the other batches.
+    *
+    * Retry contract: identical to [[dedupBatch]] — partition-pruned
+    * history read + dynamic-overwrite state write, so a redelivered batch
+    * reproduces its original survivor set against the original pinned
+    * centroids. Null-embedding rows carry no semantic signal and PASS
+    * THROUGH unpersisted (the token-free-doc treatment in the text
+    * tiers); vec_ids must be globally unique across batches (the same
+    * doc_id contract as every other tier). */
+  def semanticBatch(batch: DataFrame, historyPath: String, batchId: String,
+                    cents: DataFrame, threshold: Double,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = FileSystem.get(new java.net.URI(historyPath),
+      spark.sessionState.newHadoopConf())
+    val centPath = s"$historyPath/centroids"
+    val vecPath = s"$historyPath/vectors"
+    val pinnedCents =
+      if (fs.exists(new Path(centPath))) spark.read.parquet(centPath)
+      else {
+        // double-cast ONCE at pin time so every batch assigns against
+        // bit-identical centroid doubles
+        cents.select(col("cid"),
+            graft.functions.VectorFunctions.asDouble(col("cv")).as("cv"))
+          .write.mode("overwrite").parquet(centPath)
+        spark.read.parquet(centPath)
+      }
+    // slim (cell, vec_id, v) rows feed the route probe, the claim check
+    // AND the state write — checkpoint so assignment runs once
+    val assigned = graft.operators.Similarity.cellsRankedAuto(
+        batch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+        pinnedCents, 1)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"),
+        col("cid").as("cell"))
+      .localCheckpoint(false)
+    val hist =
+      if (fs.exists(new Path(vecPath)))
+        // explicit schema ([[winnowBatch]]'s guard): a first batch of
+        // null-embedding rows pins zero vectors → data-free state dir
+        spark.read
+          .schema("vec_id LONG, v ARRAY<DOUBLE>, cell LONG, batch STRING")
+          .parquet(vecPath)
+          .where(col("batch") =!= batchId) // partition-pruned re-run guard
+          .select(col("cell"), lit(0).as("tag"), col("vec_id"), col("v"))
+      else assigned.limit(0)
+        .select(col("cell"), lit(0).as("tag"), col("vec_id"), col("v"))
+    val cells = hist.unionByName(assigned
+      .select(col("cell"), lit(1).as("tag"), col("vec_id"), col("v")))
+    val dropped = Dedup.semanticClaimedIds(cells, threshold)
+    val pinned = assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .localCheckpoint(false)
+    pinned.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(vecPath)
+    batch.join(dropped.withColumnRenamed("vec_id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** One row per (doc row, band): the [[Dedup.bandKeyCols]] keys exploded
     * alongside the carried columns. */
   private def explodeBands(df: DataFrame, sigCol: Column): DataFrame = {

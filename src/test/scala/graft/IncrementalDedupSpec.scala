@@ -197,4 +197,70 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val s2 = IncrementalDedup.passageBatch(b2, hist, "b2", dupFrac = 0.55)
     assert(s2.count() == 0L, "boundary doc must drop under exact compare")
   }
+
+  test("semanticBatch: within-batch keep-lowest-id, cross-batch claim by " +
+    "KEPT history vectors, pinned centroids, null passthrough, " +
+    "idempotent retry") {
+    import org.apache.spark.sql.functions.col
+    val hist = Files.createTempDirectory("graft_sem_hist").toString + "/h"
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cv")
+    val b1 = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),     // cell 0, kept
+      (11L, Array(0.99f, 0.1f, 0f, 0f)), // cos(10,11) ≈ 0.995 → dropped
+      (12L, Array(0f, 1f, 0f, 0f)))     // cell 1, kept
+      .toDF("vec_id", "embedding")
+    val s1 = IncrementalDedup.semanticBatch(b1, hist, "b1", cents, 0.95)
+    assert(s1.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 12L))
+    assert(graft.operators.Dedup.lastSemanticRoute == "kernel")
+    assert(spark.read.parquet(s"$hist/vectors").count() == 2) // survivors only
+
+    val b2 = Seq(
+      (20L, Array(0.98f, 0.05f, 0.05f, 0f)), // ≈ kept 10 → dropped
+      (21L, Array(0f, 0.9f, 0.4f, 0f)),      // cos vs 12 ≈ 0.914 < 0.95 → kept
+      (22L, Array(0f, 0.95f, 0.3f, 0f)),     // cos vs 12 ≈ 0.954 → dropped
+      (23L, null.asInstanceOf[Array[Float]])) // no signal: passes through
+      .toDF("vec_id", "embedding")
+    // DIFFERENT cents argument: must be ignored — the cell space was
+    // pinned at bootstrap, so the claims still resolve against b1's cells
+    val otherCents = Seq((0L, Array(0f, 0f, 1f, 0f))).toDF("cid", "cv")
+    val s2 = IncrementalDedup.semanticBatch(b2, hist, "b2", otherCents, 0.95)
+    assert(s2.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(21L, 23L))
+    // state: b1's two survivors + b2's one embedded survivor (23 has no
+    // vector to persist)
+    assert(spark.read.parquet(s"$hist/vectors").count() == 3)
+
+    // retry: redelivered b2 reproduces the original survivor set
+    val s2r = IncrementalDedup.semanticBatch(b2, hist, "b2", otherCents, 0.95)
+    assert(s2r.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(21L, 23L))
+    assert(spark.read.parquet(s"$hist/vectors").count() == 3)
+  }
+
+  test("semanticClaimedIds: kernel route ≡ salted join route, history " +
+    "outranks batch, zero-norm NaN counts as a hit") {
+    import org.apache.spark.sql.functions.col
+    val cells = Seq(
+      // cell 0: history vec claims batch 5 (identical); batch 6 far
+      (0L, 0, 1L, Array(1.0, 0.0)),
+      (0L, 1, 5L, Array(1.0, 0.01)),
+      (0L, 1, 6L, Array(-1.0, 0.2)),
+      // cell 1: no history; batch keep-lowest-id (7 claims 8); 9 zero-norm
+      // NaN cosine → dropped on both routes
+      (1L, 1, 7L, Array(0.0, 1.0)),
+      (1L, 1, 8L, Array(0.01, 1.0)),
+      (1L, 1, 9L, Array(0.0, 0.0)))
+      .toDF("cell", "tag", "vec_id", "v")
+    def ids(maxCell: Int) = graft.operators.Dedup
+      .semanticClaimedIds(cells, 0.95, maxKernelCell = maxCell)
+      .as[Long].collect().sorted.toSeq
+    val kernel = ids(1 << 16)
+    assert(graft.operators.Dedup.lastSemanticRoute == "kernel")
+    val join = ids(0)
+    assert(graft.operators.Dedup.lastSemanticRoute == "join")
+    assert(kernel == Seq(5L, 8L, 9L))
+    assert(join == kernel)
+  }
 }
