@@ -685,10 +685,19 @@ object Dedup {
   private[graft] def passageChunks(docs: DataFrame, chunkTokens: Int,
                                    textCol: String,
                                    carry: Seq[String] = Nil): DataFrame =
-    docs.select((carry :+ "doc_id").map(col) :+
+    docs
+      // token-free exclusion via a predicate the optimizer can push to the
+      // scan WITHOUT evaluating the token split there: tokens = split on
+      // ' ' filtered non-empty, so n > 0 ⟺ some non-space char ⟺ trim
+      // strips to non-empty. The old where(size(toks) > 0) form pushed the
+      // WHOLE split below any caller's spread exchange (perf trap (a) —
+      // the expression then evaluated on the 1-2 parquet input splits and
+      // again post-exchange), which is why the round-6 kernelDocs A/B on
+      // x85 measured as a wash.
+      .where(trim(col(textCol)) =!= "")
+      .select((carry :+ "doc_id").map(col) :+
         expr(Portable.tokens(SparkD, textCol)).as("toks"): _*)
       .withColumn("n", size(col("toks")))
-      .where(col("n") > 0)
       .select((carry :+ "doc_id").map(col) ++ Seq(col("toks"),
         explode(expr(s"sequence(1, n, $chunkTokens)")).as("off")): _*)
       .select((carry :+ "doc_id").map(col) ++ Seq(
@@ -763,10 +772,16 @@ object Dedup {
     // first occurrence lies in doc, and n_chunks is closed-form from the
     // token count (offsets step by chunkTokens), via the one-byte-scan
     // TokenCount kernel — no second tokenize, no explode on that side.
+    // IDENTICAL base subtree on both consumers — the same trim predicate
+    // passageChunks pins (n > 0 ⟺ trim non-empty, so no second filter is
+    // needed): after pushdown both sides read
+    // Repartition(Filter(Project(Scan))) and ReuseExchange collapses the
+    // two corpus scans + exchanges into one (measured as two separate
+    // ~0.13 s scan jobs at sf1 before the alignment).
     val perDoc = docs
+      .where(trim(col(textCol)) =!= "")
       .select(col("doc_id"),
         graft.functions.TextHashFunctions.tokenCount(col(textCol)).as("n"))
-      .where(col("n") > 0)
       .select(col("doc_id"),
         expr(s"CAST((n + ${chunkTokens - 1}) div $chunkTokens AS BIGINT)")
           .as("n_chunks"))

@@ -119,6 +119,12 @@ object Similarity {
         "s -> s.cp)").as("cpArr"))
       .withColumn("sc", expr(decSum(
         "transform(cpArr, c -> CAST(round(c * c, 6) AS DECIMAL(38,6)))")))
+    // NOTE a ReuseExchange between this scan and the posexplode pass above
+    // was tried (aligning pruned columns) and does NOT fire: the exists
+    // filter below pushes beneath the caller's spread exchange BY DESIGN
+    // (it is the cheap scan-side predicate), which makes the two exchange
+    // subtrees differ. The second scan+exchange is ~0.08 s at sf1 —
+    // cheaper than un-pushing the filter or re-scoring zero vectors.
     emb.select(col("label"), V.asDouble(col("embedding")).as("v"))
       .join(broadcast(centArr), Seq("label"))
       .select(col("label"), col("sc"),

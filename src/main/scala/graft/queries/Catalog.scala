@@ -2284,12 +2284,17 @@ object Catalog {
     * for the window (key cardinality = distinct passages), one doc_id agg;
     * the x51-audit is clean on both keys. */
   val x85 = Q("x85_passage_dedup",
-    // NO kernelDocs spread: A/B'd at sf1 as a wash (1.34 pre / 1.23–1.40
-    // post — the chunk stage on 2 input splits is NOT the binding cost)
-    // while at sf0.1 its exchange + AQE stage jobs are pure floor; at
-    // corpus scale input splits abound and the question disappears. See
-    // passageDedup's scaladoc for the sort-free keep-first trade
-    (s, d) => Dedup.passageDedup(t(s, d, "documents")).orderBy("doc_id"),
+    // kernelDocs spread RE-ADDED in round 7: the round-6 A/B measured it
+    // as a wash, but profiling showed why — passageChunks' old
+    // where(size(toks) > 0) pushed the token split below the exchange
+    // (trap (a)), so the corpus tokenized on the 2 parquet input splits
+    // anyway and the exchange was pure cost. With the filter rewritten to
+    // the scan-cheap trim predicate the chunk+md5 stage genuinely runs on
+    // 32 tasks: 1.76 → 1.15 s at sf1 (JobProfile, same session). At
+    // corpus scale input splits abound and the exchange is skippable, but
+    // the by-doc_id hash partitioning is still what the downstream
+    // aggregates want.
+    (s, d) => Dedup.passageDedup(kernelDocs(s, d)).orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")}
             |    AS toks FROM documents),
             |t2 AS (SELECT doc_id, toks, length(toks) AS n FROM t

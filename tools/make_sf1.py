@@ -1,20 +1,30 @@
 #!/usr/bin/env python3
-"""Derive an sf1 bench directory as 10x sf0.1 (oracle-side tooling, like
-bench_duckdb.py). The replication is designed so the workload scales
-LINEARLY rather than turning dedup into a quadratic cross-replica blowup:
+"""Derive an sfN bench directory as (replicas/10 x sf1) = replicas x sf0.1
+(oracle-side tooling, like bench_duckdb.py). The replication is designed so
+the workload scales LINEARLY rather than turning dedup into a quadratic
+cross-replica blowup:
 
-- fact/dim keys shift by k * (dense key range) per replica k in 0..9, so
+- fact/dim keys shift by k * (dense key range) per replica k in 0..R-1, so
   foreign keys stay consistent and bounded-id query filters (doc_id < 200,
   vec_id < 5) keep their original bounded subsets;
-- document text is letter-ROTATED per replica (translate over the 10 most
-  frequent letters, k = 0 identity): intra-replica duplicate classes are
-  preserved exactly (same transform on identical text, length unchanged so
-  n_chars stays true), while cross-replica shingle/minhash/simhash overlap
-  collapses -- duplicate structure scales x10, not x45 pairs per class;
+- document text is letter-ROTATED per replica (k = 0 identity): intra-replica
+  duplicate classes are preserved exactly (same transform on identical text,
+  length unchanged so n_chars stays true), while cross-replica
+  shingle/minhash/simhash overlap collapses -- duplicate structure scales
+  x R, not x C(R,2) pairs per class. Past 10 replicas the single 10-letter
+  rotation runs out of distinct permutations, so the transform is COMPOSITE:
+  rotate 'etaoinshrd' by k%10 and the DISJOINT set 'lucmf' by (k//10)%5 --
+  50 pairwise-distinct length-preserving permutations (sf5). Replicas
+  sharing the first rotation still differ in every l/u/c/m/f occurrence,
+  which holds cross-replica Jaccard far below every dedup threshold in the
+  catalog (x18's band threshold is ~0.92);
 - embeddings are array-ROTATED per replica (norm-preserving; a random
   synthetic vector is near-orthogonal to its rotation) for the same reason.
+  The corpus dim is 64, so replicas are capped at 64 (sf6.4) before
+  rotations would wrap onto earlier replicas.
 
-Usage: make_sf1.py [src_sf_dir] [dst_dir]
+Usage: make_sf1.py [src_sf_dir] [dst_dir] [replicas]
+  replicas = 10 (default) -> sf1;  50 -> sf5.
 """
 import os
 import sys
@@ -23,10 +33,19 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+assert 1 <= R <= 50, f"replicas must be in 1..50 (embedding dim 64, text {10 * 5} perms), got {R}"
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
-ROT = "etaoinshrd"  # 10 distinct rotations; k=0 is the identity
+ROT_A = "etaoinshrd"  # 10 distinct rotations; k=0 is the identity
+ROT_B = "lucmf"       # disjoint 5-letter set; composite gives 50 perms
+
+# composite length-preserving permutation of replica k (SQL fragment)
+TEXT_ROT = (
+    f"translate(translate(text,"
+    f" '{ROT_A}', substr('{ROT_A}{ROT_A}', CAST(k % 10 AS INT) + 1, 10)),"
+    f" '{ROT_B}', substr('{ROT_B}{ROT_B}', CAST((k // 10) % 5 AS INT) + 1, 5))")
 
 
 def copy(name, sql):
@@ -43,44 +62,43 @@ for t in ("region", "nation"):
 copy("customer", f"""
   SELECT c_custkey + k*15000 AS c_custkey, c_name, c_nationkey, c_acctbal,
          c_mktsegment
-  FROM '{src}/customer.parquet', range(10) r(k)""")
+  FROM '{src}/customer.parquet', range({R}) r(k)""")
 
 copy("supplier", f"""
   SELECT s_suppkey + k*1000 AS s_suppkey, s_name, s_nationkey, s_acctbal
-  FROM '{src}/supplier.parquet', range(10) r(k)""")
+  FROM '{src}/supplier.parquet', range({R}) r(k)""")
 
 copy("part", f"""
   SELECT p_partkey + k*20000 AS p_partkey, p_name, p_brand, p_type, p_size,
          p_retailprice
-  FROM '{src}/part.parquet', range(10) r(k)""")
+  FROM '{src}/part.parquet', range({R}) r(k)""")
 
 copy("orders", f"""
   SELECT o_orderkey + k*150000 AS o_orderkey, o_custkey + k*15000 AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-  FROM '{src}/orders.parquet', range(10) r(k)""")
+  FROM '{src}/orders.parquet', range({R}) r(k)""")
 
 copy("lineitem", f"""
   SELECT l_orderkey + k*150000 AS l_orderkey, l_partkey + k*20000 AS l_partkey,
          l_suppkey + k*1000 AS l_suppkey, l_linenumber, l_quantity,
          l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
          l_shipdate
-  FROM '{src}/lineitem.parquet', range(10) r(k)""")
+  FROM '{src}/lineitem.parquet', range({R}) r(k)""")
 
 copy("events", f"""
   SELECT event_id + k*100000 AS event_id, ts, user_id + k*1500 AS user_id,
          event_type, value, props
-  FROM '{src}/events.parquet', range(10) r(k)""")
+  FROM '{src}/events.parquet', range({R}) r(k)""")
 
 copy("documents", f"""
   SELECT doc_id + k*5000 AS doc_id,
-         translate(text, '{ROT}', substr('{ROT}{ROT}', CAST(k AS INT) + 1, 10))
-           AS text,
+         {TEXT_ROT} AS text,
          lang, source, n_chars
-  FROM '{src}/documents.parquet', range(10) r(k)""")
+  FROM '{src}/documents.parquet', range({R}) r(k)""")
 
 copy("embeddings", f"""
   SELECT vec_id + k*2000 AS vec_id,
          embedding[(CAST(k AS INT) + 1):] || embedding[:CAST(k AS INT)]
            AS embedding,
          label
-  FROM '{src}/embeddings.parquet', range(10) r(k)""")
+  FROM '{src}/embeddings.parquet', range({R}) r(k)""")
