@@ -874,7 +874,10 @@ object Dedup {
   private def cosine4(dot: Column, na: Column, nb: Column): Column =
     round(coalesce(try_divide(dot, na * nb), lit(Double.NaN)), 4)
 
-  private def dotArr(x: Array[Double], y: Array[Double]): Double = {
+  // private[graft]: the streaming tier's semantic dedup replicates the
+  // identical cosine arithmetic (sequential dot, HALF_UP round4) so its
+  // keep decisions bit-match the batch kernels'
+  private[graft] def dotArr(x: Array[Double], y: Array[Double]): Double = {
     val n = math.min(x.length, y.length)
     var s = 0.0; var i = 0
     while (i < n) { s += x(i) * y(i); i += 1 }
@@ -882,7 +885,7 @@ object Dedup {
   }
 
   /** Spark's `round(_, 4)` on doubles: BigDecimal HALF_UP. */
-  private def round4(v: Double): Double =
+  private[graft] def round4(v: Double): Double =
     if (v.isNaN || v.isInfinite) v
     else java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -187,6 +187,105 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  final case class SurvivorVec(ts: Timestamp, vec_id: Long, cell: Long)
+
+  /** Streaming semantic dedup — the online face of the batch SemDeDup
+    * (x83 / [[graft.operators.Dedup.semanticDedup]]), completing the
+    * streaming tier's symmetry with the batch dedup story (exact ↔
+    * [[streamingDedup]], MinHash ↔ [[streamingNearDedup]], passage ↔
+    * [[streamingPassageDedup]], winnowing ↔ [[streamingWinnowClaims]],
+    * semantic ↔ here): each arriving vector is assigned to its nearest
+    * STATIC centroid per-row (the same broadcast
+    * [[graft.functions.NearestCentroids]] kernel as batch — no join, no
+    * shuffle beyond the cell grouping) and survives only if no
+    * already-KEPT vector of its cell inside the watermark window reaches
+    * `threshold` round-4 cosine with it. Centroids are a static input by
+    * the same reasoning as [[streamingQualityGate]]'s thresholds: k-means
+    * over an unbounded stream is not well-defined — train offline
+    * ([[graft.operators.Similarity.kmeansCentroids]] on a corpus
+    * snapshot), pin, refresh by restarting with new centroids (the
+    * [[graft.pipeline.IncrementalDedup.semanticBatch]] pinning contract).
+    *
+    * State per cell is the kept vectors inside the watermark window —
+    * bounded by watermark length × kept-rate, evicted by event time (a
+    * full-state timeout clears a quiet cell). Determinism is STRONGER
+    * than the dropDuplicates tiers: within a micro-batch candidates are
+    * processed in (ts, vec_id) order, so the earliest (then lowest-id)
+    * vector of a near-dup group wins — the batch keep-lowest-id rule with
+    * arrival time prepended. Identical redelivery inside the window
+    * self-claims at cosine 1.0 (NaN for zero-norm vectors counts as a
+    * hit — the batch kernels' contract, same dotArr/round4 arithmetic).
+    * Emits the surviving (ts, vec_id, cell) rows in append mode. */
+  def streamingSemanticDedup(vecs: DataFrame, cents: DataFrame,
+                             threshold: Double, tsCol: String = "ts",
+                             idCol: String = "vec_id",
+                             embCol: String = "embedding",
+                             watermark: String = "1 hour"): Dataset[SurvivorVec] = {
+    import graft.functions.VectorFunctions
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = graft.engine.Actions.boundedRows(
+        cents.select(col("cid"), VectorFunctions.asDouble(col("cv"))),
+        Similarity.MaxBroadcastCentroids)
+      .getOrElse(throw new IllegalStateException(
+        s"streamingSemanticDedup: centroid table exceeds " +
+          s"${Similarity.MaxBroadcastCentroids} rows; it rides a broadcast " +
+          "by the SemDeDup k-growth contract — train fewer centroids or " +
+          "shard the stream"))
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(
+      (sorted.map(_._1), sorted.map(_._2)))
+    val assigned = vecs
+      .where(col(embCol).isNotNull)
+      .select(col(tsCol).as("ts"), col(idCol).as("vec_id"),
+        VectorFunctions.asDouble(col(embCol)).as("v"))
+      .withColumn("cell", element_at(B.column(
+        graft.functions.NearestCentroids(B.expression(col("v")), bc, 1)), 1))
+      .withWatermark("ts", watermark)
+      .as[(Timestamp, Long, Array[Double], Long)]
+
+    def update(cell: Long, batch: Iterator[(Timestamp, Long, Array[Double], Long)],
+               state: GroupState[Seq[(Long, Double, Array[Double])]])
+        : Iterator[SurvivorVec] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val wm = state.getCurrentWatermarkMs()
+        // evict kept vectors that fell out of the window — the same
+        // event-time eviction dropDuplicatesWithinWatermark applies
+        var kept = state.getOption.getOrElse(Seq.empty).filter(_._1 >= wm)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SurvivorVec]
+        batch.toSeq.sortBy(r => (r._1.getTime, r._2)).foreach {
+          case (ts, id, v, _) =>
+            val nrm = math.sqrt(Dedup.dotArr(v, v))
+            val hit = kept.exists { case (_, kn, kv) =>
+              val cos = Dedup.round4(Dedup.dotArr(kv, v) / (kn * nrm))
+              cos.isNaN || cos >= threshold
+            }
+            if (!hit) {
+              kept = kept :+ ((ts.getTime, nrm, v))
+              out += SurvivorVec(ts, id, cell)
+            }
+        }
+        if (kept.isEmpty) state.remove()
+        else {
+          state.update(kept)
+          // full-state timeout: fires once the watermark passes the
+          // newest kept vector, when every entry is evictable anyway
+          state.setTimeoutTimestamp(
+            math.max(kept.map(_._1).max, wm) + 1)
+        }
+        out.iterator
+      }
+    }
+
+    assigned.groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming quality gate — the online face of the batch
     * [[graft.functions.TextAnalysis.qualityGate]] (x96), completing the
     * curation seam the dedup tier already has: score each arriving

@@ -565,6 +565,50 @@ class EventStreamsSpec extends AnyFunSuite {
         b1.toDF("doc_id", "source", "text"), k = 0))
   }
 
+  test("streaming semantic dedup: keep-first within a micro-batch, " +
+    "cross-batch claims by kept vectors, watermark eviction re-admits, " +
+    "null embeddings pass out of scope") {
+    val dir = Files.createTempDirectory("graft_ssem").toString
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cv")
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val schema = Seq.empty[(java.sql.Timestamp, Long, Array[Float])]
+      .toDF("ts", "vec_id", "embedding").schema
+    // b1 at 10:00 — keep-lowest-id within the batch
+    Seq((ts("10:00"), 10L, Array(1f, 0f, 0f, 0f)),
+        (ts("10:00"), 11L, Array(0.99f, 0.1f, 0f, 0f)), // ≈10 → dropped
+        (ts("10:00"), 12L, Array(0f, 1f, 0f, 0f)),
+        (ts("10:00"), 13L, null.asInstanceOf[Array[Float]])) // out of scope
+      .toDF("ts", "vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingSemanticDedup(src, cents, 0.95,
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssem").start()
+    try {
+      q.processAllAvailable()
+      def ids() = spark.table("ssem").collect().map(_.getLong(1)).sorted.toSeq
+      assert(ids() == Seq(10L, 12L))
+      // b2 at 11:00 — watermark is still 09:50 (from b1), so b1's kept
+      // vectors claim: 20 ≈ kept 10 → dropped; 21 under threshold vs 12
+      Seq((ts("11:00"), 20L, Array(0.98f, 0.05f, 0.05f, 0f)),
+          (ts("11:00"), 21L, Array(0f, 0.9f, 0.4f, 0f)))
+        .toDF("ts", "vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      assert(ids() == Seq(10L, 12L, 21L))
+      // b3 at 11:30 — watermark advanced to 10:50 past b1's ts, so kept
+      // 10 is EVICTED and an identical vector re-enters the corpus window
+      Seq((ts("11:30"), 30L, Array(1f, 0f, 0f, 0f)))
+        .toDF("ts", "vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$dir/b3")
+      q.processAllAvailable()
+      assert(ids() == Seq(10L, 12L, 21L, 30L))
+    } finally q.stop()
+  }
+
   test("streaming top-k exemplars: a MUTATED redelivery (same doc_id, new " +
     "text/quality) occupies one slot at its best quality") {
     def doc(i: Int) = ((1 to i).map(_ => "the") ++
