@@ -123,13 +123,19 @@ object Catalog {
   /** Q1 — C10/C11 projection + rename (reference transform's column surface,
     * dags/rocket_launch_etl.py:87-99). */
   val q01 = Q("q01_project_rename",
+    // rflag closes the sort to a TOTAL order: the corpus contains rows
+    // with identical (orderkey, partkey, linenumber) but different
+    // returnflags (8 at sf0.1, 80 at sf1), and on a non-total key the two
+    // engines ordered the ties differently at sf1 (caught by the round-7
+    // sf1 oracle gate; sf0.01/sf0.1 passed by luck)
     (s, d) => t(s, d, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
         col("l_returnflag").as("rflag"), col("l_linenumber"))
-      .orderBy(col("okey"), col("pkey"), col("l_linenumber"))
+      .orderBy(col("okey"), col("pkey"), col("l_linenumber"), col("rflag"))
       .select("okey", "pkey", "rflag"),
     Some("""SELECT l_orderkey AS okey, l_partkey AS pkey, l_returnflag AS rflag
-           |FROM lineitem ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin))
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_partkey, l_linenumber, rflag""".stripMargin))
 
   /** Q2 — C12 timestamp→date cast (dags/rocket_launch_etl.py:102). */
   val q02 = Q("q02_cast_date",
@@ -1111,20 +1117,35 @@ object Catalog {
               expr("(__rn - 1) div (__q + 1)"))
             .otherwise(col("__r") + expr("(__rn - 1 - __r * (__q + 1)) div __q"))
             + 1).cast("int"))
+        // pr/cd as EXACT integer HALF_UP, not round(double, 4): rn/n is a
+        // rational that lands exactly on 4-decimal .xxxx5 boundaries
+        // (22600/160000 = 0.141250), where Spark rounds the shortest
+        // decimal UP and DuckDB rounds the ×10⁴-scaled binary DOWN (the
+        // x81 class — diverged at sf1, row 204932). HALF_UP(x/y, 4) ≡
+        // (20000x + y) div (2y) for positive ints; k/10000.0 then casts
+        // identically on both engines. The window's total order (unique
+        // o_orderkey tiebreak) means no peer groups, so cume_dist = rn/n.
         .select(col("o_orderkey"), col("o_orderpriority"), col("quartile"),
           when(n === 1, lit(0.0))
-            .otherwise(round((rn - 1) / (n - 1), 4)).as("pr"),
-          round(rn / n, 4).as("cd"))
+            .otherwise(expr("CAST((20000 * (__rn - 1) + (__n - 1)) div " +
+              "(2 * (__n - 1)) AS DOUBLE) / 10000")).as("pr"),
+          expr("CAST((20000 * __rn + __n) div (2 * __n) AS DOUBLE) / 10000")
+            .as("cd"))
         .orderBy("o_orderkey")
     },
-    Some("""SELECT o_orderkey, o_orderpriority,
-           |  ntile(4) OVER w AS quartile,
-           |  round(percent_rank() OVER w, 4) AS pr,
-           |  round(cume_dist() OVER w, 4) AS cd
-           |FROM orders
-           |WINDOW w AS (PARTITION BY o_orderpriority
-           |  ORDER BY o_totalprice DESC, o_orderkey)
-           |ORDER BY o_orderkey""".stripMargin),
+    Some("""WITH r AS (SELECT o_orderkey, o_orderpriority,
+           |    ntile(4) OVER w AS quartile,
+           |    row_number() OVER w AS rn,
+           |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+           |  FROM orders
+           |  WINDOW w AS (PARTITION BY o_orderpriority
+           |    ORDER BY o_totalprice DESC, o_orderkey))
+           |SELECT o_orderkey, o_orderpriority, quartile,
+           |  CASE WHEN n = 1 THEN 0.0
+           |    ELSE CAST((20000 * (rn - 1) + (n - 1)) // (2 * (n - 1))
+           |      AS DOUBLE) / 10000 END AS pr,
+           |  CAST((20000 * rn + n) // (2 * n) AS DOUBLE) / 10000 AS cd
+           |FROM r ORDER BY o_orderkey""".stripMargin),
     bench = false)
 
   /** Array-function kit over the token arrays: distinct count, lexicographic
@@ -1580,9 +1601,17 @@ object Catalog {
   val x67 = Q("x67_winsorize",
     (s, d) => {
       val e = t(s, d, "events")
+      // Clip bounds rounded to 4 decimals — the DECLARED winsorize
+      // semantics since round 7: the interpolated percentile of 2-decimal
+      // values is an exact ≤4-decimal rational, but each engine computes
+      // it 1 ulp off in its own direction, and at sf1 the bound lands ON
+      // a 10-copy tied value — the strict comparisons below then flipped
+      // all 10 copies (n_clipped 3990 vs 4000). round(·, 4) of a value
+      // 1 ulp from a 4-decimal point is safely far from the .00005
+      // rounding boundary, so both engines pin the identical bound.
       val bounds = e.groupBy("event_type")
-        .agg(expr("percentile(value, 0.01)").as("lo"),
-          expr("percentile(value, 0.99)").as("hi"))
+        .agg(round(expr("percentile(value, 0.01)"), 4).as("lo"),
+          round(expr("percentile(value, 0.99)"), 4).as("hi"))
       reportSort(
         e.join(broadcast(bounds), "event_type")
           .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
@@ -1596,8 +1625,8 @@ object Catalog {
         col("event_type"))
     },
     Some("""WITH b AS (SELECT event_type,
-           |    quantile_cont(value, 0.01) AS lo,
-           |    quantile_cont(value, 0.99) AS hi
+           |    round(quantile_cont(value, 0.01), 4) AS lo,
+           |    round(quantile_cont(value, 0.99), 4) AS hi
            |  FROM events GROUP BY 1)
            |SELECT e.event_type, COUNT(*) AS n,
            |  CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
