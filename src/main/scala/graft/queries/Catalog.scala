@@ -112,6 +112,23 @@ object Catalog {
     t(s, d, "documents").select("doc_id", "text")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
+  /** [[kernelDocs]] with the spread GATED on the scan's size estimate
+    * (optimizedPlan.stats — the parquet file bytes; no job): under the cap
+    * the kernel work on 1-2 input splits costs less than the exchange +
+    * its AQE stage jobs (x85 at sf0.1: the unconditional spread measured
+    * +0.33 s of pure floor), above it the serialized scan dominates (x85
+    * at sf1: 1.76 → 1.12 s WITH the spread). At corpus scale input splits
+    * abound, the estimate blows past any cap, and the branch is moot —
+    * but hash-clustering by doc_id is still what the downstream
+    * aggregates want. */
+  private val SpreadBytes = 2L << 20
+  private def kernelDocsAuto(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").select("doc_id", "text")
+    if (base.queryExecution.optimizedPlan.stats.sizeInBytes >= SpreadBytes)
+      base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    else base
+  }
+
   /** Cap on the bigram-LM entries x81 will pull to the driver and broadcast
     * (same role and magnitude as [[Dedup.MaxBroadcastShingles]]): ~60 MB of
     * (bigram, logprob) rows. A corpus whose bigram vocabulary exceeds this
@@ -2313,17 +2330,17 @@ object Catalog {
     * for the window (key cardinality = distinct passages), one doc_id agg;
     * the x51-audit is clean on both keys. */
   val x85 = Q("x85_passage_dedup",
-    // kernelDocs spread RE-ADDED in round 7: the round-6 A/B measured it
-    // as a wash, but profiling showed why — passageChunks' old
+    // kernelDocs spread RE-ADDED in round 7 (bytes-gated): the round-6 A/B
+    // measured it as a wash, but profiling showed why — passageChunks' old
     // where(size(toks) > 0) pushed the token split below the exchange
     // (trap (a)), so the corpus tokenized on the 2 parquet input splits
     // anyway and the exchange was pure cost. With the filter rewritten to
     // the scan-cheap trim predicate the chunk+md5 stage genuinely runs on
-    // 32 tasks: 1.76 → 1.15 s at sf1 (JobProfile, same session). At
-    // corpus scale input splits abound and the exchange is skippable, but
-    // the by-doc_id hash partitioning is still what the downstream
-    // aggregates want.
-    (s, d) => Dedup.passageDedup(kernelDocs(s, d)).orderBy("doc_id"),
+    // 32 tasks: 1.76 → 1.12 s at sf1 (JobProfile, same session). The gate
+    // (kernelDocsAuto) keeps sf0.1 off the spread, where the exchange +
+    // AQE stage jobs measured +0.33 s of pure floor against a 0.15 s
+    // 2-task chunk stage.
+    (s, d) => Dedup.passageDedup(kernelDocsAuto(s, d)).orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, ${Portable.tokens(DuckD, "text")}
             |    AS toks FROM documents),
             |t2 AS (SELECT doc_id, toks, length(toks) AS n FROM t
