@@ -104,13 +104,21 @@ object Bench {
         System.err.println(s"[bench] could not write bench_metric.json: $e")
     }
     spark.stop()
-    // Re-print the metric line as the ABSOLUTE last stdout action, after
-    // spark.stop(): six rounds of BENCH_r0N.json carried "parsed": null even
-    // with the early println — Spark's shutdown logging interleaves with (or
-    // splits) any line printed while the session is live. With the session
-    // stopped nothing else writes to stdout, so a tail-grep sees one intact
-    // line. (The early println and the file copy above are kept as backups.)
-    println(line)
+    // Re-print a metric line as the ABSOLUTE last stdout action, after
+    // spark.stop(). Seven rounds of BENCH_r0N.json carried "parsed": null;
+    // BENCH_r07 finally showed why: the driver keeps only the LAST 2000
+    // chars of stdout (its "tail" field is exactly 2000 chars and begins
+    // mid-line), and the full 101-query line is ~4.5k chars — the window
+    // can never hold it, no matter where it's printed. So the final line is
+    // a COMPACT one: head-set per-query detail plus extended/floor
+    // aggregates, ~1.3k chars, fitting the window even with sbt's trailing
+    // "[success]" line. Full per-query detail (both tiers) stays in the
+    // early println above and in bench_metric.json.
+    val compact =
+      s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
+      s""""extended_total":${total(ext)},"extended_n":${ext.size},""" +
+      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},"sf":"$sfDir"}"""
+    println(compact)
     System.out.flush()
   }
 }
