@@ -85,10 +85,23 @@ object Bench {
     val head = benchSet(pick(Catalog.benchNames))
     val ext = benchSet(pick(Catalog.benchNamesExtended))
     val floorPost = floorProbe()
-    val line =
+    // Window-health self-description (VERDICT r8 stretch 7): BASELINE.md's
+    // recorded moderate-window floors sit at 0.13-0.19 s; the documented
+    // host-degradation bracket (pairs 32-34, rounds 7-8 driver benches) at
+    // 0.28-0.35 s. Publishing the classification in the artifact means a
+    // drifted round is self-describing instead of needing human sentinel
+    // forensics against BASELINE.md after the fact.
+    val window =
+      if (math.max(floorPre, floorPost) > 0.25) "degraded" else "moderate"
+    // shared prefix for the full and compact metric lines (ADVICE r8: two
+    // independent string builders had already half-drifted once)
+    val prefix =
       s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
-      s""""extended_total":${total(ext)},"extended_queries":${json(ext)},""" +
-      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},"sf":"$sfDir"}"""
+      s""""extended_total":${total(ext)},"""
+    val suffix =
+      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},""" +
+      s""""window":"$window","sf":"$sfDir"}"""
+    val line = prefix + s""""extended_queries":${json(ext)},""" + suffix
     println(line)
     // the driver greps stdout for the JSON line, but five rounds of
     // BENCH_r0N.json carried "parsed": null — sbt/log4j interleaving can
@@ -114,10 +127,13 @@ object Bench {
     // aggregates, ~1.3k chars, fitting the window even with sbt's trailing
     // "[success]" line. Full per-query detail (both tiers) stays in the
     // early println above and in bench_metric.json.
-    val compact =
-      s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
-      s""""extended_total":${total(ext)},"extended_n":${ext.size},""" +
-      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},"sf":"$sfDir"}"""
+    val compact = prefix + s""""extended_n":${ext.size},""" + suffix
+    // ADVICE r8: the 2000-char driver stdout window is the hard constraint
+    // the compact line exists for; log the length so a future overflow is
+    // diagnosable from the bench output instead of reappearing as
+    // "parsed": null (~1.3k today; sbt's trailing [success] eats ~100).
+    System.err.println(s"[bench] compact line length: ${compact.length}" +
+      (if (compact.length > 1800) "  WARNING: exceeds driver tail budget" else ""))
     println(compact)
     System.out.flush()
   }

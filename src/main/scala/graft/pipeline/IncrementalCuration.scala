@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.streaming.EventStreams
+
+/** The "ingest one dump per day" end-to-end loop — x100's training-data
+  * pipeline re-expressed as a CROSS-BATCH operator (VERDICT r8 directive 6):
+  * each arriving batch flows through
+  *
+  *   1. exact dedup against the persistent digest history
+  *      ([[IncrementalDedup.dedupBatch]] — within-batch keep-lowest-id,
+  *      cross-batch claims),
+  *   2. an OFFLINE-threshold quality gate — the
+  *      [[EventStreams.streamingQualityGate]] contract in batch form
+  *      (thresholds are an input computed on a reference corpus via
+  *      [[graft.functions.TextAnalysis.discreteThreshold]], NOT recomputed
+  *      per batch: a per-batch percentile would make a doc's fate depend on
+  *      which dump it arrived in, and the streaming face already pinned the
+  *      fixed-threshold semantics),
+  *   3. per-source caps against PERSISTENT per-source kept-counts: a source
+  *      may contribute at most `capPerSource` documents across ALL batches;
+  *      each batch draws deterministically (x92's Knuth multiplicative hash,
+  *      tie-broken by id) from its gated docs up to the source's REMAINING
+  *      budget.
+  *
+  * Stage order is the declared semantics (x100's): dedup first so a
+  * duplicate never consumes gate/cap budget, gate second so capped slots go
+  * only to docs worth keeping.
+  *
+  * Scale shape: stage 1 shuffles 16-byte digests ([[IncrementalDedup]]);
+  * stage 2 is a per-row kernel + broadcast threshold join (no shuffle
+  * beyond stage 1's output); stage 3 is ONE bounded-heap aggregate —
+  * [[Relational.smallestK]] keeps at most `capPerSource` (hash, id) structs
+  * per source (map-side heaps, O(sources·cap) rows shuffle), the kept-count
+  * history collapses to an O(sources) broadcast, and the remaining-budget
+  * slice is per-row arithmetic. No window, no full ranks, no corpus-sized
+  * state anywhere.
+  *
+  * Retry contract (the tier's shared discipline): both persistent tables —
+  * the digest history inside [[IncrementalDedup.dedupBatch]] and the
+  * per-source kept-counts under `historyPath/source_counts` — are
+  * hive-partitioned by batch id, written with DYNAMIC partition overwrite,
+  * and read with the writer's own partition EXCLUDED. A redelivered batch
+  * therefore sees exactly the pre-crash history at every stage and
+  * reproduces its original survivor set, whether the crash hit before,
+  * between, or after the two state writes.
+  *
+  * Kept-count state records the batch's CONSUMPTION (one row per source
+  * that kept ≥ 1 doc), not the survivors themselves — budgets need only
+  * the sum, and an O(sources) table per batch is the minimum any global
+  * cap can carry. Token-free docs are dropped by the gate (stage-2
+  * population rule, matching x96/x100); docs from sources absent from the
+  * threshold table pass with `defaultThr` (−∞ = collect-and-tag;
+  * `Double.MaxValue` quarantines unknown sources — the streaming gate's
+  * knob, same default). */
+object IncrementalCuration {
+
+  /** Curate `batch` (tagged `batchId`) through dedup → gate → caps against
+    * the persistent state under `historyPath`, record this batch's digest
+    * claims and per-source kept-counts, and return the surviving rows (all
+    * input columns). First call bootstraps both histories.
+    *
+    * `batch` must carry `idCol` (globally unique across batches — the
+    * tier's shared contract), `textCol`, and a `source` column (the gate's
+    * and the caps' key, fixed by the streaming-gate contract). */
+  def curateBatch(batch: DataFrame, historyPath: String, batchId: String,
+                  thresholds: DataFrame, capPerSource: Int,
+                  defaultThr: Double = Double.NegativeInfinity,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(capPerSource > 0, s"capPerSource must be positive, got $capPerSource")
+    val spark = batch.sparkSession
+    val fs = FileSystem.get(new java.net.URI(historyPath),
+      spark.sessionState.newHadoopConf())
+    val countsPath = s"$historyPath/source_counts"
+
+    // stage 1: exact dedup with persistent digest claims (its own
+    // partition-pruned read + dynamic-overwrite write live inside)
+    val deduped = IncrementalDedup.dedupBatch(
+      batch, s"$historyPath/digests", batchId, idCol, textCol)
+
+    // stage 2: the streaming gate applied verbatim — ONE implementation of
+    // "score with LangStats, keep at/above the source's offline threshold,
+    // drop token-free docs, unknown sources pass with defaultThr", so the
+    // online and batch faces cannot drift
+    val gated = EventStreams.streamingQualityGate(
+      deduped, thresholds, textCol, defaultThr)
+
+    // stage 3: per-source remaining budget = cap − Σ other batches' kept
+    val used =
+      if (fs.exists(new Path(countsPath)))
+        // explicit schema (winnowBatch's guard): a first batch gating out
+        // everything leaves a data-free state dir
+        spark.read.schema("source STRING, n_kept LONG, batch STRING")
+          .parquet(countsPath)
+          .where(col("batch") =!= batchId) // partition-pruned re-run guard
+          .groupBy("source").agg(sum("n_kept").as("__used"))
+      else batch.sparkSession.emptyDataFrame
+        .select(lit("").as("source"), lit(0L).as("__used")).limit(0)
+    // x92's deterministic draw: Knuth multiplicative hash of the id,
+    // tie-broken by the id itself (unique by contract)
+    val h = ((col(idCol) % lit(1000000007L)) * lit(2654435761L)) %
+      lit(1000000007L)
+    // the heap keeps the cap's worth of best draws; the slice then takes
+    // only the remaining budget — remaining ≤ cap always, so the heap
+    // never under-collects. localCheckpoint: the kept set feeds the counts
+    // write AND the survivor join (the tier's two-consumer rule).
+    val kept = gated
+      .select(col("source"), struct(h.as("__h"), col(idCol).as("__id")).as("__s"))
+      .groupBy("source")
+      .agg(Relational.smallestK(col("__s"), capPerSource).as("__top"))
+      .join(broadcast(used), Seq("source"), "left")
+      .select(col("source"), expr(
+        s"slice(__top, 1, CAST(GREATEST(0L, $capPerSource - " +
+          "coalesce(__used, 0L)) AS INT))").as("__keep"))
+      .select(col("source"), explode(col("__keep")).as("__k"))
+      .select(col("source"), col("__k.__id").as(idCol))
+      .localCheckpoint(false)
+    kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(countsPath)
+    batch.join(kept.select(idCol), Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.IncrementalCuration
+
+/** Cross-batch curation composite (dedup → offline-threshold gate →
+  * persistent per-source caps): stage interplay, budget exhaustion across
+  * batches, the unknown-source/token-free gate population rules, and the
+  * retry contract — a redelivered batch reproduces its original survivor
+  * set across ALL THREE stages (digest claims and kept-counts both
+  * partition-pruned against the writer's own batch).
+  *
+  * Quality arithmetic used to pick fixtures (TextAnalysis.qualityScore,
+  * en stopwords the/a/of/and/to/is): a 4-token doc with 2 stopword hits
+  * scores round(1/(1+exp(-(0.2·ln5 + 2·(2/4) − 1))),4) = 0.5798; with 0
+  * hits 0.3367 — so thr 0.5 cleanly splits them. Knuth draw order
+  * h(id) = (id·2654435761) mod 1000000007: h(14)=162100395 <
+  * h(13)=507664655 < h(10)=544357428; h(20)=88714849 < h(22)=397586336. */
+class IncrementalCurationSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def thr(rows: (String, Double)*) = rows.toDF("source", "thr")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("dedup → gate → caps across batches, budget exhaustion, " +
+    "idempotent retry at every stage") {
+    val hist = Files.createTempDirectory("graft_cur_hist").toString + "/h"
+    val th = thr("s1" -> 0.5)
+
+    val b1 = Seq(
+      (10L, "s1", "the cat of war", "m10"),  // q 0.5798, h 544357428
+      (11L, "s1", "the cat of war", "m11"),  // exact dup of 10 → stage 1
+      (12L, "s1", "zz yy xx ww", "m12"),     // q 0.3367 < 0.5 → stage 2
+      (13L, "s1", "the dog of peace", "m13"),// q 0.5798, h 507664655
+      (14L, "s1", "the owl of night", "m14") // q 0.5798, h 162100395
+    ).toDF("doc_id", "source", "text", "meta")
+    val s1 = IncrementalCuration.curateBatch(b1, hist, "b1", th,
+      capPerSource = 2)
+    assert(s1.columns.toSeq == Seq("doc_id", "source", "text", "meta"),
+      "survivors carry ALL input columns")
+    // cap 2 binds: three gated candidates, keep the two smallest draws
+    assert(ids(s1) == Seq(13L, 14L))
+    // state: digest history = stage-1 survivors (4 texts), counts = (s1, 2)
+    assert(spark.read.parquet(s"$hist/digests").count() == 4)
+    val counts = spark.read.parquet(s"$hist/source_counts")
+      .select("source", "n_kept").as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("s1", 2L)))
+
+    val b2 = Seq(
+      (20L, "s1", "the fox of dawn", "m20"), // gated in, but budget = 0
+      (21L, "s1", "the cat of war", "m21")   // cross-batch dup → stage 1
+    ).toDF("doc_id", "source", "text", "meta")
+    val s2 = IncrementalCuration.curateBatch(b2, hist, "b2", th,
+      capPerSource = 2)
+    assert(ids(s2) == Seq(), "s1's budget was exhausted by batch 1")
+
+    // retry batch 2: own claims/counts must not change the outcome
+    val s2r = IncrementalCuration.curateBatch(b2, hist, "b2", th,
+      capPerSource = 2)
+    assert(ids(s2r) == Seq())
+    // retry batch 1 semantics check via state: counts still exactly (s1, 2)
+    val counts2 = spark.read.parquet(s"$hist/source_counts")
+      .groupBy("source").sum("n_kept").as[(String, Long)].collect().toSeq
+    assert(counts2 == Seq(("s1", 2L)),
+      "an empty-keep batch must not append count rows")
+  }
+
+  test("partial remaining budget: later batch draws only up to the " +
+    "source's remaining slots, deterministically") {
+    val hist = Files.createTempDirectory("graft_cur_hist2").toString + "/h"
+    val th = thr("s1" -> 0.5)
+    val b1 = Seq(
+      (13L, "s1", "the dog of peace", "m"),
+      (14L, "s1", "the owl of night", "m")
+    ).toDF("doc_id", "source", "text", "meta")
+    assert(ids(IncrementalCuration.curateBatch(b1, hist, "b1", th, 3))
+      == Seq(13L, 14L))
+    val b2 = Seq(
+      (20L, "s1", "the fox of dawn", "m"), // h 88714849 → wins the 1 slot
+      (22L, "s1", "the elk of dusk", "m")  // h 397586336
+    ).toDF("doc_id", "source", "text", "meta")
+    val s2 = IncrementalCuration.curateBatch(b2, hist, "b2", th, 3)
+    assert(ids(s2) == Seq(20L))
+    // retry reproduces the draw
+    assert(ids(IncrementalCuration.curateBatch(b2, hist, "b2", th, 3))
+      == Seq(20L))
+    assert(spark.read.parquet(s"$hist/source_counts")
+      .groupBy("source").sum("n_kept").as[(String, Long)]
+      .collect().toSeq == Seq(("s1", 3L)))
+  }
+
+  test("gate population rules: unknown source passes at default −∞, " +
+    "is quarantined at MaxValue; token-free docs drop") {
+    val hist = Files.createTempDirectory("graft_cur_hist3").toString + "/h"
+    val th = thr("s1" -> 0.5)
+    val b = Seq(
+      (30L, "sX", "qq ww ee rr", "m30"), // unknown source, q 0.3367
+      (31L, "sX", "   ", "m31")          // token-free: no quality signal
+    ).toDF("doc_id", "source", "text", "meta")
+    assert(ids(IncrementalCuration.curateBatch(b, hist, "b1", th, 5))
+      == Seq(30L))
+    val hist2 = Files.createTempDirectory("graft_cur_hist4").toString + "/h"
+    assert(ids(IncrementalCuration.curateBatch(b, hist2, "b1", th, 5,
+      defaultThr = Double.MaxValue)) == Seq())
+  }
+}

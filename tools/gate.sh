@@ -1,0 +1,29 @@
+#!/bin/bash
+# Multi-SF oracle gate (VERDICT r8 directive 3): for each sf dir given, run
+# graft.Verify then tools/check_oracle.py; exit nonzero on the first red.
+#
+# The sf1 gate's first-ever run caught three real SF-dependent determinism
+# bugs (q01 non-total sort key, x51 .xxxx5 rounding divergence, x67
+# percentile-ulp clip bounds) that sf0.01/sf0.1 passed by luck — so this is
+# a one-command rhythm, not a manual afterthought. Typical usage:
+#
+#   tools/gate.sh /root/testdata/sf0.01 /root/testdata/sf0.1 testdata_sf1
+#
+# Each SF gets its own dump dir under /tmp/gate_out so a later SF's Verify
+# can't overwrite the dump a failure diagnosis needs. Verify runs one SF at
+# a time (never two JVMs concurrently — bench contamination rule; also the
+# 128 GiB heap budget assumes one driver).
+set -u
+cd "$(dirname "$0")/.."
+fail=0
+for sf in "$@"; do
+  name=$(basename "$sf")
+  out="/tmp/gate_out/$name"
+  rm -rf "$out"; mkdir -p "$out"
+  echo "=== gate: Verify $sf -> $out ==="
+  sbt -batch "runMain graft.Verify $sf $out" || { echo "GATE RED: Verify failed at $sf"; fail=1; continue; }
+  echo "=== gate: oracle check $sf ==="
+  python3 tools/check_oracle.py "$sf" "$out" || { echo "GATE RED: oracle mismatch at $sf"; fail=1; }
+done
+if [ "$fail" -ne 0 ]; then echo "GATE: RED"; exit 1; fi
+echo "GATE: GREEN ($# sf dirs)"
