@@ -2789,15 +2789,22 @@ object Catalog {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("d")
       val seg = t(s, d, "events")
-        .select(col("user_id"), to_date(col("ts")).as("d"),
-          expr("CAST(round(value, 4) AS DECIMAL(18,4))").as("v4"))
+        // range BEFORE the to_date + DECIMAL-round projection (x64/x72's
+        // rule, applied here in round 9): the range sampler re-executes
+        // its child, so projecting first bills the cast work twice — at
+        // sf1 the 3-task sampling job carried ~0.3-1.0 s of it (JobProfile;
+        // x72, which ranges the slim projection, showed the same job at
+        // 0.2-0.3 s). Range on raw (user_id, ts, value), project after.
+        .select(col("user_id"), col("ts"), col("value"))
         // range, not hash: the daily agg and the lead window reuse the one
         // exchange either way, but user_id-ranged partitions let the
         // table-shaped output (O(users × days)) sort in PARALLEL within
         // partitions instead of the single-task report merge (x74's sf1
-        // lesson), and the sampling sees only the raw projection
+        // lesson)
         .repartitionByRange(s.sparkContext.defaultParallelism,
           col("user_id"))
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          expr("CAST(round(value, 4) AS DECIMAL(18,4))").as("v4"))
         .groupBy("user_id", "d").agg(sum(col("v4")).as("vd"))
         .withColumn("nd", lead(col("d"), 1).over(w))
         .withColumn("nv", lead(col("vd"), 1).over(w))
