@@ -2703,10 +2703,15 @@ object Catalog {
     * see [[TextAnalysis.qualityGate]] (keep the top 70% of each source by
     * the x24 quality score). */
   val x96 = Q("x96_quality_gate",
-    // no kernelDocs spread: LangStats is cheap enough that the pinned
-    // exchange costs more than the single-split kernel pass (measured
-    // 0.50→0.63 — the spread pays off for winnowing/codec-class kernels,
-    // not this one); x97 probed AQE-unstable and stays adaptive
+    // no kernelDocs spread, at ANY size: the sf0.1 A/B measured 0.50→0.63
+    // against the unconditional spread (exchange + AQE stage jobs exceed
+    // the 2-split kernel pass), and a round-9 same-session sf1 A/B of the
+    // SIZE-GATED spread measured a wash (1.37 ungated vs 1.38 gated) —
+    // the 2-task LangStats job its profile shows is ~0.5 s, but spreading
+    // it ships the full text bytes through an exchange that costs the
+    // same. The spread pays off for winnowing/codec-class kernels (x85:
+    // 1.76→1.12 at sf1), not a one-pass byte-scan kernel; x97 probed
+    // AQE-unstable and stays adaptive.
     (s, d) => reportSortFused(
       TextAnalysis.qualityGate(t(s, d, "documents")), col("source")),
     Some(s"""WITH t0 AS (SELECT doc_id, source,
