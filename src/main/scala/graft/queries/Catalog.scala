@@ -2671,10 +2671,16 @@ object Catalog {
       val hits = TextAnalysis.bm25(kernelDocs(s, d), SearchTerms, topK = 50)
       val e = t(s, d, "embeddings")
       val q = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
-      val smax = hits.agg(max(col("score")).as("smax"))
-      broadcast(hits).join(e, col("doc_id") === col("vec_id"))
+      // smax as an unbounded window over the ≤50-row hit list, not a
+      // separate 1-row aggregate + crossJoin (r9): the hits frame is
+      // bounded by topK (report class, same justification as the report
+      // sorts), so the single-partition window is O(k) — and the extra
+      // aggregate job + broadcast round-trip are gone from a 7-job plan
+      // where every job is floor-billed
+      val hitsW = hits.withColumn("smax", max(col("score")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      broadcast(hitsW).join(e, col("doc_id") === col("vec_id"))
         .crossJoin(broadcast(q))
-        .crossJoin(broadcast(smax))
         .select(col("doc_id"), col("score"), col("smax"),
           V.cosine4(col("embedding"), col("qv")).as("cos"))
         .withColumn("hybrid",
