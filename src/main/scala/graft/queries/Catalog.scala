@@ -2289,6 +2289,15 @@ object Catalog {
     * rate-gated sample aggregate), each one scan + one source-bounded
     * aggregate; the rate table rides a broadcast; nothing driver-side. */
   val x84 = Q("x84_mixture_sample",
+    // no kernel spread (r9 A/B): the tokenize projection behind
+    // mixtureSample's checkpoint runs as a ~0.4 s 1-stage 2-task job at
+    // sf1 — the usual spread signature — but the size-gated repartition
+    // measured WORSE same-session (1.17 no-spread vs 1.30 spread):
+    // whitespace tokenization over 28 MB of text is still cheaper than
+    // exchanging that text + the extra AQE stage jobs. Same verdict as
+    // x96's LangStats (wash) and opposite of x85's chunk+md5 (1.76→1.12
+    // WITH the spread) — the trade is per-kernel and only measurement
+    // settles it.
     (s, d) => reportSortFused(
       TextAnalysis.mixtureSample(t(s, d, "documents"), budgetPermille = 250),
       col("source")),
