@@ -386,6 +386,102 @@ object EventStreams {
       }
   }
 
+  final case class CuratedDoc(ts: Timestamp, doc_id: Long, source: String,
+                              text: String, quality: Double)
+
+  private[streaming] final case class CurationState(
+      kept: Long, digests: Map[String, Long])
+
+  /** Streaming curation — the ONLINE face of
+    * [[graft.pipeline.IncrementalCuration.curateBatch]] (and of x100),
+    * completing the composite's three execution modes: exact content
+    * dedup → offline-threshold quality gate → per-source lifetime cap,
+    * over a document stream.
+    *
+    * One stateful operator, not three: chaining
+    * `dropDuplicatesWithinWatermark` into `flatMapGroupsWithState` would
+    * be two arbitrary stateful operators in one query (unsupported
+    * pattern), so the composite keys ONE `flatMapGroupsWithState` by
+    * source and carries both pieces of state per source: the LIFETIME
+    * kept-count (one long — never evicted, the stream form of the batch
+    * composite's persistent kept-counts) and the md5 claims of content
+    * seen within the watermark window (event-time evicted exactly like
+    * [[streamingDedup]]'s id state; a re-sighted digest refreshes its
+    * claim timestamp, so hot boilerplate stays claimed while it keeps
+    * arriving). Dedup scope is therefore per-source in the stream form —
+    * cross-SOURCE exact dups are rare by construction (same text, two
+    * sources) and the batch composite's global digest history catches
+    * them offline; run [[streamingNearDedup]] upstream if they matter
+    * online.
+    *
+    * Stage semantics mirror the batch composite exactly: a first-seen
+    * document claims its digest whether or not it passes the gate (stage
+    * 1 before stage 2 — a duplicate never re-enters because its original
+    * was gated out); token-free docs carry null quality and are gated
+    * (their digest still claims); unknown sources pass at `defaultThr`;
+    * the cap admits gated survivors in (event-time, doc_id) order — the
+    * online arrival-order analogue of the batch Knuth draw — while
+    * kept < capPerSource. Within one micro-batch the group's docs are
+    * buffered and sorted for that determinism (the sessionize caveat:
+    * micro-batch sizing bounds the buffer). At-least-once redelivery
+    * inside the watermark window self-dedups via the digest claim, so a
+    * redelivered doc cannot consume a second cap slot. Scoring arithmetic
+    * is [[streamingQualityGate]]'s, per-row and stateless. */
+  def streamingCuration(docs: DataFrame, thresholds: DataFrame,
+                        capPerSource: Int,
+                        tsCol: String = "ts", textCol: String = "text",
+                        defaultThr: Double = Double.NegativeInfinity,
+                        watermark: String = "1 hour"): Dataset[CuratedDoc] = {
+    import graft.functions.{TextAnalysis, TextHashFunctions}
+    require(capPerSource > 0,
+      s"capPerSource must be positive, got $capPerSource")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepped = docs
+      .withColumn("__st", TextHashFunctions.langStats(col(textCol)))
+      .withColumn("__n",
+        element_at(col("__st"), TextAnalysis.profiles.length + 1).cast("int"))
+      .withColumn("__en", element_at(col("__st"), 1).cast("int"))
+      .withColumn("__q", when(col("__n") > 0,
+        expr(TextAnalysis.qualityScore("__n", "__en"))))
+      .join(broadcast(thresholds.select(col("source"), col("thr"))),
+        Seq("source"), "left")
+      .select(col(tsCol).as("ts"), col("doc_id"), col("source"),
+        col(textCol).as("text"), md5(col(textCol)).as("dig"), col("__q"),
+        (col("__q").isNotNull &&
+          col("__q") >= coalesce(col("thr"), lit(defaultThr))).as("pass"))
+      .withWatermark("ts", watermark)
+      .as[(Timestamp, Long, String, String, String, Option[Double], Boolean)]
+
+    def update(source: String,
+               batch: Iterator[(Timestamp, Long, String, String, String,
+                 Option[Double], Boolean)],
+               state: GroupState[CurationState]): Iterator[CuratedDoc] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(CurationState(0L, Map.empty))
+      var kept = st.kept
+      var digests = st.digests.filter(_._2 >= wm) // event-time eviction
+      val out = scala.collection.mutable.ArrayBuffer.empty[CuratedDoc]
+      batch.toSeq.sortBy(d => (d._1.getTime, d._2)).foreach {
+        case (ts, id, _, text, dig, q, pass) =>
+          val seen = digests.contains(dig)
+          // claim (or refresh) regardless of the gate — stage order
+          digests = digests.updated(dig,
+            math.max(ts.getTime, digests.getOrElse(dig, Long.MinValue)))
+          if (!seen && pass && kept < capPerSource) {
+            kept += 1
+            out += CuratedDoc(ts, id, source, text, q.get)
+          }
+      }
+      state.update(CurationState(kept, digests))
+      out.iterator
+    }
+
+    prepped.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Watermarked stream-stream interval join — the streaming face of the
     * batch range join (x50 / [[graft.operators.Relational.rangeJoin]]):
     * each purchase joined to the same user's error events from the
