@@ -64,4 +64,76 @@ object Maintenance {
       .parquet(path)
     rawNames.map(n => if (n == NullDir) n else esc.unescapePathName(n))
   }
+
+  /** Fold FINALIZED batch partitions of an incremental-state table
+    * ([[IncrementalDedup]]'s digest/signature/fingerprint/chunk/vector
+    * histories, [[IncrementalCuration]]'s kept-counts) into one
+    * `batch=label` partition. A daily-ingest history otherwise grows one
+    * hive partition per batch FOREVER — partition listing, not data
+    * volume, becomes the bottleneck (the 100 TB failure mode this table
+    * layout would hit first).
+    *
+    * The retry contract survives because the cross-batch readers exclude
+    * only `batch =!= batchId`: rows moved under `label` remain visible as
+    * history to every batch, and a batch still in `protect` keeps its own
+    * partition so its redelivery keeps excluding its own claims.
+    * `protect` MUST therefore contain every batch that may still be
+    * redelivered (in the tiers' crash-retry model: the latest batch);
+    * `label` must never collide with a real batch id.
+    *
+    * Crash-convergent BY SEMANTICS, no transaction log: the fold writes
+    * the merged label partition first (dynamic overwrite touches only
+    * `batch=label`), then deletes the folded partitions. A crash between
+    * the two leaves rows duplicated under label AND their old partition —
+    * harmless for CLAIM tables (presence-based semi/anti-join sources)
+    * and collapsed by the next fold's `distinct`. For tables whose rows
+    * are AGGREGATED by readers (kept-counts: summed), pass
+    * `provenance = true`: each row keeps its origin batch in an `obatch`
+    * column (cross-batch readers project specific columns, so the extra
+    * column is invisible to them), making rows identity-carrying — the
+    * crash-window duplicate is the same row twice, which `distinct`
+    * removes on the retry, and the reader's SUM over the folded rows
+    * stays exact. Writer exclusion as in [[compactPartitions]].
+    *
+    * Returns the batch ids folded (empty when nothing qualified). */
+  def foldHistory(spark: SparkSession, path: String, protect: Set[String],
+                  label: String = "__folded__",
+                  provenance: Boolean = false): Seq[String] = {
+    require(!protect.contains(label),
+      s"label '$label' cannot be a protected batch id")
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sessionState.newHadoopConf())
+    val root = new Path(path)
+    if (!fs.exists(root)) return Nil
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val prefix = "batch="
+    val dirByValue: Map[String, String] = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+      .map(n => esc.unescapePathName(n.substring(prefix.length)) -> n)
+      .toMap
+    val candidates = dirByValue.keys
+      .filterNot(protect).filterNot(_ == label).toSeq.sorted
+    if (candidates.isEmpty) return Nil
+    // mergeSchema: after a provenance fold the label partition's files
+    // carry `obatch` while unfolded batch partitions don't — a plain read
+    // would pick one file's schema at random
+    val base = spark.read.option("mergeSchema", "true").parquet(path)
+      .where(col("batch").isin((candidates :+ label).map(x => x: Any): _*))
+    val merged = (if (provenance) {
+        val withO =
+          if (base.columns.contains("obatch"))
+            base.withColumn("obatch", coalesce(col("obatch"), col("batch")))
+          else base.withColumn("obatch", col("batch"))
+        withO.drop("batch")
+      } else base.drop("batch"))
+      .distinct()
+      // materialize before the write: same-path overwrite rule
+      .localCheckpoint()
+    merged.withColumn("batch", lit(label)).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(path)
+    candidates.foreach(v => fs.delete(new Path(root, dirByValue(v)), true))
+    candidates
+  }
 }
