@@ -66,22 +66,41 @@ object IncrementalCuration {
     *
     * `batch` must carry `idCol` (globally unique across batches — the
     * tier's shared contract), `textCol`, and a `source` column (the gate's
-    * and the caps' key, fixed by the streaming-gate contract). */
+    * and the caps' key, fixed by the streaming-gate contract).
+    *
+    * `dedupStage` is the stage-1 operator: any [[IncrementalDedup]] tier
+    * applied partially over its own knobs — it receives (batch, state
+    * path, batchId) and must return surviving rows while honoring the
+    * shared retry contract (all five tiers do). Default: exact
+    * [[IncrementalDedup.dedupBatch]]; pass e.g.
+    * `IncrementalDedup.passageBatch(_, _, _, chunkTokens = 30,
+    * dupFrac = 0.8)` for a C4-style near-dup curation loop. The stage
+    * keeps its state under `historyPath/dedup` regardless of tier, so a
+    * history path is bound to ONE tier+knob choice for its lifetime (the
+    * same pinning contract as semanticBatch's centroids). */
   def curateBatch(batch: DataFrame, historyPath: String, batchId: String,
                   thresholds: DataFrame, capPerSource: Int,
                   defaultThr: Double = Double.NegativeInfinity,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  dedupStage: (DataFrame, String, String) => DataFrame = null)
+      : DataFrame = {
     require(capPerSource > 0, s"capPerSource must be positive, got $capPerSource")
     val spark = batch.sparkSession
     val fs = FileSystem.get(new java.net.URI(historyPath),
       spark.sessionState.newHadoopConf())
     val countsPath = s"$historyPath/source_counts"
 
-    // stage 1: exact dedup with persistent digest claims (its own
-    // partition-pruned read + dynamic-overwrite write live inside)
-    val deduped = IncrementalDedup.dedupBatch(
-      batch, s"$historyPath/digests", batchId, idCol, textCol)
+    // stage 1: cross-batch dedup with persistent claims (its own
+    // partition-pruned read + dynamic-overwrite write live inside each
+    // tier). The pre-r9 layout kept exact digests under /digests; the
+    // default stage keeps using it so existing histories stay valid,
+    // while injected stages get the tier-neutral /dedup.
+    val deduped =
+      if (dedupStage == null)
+        IncrementalDedup.dedupBatch(
+          batch, s"$historyPath/digests", batchId, idCol, textCol)
+      else dedupStage(batch, s"$historyPath/dedup", batchId)
 
     // stage 2: the streaming gate applied verbatim — ONE implementation of
     // "score with LangStats, keep at/above the source's offline threshold,

@@ -95,6 +95,36 @@ class IncrementalCurationSpec extends AnyFunSuite {
       .collect().toSeq == Seq(("s1", 3L)))
   }
 
+  test("injected near-dup stage: passageBatch as stage 1 drops a " +
+    "chunk-level near-dup that exact md5 would keep; cap still binds") {
+    val hist = Files.createTempDirectory("graft_cur_hist_p").toString + "/h"
+    val th = thr("s1" -> 0.5)
+    val passage = (b: org.apache.spark.sql.DataFrame, hp: String, bid: String) =>
+      graft.pipeline.IncrementalDedup.passageBatch(b, hp, bid,
+        chunkTokens = 4, dupFrac = 0.5)
+    // A: two 4-token chunks, q 0.608 ≥ 0.5
+    val b1 = Seq((10L, "s1", "the cat of war the dog of peace", "mA"))
+      .toDF("doc_id", "source", "text", "meta")
+    assert(ids(IncrementalCuration.curateBatch(b1, hist, "b1", th, 1,
+      dedupStage = passage)) == Seq(10L))
+    val b2 = Seq(
+      // B: repeats A's first chunk + 4 fresh tokens → 1/2 chunks claimed
+      // = dupFrac → dropped at stage 1 DESPITE a distinct md5
+      (20L, "s1", "the cat of war xx yy zz ww", "mB"),
+      // C: fresh chunks, q 0.608 — passes the gate but s1's budget is 0
+      (21L, "s1", "the owl of night the elk of dusk", "mC")
+    ).toDF("doc_id", "source", "text", "meta")
+    val s2 = IncrementalCuration.curateBatch(b2, hist, "b2", th, 1,
+      dedupStage = passage)
+    assert(ids(s2) == Seq())
+    // retry contract holds through the injected stage too
+    assert(ids(IncrementalCuration.curateBatch(b2, hist, "b2", th, 1,
+      dedupStage = passage)) == Seq())
+    // the injected tier's state lives under the tier-neutral /dedup
+    assert(new java.io.File(s"$hist/dedup").isDirectory)
+    assert(!new java.io.File(s"$hist/digests").exists())
+  }
+
   test("gate population rules: unknown source passes at default −∞, " +
     "is quarantined at MaxValue; token-free docs drop") {
     val hist = Files.createTempDirectory("graft_cur_hist3").toString + "/h"
