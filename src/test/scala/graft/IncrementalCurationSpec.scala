@@ -125,6 +125,34 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$hist/digests").exists())
   }
 
+  test("survivor set is invariant to input partitioning and row order " +
+    "(the determinism behind min-digest keep-first, the Knuth draw and " +
+    "the heap selection)") {
+    import org.apache.spark.sql.functions.col
+    // 60 docs, 3 sources, dup classes (id % 10 == 0 repeats id 10's
+    // text per source), stopword-varied quality
+    val docs = (1 to 60).map { i =>
+      val stops = Seq("the", "a", "of", "and").take(i % 5)
+      val text =
+        if (i % 10 == 0) "the shared duplicate body of text"
+        else (stops ++ (1 to (6 - stops.size)).map(j => s"w${i}x$j"))
+          .mkString(" ")
+      (i.toLong, s"s${i % 3}", text, s"m$i")
+    }.toDF("doc_id", "source", "text", "meta")
+    val th = graft.functions.TextAnalysis.discreteThreshold(
+      graft.functions.TextAnalysis.quality(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), col("quality")), 300)
+    val h1 = Files.createTempDirectory("graft_cur_inv1").toString + "/h"
+    val h2 = Files.createTempDirectory("graft_cur_inv2").toString + "/h"
+    val a = ids(IncrementalCuration.curateBatch(
+      docs.repartition(7, col("meta")), h1, "b", th, 5))
+    val b = ids(IncrementalCuration.curateBatch(
+      docs.orderBy(col("doc_id").desc).coalesce(1), h2, "b", th, 5))
+    assert(a == b, "partitioning/order must not change the survivor set")
+    assert(a.nonEmpty && a.size <= 15, "cap 5 × 3 sources bounds the keep")
+  }
+
   test("gate population rules: unknown source passes at default −∞, " +
     "is quarantined at MaxValue; token-free docs drop") {
     val hist = Files.createTempDirectory("graft_cur_hist3").toString + "/h"
