@@ -27,8 +27,90 @@ import graft.queries.Catalog
   * elevated or asymmetric sentinel instead of silently skewing every query
   * (the round-4 BENCH published ~1.5× uniform drift with nothing in the
   * file to flag it).
+  *
+  * Per-query stall defense (VERDICT r9 directive 1): best-of-5 masks
+  * transient noise but NOT a host stall spanning all five runs — BENCH_r09
+  * published x29 at 7.87 s where the same code measures 0.317 s, poisoning
+  * the headline total for any reader without BASELINE.md forensics. So
+  * Bench keeps a committed per-SF history of the best value ever recorded
+  * per query (`tools/bench_history.tsv`); after the set, any query whose
+  * best-of-5 exceeds max(5× its history value, 10× floor_post) is re-run
+  * ONCE (the published value is the min) and its name is published in
+  * "stall_suspect" either way — a reader can discount a stalled slot from
+  * the artifact alone. History keeps the MIN-ever so a stall can never
+  * enter it and raise its own future threshold; the cost is that a
+  * genuinely 5×-slowed query stays flagged until BASELINE.md adjudicates
+  * it, which is exactly the attention such a regression deserves. A query
+  * with no history row (first run at that SF) is never flagged — the
+  * bootstrap run seeds the file.
+  *
+  * Degraded-window self-healing (VERDICT r9 stretch 7): when the pre-set
+  * floor probe lands in the documented host-degradation bracket (> 0.25 s
+  * — pairs 32-34/36), Bench sleeps 60 s and re-probes once before starting
+  * the set; pair 34's recovery suggests the brackets are transient, so one
+  * retry can turn a would-be degraded artifact into a moderate one. Both
+  * probes are recorded: "floor_pre" is the effective (second) probe,
+  * "floor_retry" the abandoned first one.
   */
 object Bench {
+
+  // Locale.ROOT: a comma-decimal default locale (de_DE) would print
+  // 0,8812 and invalidate the one JSON line the driver parses
+  def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+  /** Names whose best-of-5 exceeds the stall threshold
+    * max(5 × history, 10 × floor_post). Pure — spec-covered by
+    * BenchStallSpec with a synthetic x29-shaped stall. No-history names
+    * are never flagged (bootstrap rule); failed queries (-1) are reported
+    * by their own channel, not as stalls. */
+  def stallSuspects(results: Seq[(String, Double)],
+                    prev: Map[String, Double],
+                    floorPost: Double): Seq[String] =
+    results.collect {
+      case (n, v) if v >= 0 &&
+        prev.get(n).exists(p => v > math.max(5 * p, 10 * floorPost)) => n
+    }
+
+  /** Parse `tools/bench_history.tsv`: `sfName<TAB>query<TAB>seconds` lines,
+    * '#' comments. Malformed lines are skipped (a hand-edited file must
+    * never kill the bench). */
+  def parseHistory(text: String): Map[String, Map[String, Double]] =
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array(sf, q, v) =>
+            scala.util.Try(v.toDouble).toOption.map(d => (sf, q, d))
+          case _ => None
+        }
+      }
+      .toSeq.groupBy(_._1)
+      .map { case (sf, rows) => sf -> rows.map(r => r._2 -> r._3).toMap }
+
+  def renderHistory(h: Map[String, Map[String, Double]]): String = {
+    val header =
+      "# bench_history: per-SF MIN-ever best-of-5 seconds per query." +
+        "\n# Written by graft.Bench after every run; read to compute the" +
+        "\n# per-query stall threshold max(5x history, 10x floor_post)." +
+        "\n# sfName\tquery\tseconds"
+    val body = h.toSeq.sortBy(_._1).flatMap { case (sf, m) =>
+      m.toSeq.sortBy(_._1).map { case (q, v) => s"$sf\t$q\t${fmt(v)}" }
+    }
+    (header +: body).mkString("", "\n", "\n")
+  }
+
+  /** Fold this run's confirmed values into the history (min-ever; failed
+    * queries excluded). */
+  def mergeHistory(h: Map[String, Map[String, Double]], sfName: String,
+                   finals: Seq[(String, Double)]): Map[String, Map[String, Double]] = {
+    val prev = h.getOrElse(sfName, Map.empty[String, Double])
+    val merged = finals.filter(_._2 >= 0).foldLeft(prev) { case (m, (n, v)) =>
+      m.updated(n, math.min(v, m.getOrElse(n, Double.MaxValue)))
+    }
+    h.updated(sfName, merged)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
@@ -51,10 +133,6 @@ object Bench {
           name -> -1.0
       }
     }
-    // Locale.ROOT: a comma-decimal default locale (de_DE) would print
-    // 0,8812 and invalidate the one JSON line the driver parses
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def json(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString("{", ",", "}")
@@ -79,12 +157,54 @@ object Bench {
     // always runs the full set)
     val only = args.toSet
     def pick(names: Seq[String]) = if (only.isEmpty) names else names.filter(only)
+
+    val histPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "tools/bench_history.tsv"))
+    val history: Map[String, Map[String, Double]] =
+      if (java.nio.file.Files.isReadable(histPath))
+        parseHistory(new String(java.nio.file.Files.readAllBytes(histPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else Map.empty
+    val sfName = new java.io.File(sfDir).getName
+    val prev = history.getOrElse(sfName, Map.empty[String, Double])
+
     // headline set first ("metric"/"value" keep their round-1 meaning, so
     // totals stay comparable across rounds); extended tier reported beside it
-    val floorPre = floorProbe()
-    val head = benchSet(pick(Catalog.benchNames))
-    val ext = benchSet(pick(Catalog.benchNamesExtended))
+    val floorFirst = floorProbe()
+    val (floorPre, floorRetry) =
+      if (floorFirst > 0.25) {
+        System.err.println(s"[bench] floor_pre ${fmt(floorFirst)} in the " +
+          "degraded bracket; sleeping 60s and re-probing once")
+        Thread.sleep(60000L)
+        (floorProbe(), Some(floorFirst))
+      } else (floorFirst, None)
+    val headRaw = benchSet(pick(Catalog.benchNames))
+    val extRaw = benchSet(pick(Catalog.benchNamesExtended))
     val floorPost = floorProbe()
+
+    // stall defense: one extra run per suspect, publish min + the names
+    val suspects = stallSuspects(headRaw ++ extRaw, prev, floorPost)
+    val rescued: Map[String, Double] = suspects.map { n =>
+      System.err.println(s"[bench] stall suspect $n (best-of-5 exceeded " +
+        "max(5x history, 10x floor_post)); re-running once")
+      System.gc()
+      n -> (try runOnce(n) catch { case _: Throwable => Double.MaxValue })
+    }.toMap
+    def heal(rs: Seq[(String, Double)]) = rs.map { case (n, v) =>
+      n -> rescued.get(n).map(r => math.min(v, r)).getOrElse(v)
+    }
+    val head = heal(headRaw)
+    val ext = heal(extRaw)
+
+    try {
+      java.nio.file.Files.write(histPath,
+        renderHistory(mergeHistory(history, sfName, head ++ ext))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception => // history is an aid, never a bench failure
+        System.err.println(s"[bench] could not write $histPath: $e")
+    }
+
     // Window-health self-description (VERDICT r8 stretch 7): BASELINE.md's
     // recorded moderate-window floors sit at 0.13-0.19 s; the documented
     // host-degradation bracket (pairs 32-34, rounds 7-8 driver benches) at
@@ -100,6 +220,8 @@ object Bench {
       s""""extended_total":${total(ext)},"""
     val suffix =
       s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},""" +
+      floorRetry.map(f => s""""floor_retry":${fmt(f)},""").getOrElse("") +
+      s""""stall_suspect":${suspects.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
       s""""window":"$window","sf":"$sfDir"}"""
     val line = prefix + s""""extended_queries":${json(ext)},""" + suffix
     println(line)

@@ -134,6 +134,15 @@ object Similarity {
     // explicit CASTs keep the accumulator type stable: DECIMAL(38,6) +
     // DECIMAL(38,6) widens to DECIMAL(38,6) under the precision cap, but
     // `aggregate` requires zero/merge/result types to match EXACTLY.
+    // EQUAL-DIM ASSUMPTION (ADVICE r9): zip_with pads the shorter side with
+    // nulls, so a length mismatch between v and cpArr would null-poison the
+    // (d, s) struct and silently drop the row at the sv filter below —
+    // different from the pre-fuse transform() shape, where only `dot` went
+    // null. The mismatch cannot occur here BY CONSTRUCTION: cpArr is built
+    // from posexplode of the SAME embedding column (one cp per index i of
+    // that label's vectors), so |cpArr| = |v| for every row of the label.
+    // A mixed-dimension label would be a corrupt input either way; this
+    // operator's contract (like every E7 kernel's) is fixed-dim per table.
     emb.select(col("label"), V.asDouble(col("embedding")).as("v"))
       .join(broadcast(centArr), Seq("label"))
       .select(col("label"), col("sc"), expr(

@@ -113,10 +113,29 @@ object IncrementalCuration {
     val used =
       if (fs.exists(new Path(countsPath)))
         // explicit schema (winnowBatch's guard): a first batch gating out
-        // everything leaves a data-free state dir
-        spark.read.schema("source STRING, n_kept LONG, batch STRING")
+        // everything leaves a data-free state dir. `obatch` is the
+        // provenance column [[Maintenance.foldHistory]] adds when folding
+        // this table — absent from unfolded files, the explicit schema
+        // reads it as null there.
+        spark.read.schema("source STRING, n_kept LONG, obatch STRING, batch STRING")
           .parquet(countsPath)
           .where(col("batch") =!= batchId) // partition-pruned re-run guard
+          // fold-crash-window identity dedup (ADVICE r9): foldHistory
+          // writes the merged batch=__folded__ partition BEFORE deleting
+          // the folded partitions, so inside its crash window every folded
+          // row exists twice — once under its old batch partition, once
+          // under the label with obatch carrying the origin. Summing both
+          // would double-count `used` and permanently under-keep any batch
+          // curated inside the window. (source, origin-batch) is a row
+          // IDENTITY here (curateBatch writes at most one row per source
+          // per batch), so deduping on it makes the crash window invisible
+          // to budgets instead of an operational "re-run the fold first"
+          // requirement. The origin filter also keeps a (mistakenly)
+          // folded own-batch row excluded on redelivery, same contract as
+          // the partition-pruned guard above.
+          .withColumn("__ob", coalesce(col("obatch"), col("batch")))
+          .where(col("__ob") =!= batchId)
+          .dropDuplicates("source", "__ob")
           .groupBy("source").agg(sum("n_kept").as("__used"))
       else batch.sparkSession.emptyDataFrame
         .select(lit("").as("source"), lit(0L).as("__used")).limit(0)

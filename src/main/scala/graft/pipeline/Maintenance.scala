@@ -93,7 +93,17 @@ object Maintenance {
     * column is invisible to them), making rows identity-carrying — the
     * crash-window duplicate is the same row twice, which `distinct`
     * removes on the retry, and the reader's SUM over the folded rows
-    * stays exact. Writer exclusion as in [[compactPartitions]].
+    * stays exact AFTER the retry. A reader that sums INSIDE the crash
+    * window must additionally dedup on the (key, coalesce(obatch, batch))
+    * identity, or it double-counts rows present under both the label and
+    * their not-yet-deleted old partition —
+    * [[IncrementalCuration.curateBatch]]'s budget reader does exactly
+    * this (ADVICE r9), so for the counts table the window is invisible
+    * rather than an operational ordering requirement. Forgetting
+    * `provenance = true` on such a table is a silent corruption
+    * (distinct() collapses legitimately identical (source, n_kept) rows
+    * from different batches), so it is guarded structurally below, not by
+    * call-site discipline. Writer exclusion as in [[compactPartitions]].
     *
     * Returns the batch ids folded (empty when nothing qualified). */
   def foldHistory(spark: SparkSession, path: String, protect: Set[String],
@@ -120,6 +130,16 @@ object Maintenance {
     // would pick one file's schema at random
     val base = spark.read.option("mergeSchema", "true").parquet(path)
       .where(col("batch").isin((candidates :+ label).map(x => x: Any): _*))
+    // Structural guard (ADVICE r9): an aggregated table folded without
+    // provenance silently shrinks reader SUMs — drop(batch).distinct()
+    // collapses legitimately distinct rows like (s1, n_kept=2) from two
+    // different batches into one. The tiers' aggregated tables all carry
+    // `n_kept` (the curation kept-counts shape), so its presence is the
+    // structural marker; claim tables (digests/signatures/fingerprints/
+    // chunks/vectors) are presence-based and never carry it.
+    require(provenance || !base.columns.contains("n_kept"),
+      s"$path carries an aggregated count column (n_kept); folding it " +
+        "without provenance = true would corrupt reader SUMs")
     val merged = (if (provenance) {
         val withO =
           if (base.columns.contains("obatch"))

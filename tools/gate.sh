@@ -14,6 +14,10 @@
 # a time (never two JVMs concurrently — bench contamination rule; also the
 # 128 GiB heap budget assumes one driver).
 set -u
+# Zero args (e.g. a typo'd CI variable expanding empty) must NOT read as a
+# green gate — "GATE: GREEN (0 sf dirs)" would turn a misconfiguration into
+# a pass (ADVICE r9).
+[ $# -ge 1 ] || { echo "usage: tools/gate.sh SF_DIR..." >&2; exit 2; }
 cd "$(dirname "$0")/.."
 fail=0
 for sf in "$@"; do
