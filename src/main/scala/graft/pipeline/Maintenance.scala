@@ -53,8 +53,14 @@ object Maintenance {
     val pred = Merge.partitionPredicate(col(partitionCol),
       if (rawNames.contains(NullDir)) values :+ null else values)
     // materialize before the write: Spark (correctly) refuses a plan that
-    // reads from the same path it is overwriting
-    val compacted = spark.read.parquet(path)
+    // reads from the same path it is overwriting.
+    // mergeSchema: after a provenance [[foldHistory]] the label partition's
+    // files carry `obatch` while unfolded partitions' files don't; the
+    // default single-footer schema pick could then compact the label
+    // partition THROUGH the narrower schema and silently drop the
+    // provenance column — corrupting the (source, origin-batch) identity
+    // the curation budget reader dedups on (lifecycle spec pins this).
+    val compacted = spark.read.option("mergeSchema", "true").parquet(path)
       .where(pred) // partition-pruned scan
       .repartition(col(partitionCol))
       .localCheckpoint()

@@ -153,6 +153,81 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size <= 15, "cap 5 × 3 sources bounds the keep")
   }
 
+  test("threshold refresh between batches: new thresholds govern new " +
+    "batches only; claims, kept-counts and redelivery are unaffected " +
+    "(VERDICT r9 directive 5)") {
+    val hist = Files.createTempDirectory("graft_cur_thr").toString + "/h"
+    val th1 = thr("s1" -> 0.5)          // original reference distribution
+    val th2 = thr("s1" -> 0.9)          // quarterly refresh, stricter
+    val b1 = Seq(
+      (13L, "s1", "the dog of peace", "m"),
+      (14L, "s1", "the owl of night", "m")
+    ).toDF("doc_id", "source", "text", "meta")
+    assert(ids(IncrementalCuration.curateBatch(b1, hist, "b1", th1, 5))
+      == Seq(13L, 14L))
+    // the swap: b2 is delivered under th2. Its q-0.5798 doc now fails the
+    // gate even though budget remains; the dup is still a dup (claims are
+    // score-free); a 600-stopword doc (q 0.9072 ≥ 0.9) clears the new bar
+    val b2 = Seq(
+      (20L, "s1", "the fox of dawn", "m"),
+      (21L, "s1", "the dog of peace", "m"),
+      (25L, "s1", Seq.fill(600)("the").mkString(" "), "m")
+    ).toDF("doc_id", "source", "text", "meta")
+    assert(ids(IncrementalCuration.curateBatch(b2, hist, "b2", th2, 5))
+      == Seq(25L))
+    // the refresh never reopens past batches: counts are untouched by the
+    // swap itself, and b1 REDELIVERED WITH ITS ORIGINAL thresholds (the
+    // caller's duty — thresholds are part of the delivery identity)
+    // reproduces its survivor set exactly
+    assert(ids(IncrementalCuration.curateBatch(b1, hist, "b1", th1, 5))
+      == Seq(13L, 14L))
+    assert(spark.read.parquet(s"$hist/source_counts")
+      .groupBy("source").sum("n_kept").as[(String, Long)]
+      .collect().toSeq == Seq(("s1", 3L)))
+  }
+
+  test("funnel report: per-source raw→deduped→gated→kept counts land " +
+    "under the batch's report partition; redelivery rewrites it " +
+    "idempotently (VERDICT r9 stretch 8)") {
+    val hist = Files.createTempDirectory("graft_cur_rep").toString + "/h"
+    val rep = s"$hist/report"
+    val th = thr("s1" -> 0.5, "s2" -> 0.5)
+    // s1: 5 raw → 4 deduped (11 dups 10) → 3 gated (12 low-q) → 2 kept
+    // (cap); s2: 1 raw → 1 deduped → 0 gated → 0 kept
+    val b1 = Seq(
+      (10L, "s1", "the cat of war", "m"),
+      (11L, "s1", "the cat of war", "m"),
+      (12L, "s1", "zz yy xx ww", "m"),
+      (13L, "s1", "the dog of peace", "m"),
+      (14L, "s1", "the owl of night", "m"),
+      (15L, "s2", "qq ww ee rr", "m")
+    ).toDF("doc_id", "source", "text", "meta")
+    import org.apache.spark.sql.functions.col
+    def funnel(batch: String) = spark.read.parquet(rep)
+      .where(col("batch") === batch)
+      .select("source", "n_raw", "n_deduped", "n_gated", "n_kept")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(IncrementalCuration.curateBatch(b1, hist, "b1", th, 2,
+      reportPath = rep).count() == 2)
+    val expected = Seq(("s1", 5L, 4L, 3L, 2L), ("s2", 1L, 1L, 0L, 0L))
+    assert(funnel("b1") == expected)
+    // redelivery: same survivor set, same report — the report partition
+    // is rewritten, not appended
+    assert(IncrementalCuration.curateBatch(b1, hist, "b1", th, 2,
+      reportPath = rep).count() == 2)
+    assert(funnel("b1") == expected)
+    // a later batch reports its own funnel beside b1's: dup consumed at
+    // stage 1, survivor blocked by the exhausted cap
+    val b2 = Seq(
+      (20L, "s1", "the fox of dawn", "m"),
+      (21L, "s1", "the cat of war", "m")
+    ).toDF("doc_id", "source", "text", "meta")
+    assert(IncrementalCuration.curateBatch(b2, hist, "b2", th, 2,
+      reportPath = rep).count() == 0)
+    assert(funnel("b2") == Seq(("s1", 2L, 1L, 1L, 0L)))
+    assert(funnel("b1") == expected, "b2's write must not touch b1's partition")
+  }
+
   test("gate population rules: unknown source passes at default −∞, " +
     "is quarantined at MaxValue; token-free docs drop") {
     val hist = Files.createTempDirectory("graft_cur_hist3").toString + "/h"
