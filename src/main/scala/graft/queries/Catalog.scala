@@ -348,16 +348,25 @@ object Catalog {
 
   /** E8 exact duplicate groups by md5 content hash. */
   val x17 = Q("x17_dedup_exact",
-    // ONE exchange: the agg's hash exchange and the output's range exchange
-    // both move one row per (h, doc_id); fusing them (range-partition by h,
-    // then agg, then in-partition sort) halves data movement. The trade is
-    // losing map-side combine — md5 groups are near-unique here so partial
-    // agg saved ~nothing; a dup-heavy corpus would flip this back to
-    // exactGroups + orderBy (combine first, then sort the survivors).
+    // agg FIRST, sort the slim survivors AFTER (round 10, profiled at sf5):
+    // the previous "one exchange" fusion (repartitionByRange(md5(text)) →
+    // agg → sortWithinPartitions) had equal ROW movement but not equal
+    // BYTES — its single exchange shipped the full document text, and
+    // repartitionByRange SAMPLES ITS CHILD, so the corpus was scanned and
+    // hashed twice per run (playbook trap (e)). This shape scans once:
+    // map-side combine ships (h, id, n) ≈ 50 B/row through the hash
+    // exchange, and orderBy's range sampler sits above that shuffle
+    // boundary, so its sampling pass re-reads shuffle files, not the scan.
+    // sf5 JobProfile A/B same session (best-of-5): fused-with-text 1.10 s,
+    // fused-with-slim-key 1.09 s (projecting md5 before the range exchange
+    // barely helps — the sampler's re-scan is the real cost, two sample
+    // jobs ≈ 0.45 s/run), agg-then-sort 0.80 s with 2 jobs instead of 3.
+    // At 100 TB the same ordering holds harder: a corpus re-scan per run
+    // and a text-width exchange are both unaffordable; two digest-width
+    // exchanges are noise.
     (s, d) => Dedup.exactGroups(
-        t(s, d, "documents").select("doc_id", "text")
-          .repartitionByRange(md5(col("text"))))
-      .sortWithinPartitions("h"),
+        t(s, d, "documents").select("doc_id", "text"))
+      .orderBy("h"),
     Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
