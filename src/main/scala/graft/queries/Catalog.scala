@@ -1745,16 +1745,45 @@ object Catalog {
     * unchanged, since only the scoring join differs. */
   val x71 = Q("x71_knn_label",
     (s, d) => {
+      // norms ONCE per vector, below the join (round 10, sf5 profile):
+      // cosine4(e, qv) expands to THREE DotProduct kernels per pair —
+      // dot(e,qv) plus both norms recomputed for every (vector, probe)
+      // combination, 3× the FLOPs of the oracle's own precomputed-nrm
+      // shape. Projecting nrm on the corpus side (evaluated once per
+      // stream row — the join node blocks CollapseProject from pushing it
+      // above) and qn inside the broadcast probe build leaves ONE kernel
+      // per pair. Same doubles, same left-to-right fold → hash-identical.
+      // `ed` pre-widens float→double ONCE per row as well: V.dot casts
+      // both operands, and on the raw embedding column that allocation
+      // would run per PAIR (the 10-row probe side: 1M casts of the same
+      // 10 arrays). On the pre-cast column SimplifyCasts drops the
+      // kernel's inner no-op cast.
       val emb = t(s, d, "embeddings")
+        .withColumn("ed", V.asDouble(col("embedding")))
+        .withColumn("nrm", V.norm(col("ed")))
       val probes = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .select(col("vec_id").as("qid"), col("ed").as("qv"),
+          col("nrm").as("qn"))
       val scored = emb.where(col("vec_id") >= 10)
         .crossJoin(broadcast(probes))
         .select(col("qid"), col("vec_id"), col("label"),
-          V.cosine4(col("embedding"), col("qv")).as("cos"))
-      val top5 = Relational.topKPerGroup(scored, Seq("qid"),
-        Seq(col("cos").desc, col("vec_id")), 5)
-      val votes = top5.groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+          round(V.dot(col("ed"), col("qv")) /
+            (col("nrm") * col("qn")), 4).as("cos"))
+      // top-5 per probe as a bounded heap, not a ranking window: the
+      // window sorts corpus/probes rows per qid through one task each
+      // (O(n log n) at any scale), where largestK's map-side heaps cap
+      // per-group state at k=5 regardless of corpus size. (cos desc,
+      // vec_id asc) tie order = struct(cos, -vec_id) descending; label
+      // rides as a payload field (never compared — vec_id is unique).
+      // sf5 JobProfile A/B same session, cumulative: 3.48 s baseline →
+      // 1.97 s (one kernel/pair + heap) → 1.48 s (pre-cast arrays).
+      val top5 = scored
+        .select(col("qid"), struct(col("cos"),
+          (col("vec_id") * lit(-1L)).as("nid"), col("label")).as("s"))
+        .groupBy("qid").agg(Relational.largestK(col("s"), 5).as("top"))
+        .select(col("qid"), explode(col("top")).as("s"))
+      val votes = top5.groupBy(col("qid"), col("s.label").as("label"))
+        .agg(count(lit(1)).as("votes"))
       val winner = Relational.topKPerGroup(votes, Seq("qid"),
         Seq(col("votes").desc, col("label")), 1)
       reportSort(winner.select(col("qid"),
