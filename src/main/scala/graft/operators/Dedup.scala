@@ -795,6 +795,90 @@ object Dedup {
         (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dupes"))
   }
 
+  // ──────────────────────── decontamination tier ────────────────────────
+
+  /** Ceiling on the eval-side distinct-shingle estimate the single-bloom
+    * decontamination route is sized for. Aligned with Spark's own default
+    * runtime-bloom cap (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * = 4M): past it a single fixed-size sketch saturates (fpp → 1) and the
+    * prefilter stops filtering, so the route falls back to the exact
+    * distinct-join shape instead of paying bloom overhead for nothing. The
+    * 100 TB eval sets that exceed this (e.g. a 100M-n-gram benchmark union)
+    * raise the conf caps and/or shard the sketch by shingle range — one
+    * bloom per range, each probed only by its range's shingles. */
+  val MaxBloomItems: Long = 4L * 1000 * 1000
+
+  @volatile private[graft] var lastDecontamRoute: String = ""
+
+  /** Per-eval-doc contamination counts: for each doc in `eval`, how many of
+    * its distinct 3-gram shingles appear anywhere in `train` — the
+    * benchmark-decontamination primitive (the GPT-3/PaLM n-gram-overlap
+    * setup: the EVAL side is the small benchmark suite, the TRAIN side the
+    * corpus). Output: (idCol, n_shared), docs with ≥ 1 shared shingle only.
+    * EXACT on both routes — the bloom is a prefilter, never the verdict.
+    *
+    * Routes on `expectedEvalShingles` (an upper estimate is fine — sizing
+    * affects sketch size/fpp, never correctness):
+    *
+    *  - `bloom` (≤ maxBloomItems): ONE pass over the eval shingles folds
+    *    them into a fixed-size bloom sketch (partial-agg: tasks OR-merge
+    *    bit arrays; nothing shuffles but the sketch), collected as one
+    *    bounded binary row and embedded as a literal. The train scan then
+    *    keeps only shingles that might be shared BEFORE the distinct — the
+    *    whole point at 100 TB: the exact shape's `distinct` shuffles every
+    *    distinct TRAIN shingle (corpus-sized), the bloom shape shuffles
+    *    ≈ |shared| + fpp·|train-distinct| rows (result-sized). No false
+    *    negatives, so every truly shared shingle survives; false positives
+    *    are train shingles NOT in eval, which the final equality join drops
+    *    — they can never match an eval row. Exact by construction.
+    *  - `exact` (over cap): the x66 baseline shape — distinct train
+    *    shingles, equality join, group-count.
+    *
+    * An empty train or eval side yields an empty result on both routes (an
+    * empty-input bloom aggregate is NULL; `might_contain(NULL, _)` is NULL,
+    * which the filter drops — empty-set membership). */
+  def contaminationCounts(train: DataFrame, eval: DataFrame,
+                          expectedEvalShingles: Long,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxBloomItems: Long = MaxBloomItems): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val sh = graft.functions.TextHashFunctions.shingleSet(col(textCol))
+    val trainSh = train.select(explode(sh).as("sh"))
+    val evalSh = eval.select(col(idCol), explode(sh).as("sh"))
+    val trainMatch =
+      if (expectedEvalShingles > maxBloomItems) {
+        lastDecontamRoute = "exact"
+        trainSh.distinct()
+      } else {
+        lastDecontamRoute = "bloom"
+        val bloom = evalShingleBloom(eval, expectedEvalShingles, textCol)
+        trainSh.where(GraftSqlBridge.bloomMightContain(
+          GraftSqlBridge.binaryLit(bloom), col("sh"))).distinct()
+      }
+    evalSh.join(trainMatch, "sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Build the serialized bloom sketch of `eval`'s distinct shingles — the
+    * shared prefilter state of [[contaminationCounts]] and the streaming
+    * gate. NULL for an empty eval side (might_contain(NULL, _) is NULL =
+    * empty-set membership). Sized ~16 bits/item (fpp ≈ 5e-4), conf-capped;
+    * the estimate affects size/fpp only, never correctness.
+    *
+    * Bounded driver materialization (DriverBoundSpec): ONE binary row of
+    * ≤ 8 MB whose size is fixed by the parameters, not the data — a
+    * sketch, like any broadcast build. */
+  def evalShingleBloom(eval: DataFrame, expectedEvalShingles: Long,
+                       textCol: String = "text"): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val items = math.max(expectedEvalShingles, 1024L)
+    val bits = math.min(items * 16, 1L << 26)
+    eval.select(explode(
+        graft.functions.TextHashFunctions.shingleSet(col(textCol))).as("sh"))
+      .agg(GraftSqlBridge.bloomFilterAgg(col("sh"), items, bits).as("b"))
+      .head().getAs[Array[Byte]]("b")
+  }
+
   /** Embedding-cosine near-dup pairs among a bounded probe set (callers cap
     * the probe side; the unbounded scale path is embeddingNearDupLsh).
     *

@@ -3132,6 +3132,58 @@ object Catalog {
             |ORDER BY source, rk""".stripMargin),
     bench = false)
 
+  /** Decontamination on the 100 TB route: x66's exact semantics (per-eval-doc
+    * shared-shingle counts, same split, same oracle) through
+    * [[Dedup.contaminationCounts]]' bloom prefilter. Where x66's baseline
+    * shape `distinct`s EVERY train shingle (a corpus-sized shuffle — the one
+    * part of x66 that does not survive a 1000× scale-up), this folds the
+    * small eval side into one fixed-size bloom sketch (partial-agg; only the
+    * sketch leaves the executors) and keeps train shingles that might be
+    * shared BEFORE the distinct — the shuffle shrinks from corpus-sized to
+    * result-sized. Exact either way: no false negatives, and false-positive
+    * train shingles cannot match an eval row in the final equality join.
+    * Routes to the exact shape when the eval-shingle estimate exceeds the
+    * sketch cap (route + boundary pinned in RouteScaleSpec; path
+    * equivalence + empty-side edges in DedupStressSpec).
+    *
+    * The estimate is ZERO-job driver metadata — the relation's
+    * `stats.sizeInBytes` (the same statistic broadcast-join thresholds
+    * gate on), calibrated as one expected eval shingle per 2 bytes of
+    * full-table parquet: ~117 B/doc compressed × 10% eval split ×
+    * ≤512 shingles/doc ≈ /2.25, floored to /2 so it stays an UPPER bound
+    * (route-equivalent to a doc-count probe at every SF — sf1's ~5.7 MB
+    * routes bloom at ~2.9M, sf5's ~28.5 MB routes exact — without the
+    * count's extra job per run, A/B'd via JobProfile: 10 → 8 jobs).
+    * Estimate errors are one-directional by construction: better-than-
+    * expected compression shrinks the estimate and costs fpp only;
+    * incompressible text inflates it toward the exact route earlier. */
+  val x102 = Q("x102_bloom_decontamination",
+    (s, d) => {
+      val docs = t(s, d, "documents").withColumn("h",
+        graft.functions.TextHashFunctions.fingerprint(col("text")) % 100)
+      val est = (t(s, d, "documents")
+        .queryExecution.optimizedPlan.stats.sizeInBytes / 2).toLong
+      graft.operators.Dedup.contaminationCounts(
+          docs.where(col("h") < 80), docs.where(col("h") >= 90), est)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH th AS (SELECT doc_id, text,
+            |    ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)} AS hs
+            |  FROM documents),
+            |f AS (SELECT doc_id, text,
+            |    ${Portable.fingerprint(DuckD, "hs")} % 100 AS h FROM th),
+            |tok AS (SELECT doc_id, h, ${Portable.tokens(DuckD, "text")} AS toks
+            |  FROM f),
+            |sh0 AS (SELECT doc_id, h, unnest(${graft.operators.Dedup.shingleExprDuck("toks")}) AS sh
+            |  FROM tok),
+            |sh AS (SELECT DISTINCT doc_id, h, sh FROM sh0),
+            |tr AS (SELECT DISTINCT sh FROM sh WHERE h < 80),
+            |ev AS (SELECT doc_id, sh FROM sh WHERE h >= 90)
+            |SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            |FROM ev JOIN tr ON ev.sh = tr.sh
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = false)
+
   /** E9 approximate distinct (plausibility-checked only — HLL sketches are
     * engine-specific, so no hash oracle by design). */
   val x28 = Q("x28_approx_distinct",
@@ -3151,7 +3203,7 @@ object Catalog {
     x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91,
-    x92, x93, x94, x95, x96, x97, x98, x99, x100, x101)
+    x92, x93, x94, x95, x96, x97, x98, x99, x100, x101, x102)
 
   /** Queries routed to STATIC planning (AQE off for that execution).
     *

@@ -329,6 +329,36 @@ object EventStreams {
       .drop("thr")
   }
 
+  /** Streaming decontamination prefilter — the online face of x102 /
+    * [[graft.operators.Dedup.contaminationCounts]]: annotate each arriving
+    * document with how many of its 3-gram shingles hit the PINNED
+    * benchmark bloom ([[graft.operators.Dedup.evalShingleBloom]] over the
+    * static eval suite, embedded as a literal — built once at query start,
+    * refreshed by restarting with the next suite snapshot, the
+    * streamingQualityGate threshold contract). Per-row kernel + array HOF,
+    * no shuffle, no state — nothing for a watermark to bound.
+    *
+    * The asymmetry IS the production contract: the bloom has no false
+    * negatives, so `n_suspect_shingles` ≥ the doc's true shared-shingle
+    * count — a `< minShared` cut is EXACTLY the clean stream (safe to
+    * ingest with no further work), while the flagged residue (true hits +
+    * ~5e-4 fpp) is result-sized and routes to the offline exact verify
+    * (x102's join stage). No row-local operator can do better: exact
+    * online membership would stream the whole eval shingle set past every
+    * row. An empty eval suite flags nothing — might_contain(NULL, _) is
+    * NULL, which the HOF filter drops, so every count is 0. */
+  def streamingContaminationFlags(docs: DataFrame, evalDocs: DataFrame,
+                                  expectedEvalShingles: Long,
+                                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val bloom = graft.operators.Dedup.evalShingleBloom(
+      evalDocs, expectedEvalShingles, textCol)
+    docs.withColumn("n_suspect_shingles",
+      size(filter(
+        graft.functions.TextHashFunctions.shingleSet(col(textCol)),
+        s => B.bloomMightContain(B.binaryLit(bloom), s))).cast("bigint"))
+  }
+
   final case class ScoredDoc(source: String, doc_id: Long, quality: Double)
 
   final case class Exemplars(source: String, doc_ids: Seq[Long],

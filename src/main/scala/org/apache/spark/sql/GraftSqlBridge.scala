@@ -32,4 +32,39 @@ object GraftSqlBridge {
   def collectTopKExpr(child: Expression, num: Int,
                       reverse: Boolean): Expression =
     new catalyst.expressions.aggregate.CollectTopK(child, num, reverse, 0, 0)
+
+  /** Bloom-filter sketch aggregate over a LONG column (`BloomFilterAggregate`
+    * — the expression behind Spark's own runtime row-level filtering).
+    * Partial-agg friendly: each task folds its rows into a fixed-size bit
+    * array and partials OR-merge, so the full scan reduces to ONE binary
+    * value of `numBits/8` bytes with no shuffle of the raw values — the
+    * property that makes it the 100 TB membership-prefilter primitive.
+    * `expectedItems`/`numBits` must stay within the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * caps (4M / 2^26 by default) or analysis fails. */
+  def bloomFilterAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    classic.ExpressionUtils.column(
+      new catalyst.expressions.aggregate.BloomFilterAggregate(
+        classic.ExpressionUtils.expression(c),
+        catalyst.expressions.Literal(expectedItems),
+        catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Membership probe against a serialized bloom sketch
+    * (`BloomFilterMightContain`). The bloom side must be foldable (e.g. a
+    * `lit(bytes)` of a collected sketch) — Spark's own restriction; a NULL
+    * bloom (empty input aggregate) probes to NULL, i.e. filters drop every
+    * row, matching empty-set membership. No false negatives ever; false
+    * positives at the sketch's fpp, so exact operators must re-verify. */
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.BloomFilterMightContain(
+        classic.ExpressionUtils.expression(bloom),
+        classic.ExpressionUtils.expression(value)))
+
+  /** BINARY-typed literal that stays BinaryType even for null (a plain
+    * `lit(null)` is NullType, which `might_contain` rejects). */
+  def binaryLit(b: Array[Byte]): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.Literal(b, types.BinaryType))
 }

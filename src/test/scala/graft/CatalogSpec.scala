@@ -124,7 +124,8 @@ class CatalogSpec extends AnyFunSuite {
       "canon_quality"),
     "x100_training_pipeline" -> Seq("source", "n_raw", "n_dedup", "n_gate",
       "n_final", "toks_final"),
-    "x101_topk_exemplars" -> Seq("source", "rk", "doc_id", "quality"))
+    "x101_topk_exemplars" -> Seq("source", "rk", "doc_id", "quality"),
+    "x102_bloom_decontamination" -> Seq("doc_id", "n_shared"))
 
   test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
     assert(Catalog.queries.keySet == expectedCols.keySet)

@@ -34,6 +34,9 @@ class DriverBoundSpec extends AnyFunSuite {
     "BpeTrainer.scala" -> (1,
       "TakeOrdered(1) round winner — exactly one (pair, weight) row per " +
         "merge round"),
+    "Dedup.scala" -> (1,
+      "contaminationCounts bloom sketch — ONE binary row of numBits/8 " +
+        "bytes (conf-capped 8 MB), size fixed by parameters not data"),
     "HiveCatalogDemo.scala" -> (2,
       "two-JVM demo main: bounded daily-count reports"),
     "Sharding.scala" -> (2,

@@ -277,6 +277,60 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination flags: the clean cut is exact (every doc " +
+    "with true overlap is flagged, counts bound the truth from above); " +
+    "empty eval suite flags nothing") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(23)
+    // pinned benchmark suite, built offline
+    val evalDocs = (0 until 8).map { j =>
+      (j.toLong, (1 to 20).map(_ => s"ev${rnd.nextInt(2000)}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val evRows = evalDocs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // arriving corpus: docs 100+j copy a 10-token eval prefix (8 shared
+    // shingles); 200-201 are disjoint
+    val arrivals = (0 until 4).map { j =>
+      val pref = evRows(j * 2)._2.split(" ").take(10)
+      (100L + j, (pref ++ (1 to 12).map(k => s"c${j}_$k")).mkString(" "))
+    } ++ Seq((200L, (1 to 15).map(k => s"x$k").mkString(" ")),
+      (201L, (1 to 15).map(k => s"y$k").mkString(" ")))
+    val dir = Files.createTempDirectory("graft_scontam").toString
+    arrivals.take(3).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(evalDocs.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val q = EventStreams.streamingContaminationFlags(src, evalDocs, 4096)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scontam").start()
+    try {
+      q.processAllAvailable()
+      arrivals.drop(3).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("scontam")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.keySet == arrivals.map(_._1).toSet)
+      // exact per-arrival truth from the batch operator with the frames
+      // arranged so the STREAMED docs are the counted side: train = the
+      // pinned suite, eval = the arrivals, forced down the exact route
+      val exact = Dedup.contaminationCounts(
+          evalDocs, arrivals.toDF("doc_id", "text"), 4096,
+          maxBloomItems = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(exact.keySet == (0 until 4).map(100L + _).toSet)
+      for ((id, n) <- exact) assert(got(id) >= n,
+        s"doc $id: bloom count ${got(id)} must bound exact $n from above")
+      assert((0 until 4).forall(j => got(100L + j) >= 1),
+        "no false negatives: every truly contaminated doc is flagged")
+      assert(got(100L) >= 8) // the 10-token prefix carries 8 shingles
+      // empty suite: nothing is ever flagged (NULL bloom semantics)
+      val none = EventStreams.streamingContaminationFlags(
+        arrivals.toDF("doc_id", "text"), evalDocs.where(lit(false)), 64)
+      assert(none.where(col("n_suspect_shingles") =!= 0L).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming quality gate ≡ batch gate population under the same " +
     "offline thresholds; unknown sources follow defaultThr") {
     import java.sql.Timestamp

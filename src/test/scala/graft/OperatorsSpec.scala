@@ -247,6 +247,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(0).nonEmpty) // the corpus genuinely produces pairs
   }
 
+  test("contaminationCounts: bloom route ≡ exact route, and counts are " +
+    "the planted per-doc shingle overlaps") {
+    val rnd = new scala.util.Random(11)
+    // train corpus plus eval docs built to share a KNOWN prefix with one
+    // train doc each (shingle overlap = prefix 3-grams) or nothing at all
+    val train = (0 until 50).map { i =>
+      (i.toLong, (1 to 24).map(_ => s"t${rnd.nextInt(3000)}_$i").mkString(" "))
+    }
+    val evalDocs = (0 until 6).map { j =>
+      val toks = train(j * 7)._2.split(" ")
+      // first 10 train tokens + a disjoint tail → shared 3-gram shingles
+      // of the 10-token prefix = 8
+      (100L + j, (toks.take(10) ++ (1 to 10).map(k => s"e${j}_$k")).mkString(" "))
+    } :+ (200L, (1 to 20).map(k => s"only$k").mkString(" ")) // zero overlap
+    val trainDf = train.toDF("doc_id", "text")
+    val evalDf = evalDocs.toDF("doc_id", "text")
+    def run(maxItems: Long) = {
+      val out = Dedup.contaminationCounts(trainDf, evalDf, 4096,
+          maxBloomItems = maxItems)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      out
+    }
+    val bloom = run(Dedup.MaxBloomItems)
+    assert(Dedup.lastDecontamRoute == "bloom")
+    val exact = run(0)
+    assert(Dedup.lastDecontamRoute == "exact")
+    assert(bloom == exact)
+    // each planted eval doc shares exactly the 8 prefix shingles; the
+    // disjoint doc is absent (inner-join semantics)
+    assert(bloom == (0 until 6).map(j => (100L + j, 8L)))
+  }
+
+  test("contaminationCounts: empty train and empty eval are empty results " +
+    "on both routes (NULL bloom ≡ empty-set membership)") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val none = docs.where(lit(false))
+    for (cap <- Seq(Dedup.MaxBloomItems, 0L)) {
+      assert(Dedup.contaminationCounts(none, docs, 64,
+        maxBloomItems = cap).count() == 0)
+      assert(Dedup.contaminationCounts(docs, none, 64,
+        maxBloomItems = cap).count() == 0)
+    }
+  }
+
   test("bruteForceTopK: self is rank 1 with cosine 1.0") {
     val emb = Seq(
       (0L, Array(1f, 2f, 3f, 4f)),

@@ -75,4 +75,25 @@ class RouteScaleSpec extends AnyFunSuite {
       "a 4096-dim cell of 1025 rows (~33.6 MB of doubles) must not buffer " +
         "in one kernel task under the 32 MB budget")
   }
+
+  test("contaminationCounts: one item over MaxBloomItems routes exact at " +
+    "the DEFAULT cap; exactly at cap keeps the bloom prefilter") {
+    // the route is decided from the caller's estimate alone (sizing is
+    // correctness-neutral), so the pin needs no over-cap corpus — only
+    // that the DEFAULT gate sends a saturation-regime estimate down the
+    // exact path and never taxes an in-cap eval set with it
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val ev = Seq((2L, "a b c x y")).toDF("doc_id", "text")
+    Dedup.contaminationCounts(train, ev, Dedup.MaxBloomItems + 1)
+      .write.mode("overwrite").format("noop").save()
+    assert(Dedup.lastDecontamRoute == "exact",
+      s"${Dedup.MaxBloomItems + 1} expected eval shingles saturate a " +
+        "conf-capped sketch — the prefilter would pass everything while " +
+        "still paying its scan")
+    Dedup.contaminationCounts(train, ev, Dedup.MaxBloomItems)
+      .write.mode("overwrite").format("noop").save()
+    assert(Dedup.lastDecontamRoute == "bloom",
+      s"exactly ${Dedup.MaxBloomItems} is in-contract for the sketch route")
+  }
 }

@@ -62,7 +62,7 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (94, "centroid_outliers"), (95, "hybrid_search"), (96, "quality_gate"),
     (97, "source_overlap"), (98, "interpolate"),
     (99, "canonical_docs"), (100, "training_pipeline"),
-    (101, "topk_exemplars")]]
+    (101, "topk_exemplars"), (102, "bloom_decontamination")]]
 
 
 # queries declared WITHOUT an oracle by design (rows-only checks) — the only
