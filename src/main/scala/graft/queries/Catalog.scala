@@ -3228,7 +3228,12 @@ object Catalog {
     // nothing for AQE to re-decide (stable +0.03-0.05 s static win probed
     // 3×; q03 measured unstable and stays adaptive)
     "q16_join_window",
-    "x17_dedup_exact",
+    // x17 LEFT this set in round 10: the static route was probed for the
+    // OLD fused-range shape (one exchange, nothing to coalesce); the
+    // agg-then-sort reshape ships ~250 KB of digests through 32 static
+    // post-shuffle tasks that AQE collapses — re-probed 0.374 (on) vs
+    // 0.559 (off) at sf0.1, and at sf5 coalescing is neutral-to-helpful
+    // (12 MB of digests)
     // x18/x34: the LSH band joins are shuffled equi-joins whose bucket
     // sizes are bounded by construction (signature grouping / band
     // hashing), so runtime skew-splitting has nothing to split — the
@@ -3272,6 +3277,13 @@ object Catalog {
     // (stable +0.02-0.10 s static win, probed 3×; x90/x92 measured
     // neutral and stay adaptive)
     "x91_pmi_collocations",
+    // x102: the bloom route's prefiltered distinct + join are both
+    // result-sized by construction, so AQE's stage round-trips only add
+    // floor (static win +0.14/+0.18/+0.16 s, probed 3× at sf0.1; sf5 —
+    // the exact route — measured a wash). Bench-entry-local, like x18:
+    // the OPERATOR stays AQE-compatible for arbitrary corpora, where the
+    // runtime broadcast decision on the candidate set is the safe choice
+    "x102_bloom_decontamination",
     // x93: vocabulary-bounded plan end-to-end (count table, 1-task
     // window, 1-row slope broadcast) — nothing to re-decide (+0.04 probed;
     // x94 adaptive wins −0.24, x95 neutral — both stay adaptive)
