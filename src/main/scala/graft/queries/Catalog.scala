@@ -56,7 +56,15 @@ object Catalog {
     * sort's child, so on a join/verify tail it would run the expensive
     * stage twice. At any scale, merging a bounded report on one task is
     * the right plan; table-shaped outputs below keep the parallel range
-    * sort. */
+    * sort.
+    *
+    * BOUNDED means bounded by the SCHEMA (groups, k, a capped probe set),
+    * not "small at the SF I tested": x18's "threshold-bounded" pair set
+    * grew 14k → 1.4M → 65.2M rows across sf0.01/0.1/5 (quadratic in
+    * near-dup class sizes) and this tail was 50 of its 62 s at sf5 — a
+    * one-task OOM at corpus scale (r10 adjudication, BASELINE.md). Any
+    * output that grows with the data takes `orderBy`, and the sampler
+    * re-run is priced against the tail it replaces. */
   private def reportSort(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 
@@ -404,10 +412,21 @@ object Catalog {
     * them — the complete linear-ish dedup pipeline, not just candidate
     * generation. */
   val x18 = Q("x18_dedup_minhash",
-    // reportSort: the near-dup pair set is threshold-bounded (≥0.9 est
-    // Jaccard), and orderBy's sampling pass would re-run the verify join
-    (s, d) => reportSort(Dedup.minhashNearDupPairs(t(s, d, "documents"), 0.9),
-      col("a"), col("b")),
+    // PARALLEL range sort, not reportSort (round 10, profiled at sf5): the
+    // pair set is NOT report-sized — it grows quadratically in near-dup
+    // CLASS sizes (14k rows at sf0.01 → 1.4M at sf0.1 → 65.2M at sf5 on
+    // this dup-heavy corpus), so repartition(1) funneled it through ONE
+    // sort task: 50-68 s
+    // of a 55-62 s query against 3-8 s of actual compute (X18Probe, 3
+    // rounds). orderBy's range sampler does re-execute the join child (the
+    // original reason reportSort was chosen) but that child is the CHEAP
+    // part; measured tails at sf5: repartition(1) 49-69 s, orderBy 14-21 s,
+    // localCheckpoint+orderBy 51-57 s (materializing 65M rows costs more
+    // than re-running the 4 s pipeline — the x20 checkpoint lesson). At
+    // 100 TB the one-task sort is an OOM, not just a straggler; output
+    // that scales with data takes the table-shaped treatment (x74 lesson).
+    (s, d) => Dedup.minhashNearDupPairs(t(s, d, "documents"), 0.9)
+      .orderBy(col("a"), col("b")),
     Some(duckMinhashSql))
 
   private def duckSimhashSql: String = {
@@ -502,8 +521,13 @@ object Catalog {
     * the banded shuffle-per-band variant of x21 (which brute-forces a
     * bounded probe set). */
   val x34 = Q("x34_dedup_embedding_lsh",
-    // reportSort: threshold-bounded pair report; orderBy's sampling pass
-    // would re-run the banded join's pairwise cosines
+    // reportSort KEPT after the r10 x18 audit, with the trade measured at
+    // sf5: the pair set grows with data (107 rows sf0.01 → 4.4M sf5) but
+    // the one-task merge is ~90 MB ≈ a few seconds of a 27-30 s query,
+    // while orderBy's sampler would RE-RUN the banded cosine join — the
+    // expensive part here (the exact inverse of x18, whose pipeline was
+    // 4 s and whose one-task tail was 50 s). Revisit if the pair set ever
+    // outgrows a single sort task's memory before the join cost does.
     (s, d) => reportSort(Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), 0.3),
       col("a"), col("b")),
     Some {
@@ -1425,7 +1449,14 @@ object Catalog {
     * in time per user): each stage's entry time is the MIN event time after
     * the previous stage's entry — conditional aggregations chained by slim
     * equi joins on user_id, no window over the full event stream. Output is
-    * each signed-up user's funnel depth (1–3). */
+    * each signed-up user's funnel depth (1–3).
+    *
+    * reportSort tail KEPT through the r10 x18 audit: the output is
+    * O(signed-up users) — it grows with data (150 rows sf0.01 → 75k sf5),
+    * but at ~12 B/row the one-task merge stays trivial (~1 MB at sf5) and
+    * the repartition(1) is part of the PlanShapeSpec-pinned one-exchange
+    * design. At ~10⁸+ users swap the tail for the parallel range sort
+    * (x18's adjudication) — the pinned map side is unaffected. */
   val x62 = Q("x62_funnel",
     (s, d) => {
       // ONE data exchange: hash-partition the slim event projection by

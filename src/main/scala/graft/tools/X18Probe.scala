@@ -46,6 +46,25 @@ object X18Probe {
         Dedup.minhashNearDupPairs(docs, 0.9).write
           .mode("overwrite").format("noop").save()
       }
+      val outRows = time("output count") {
+        Dedup.minhashNearDupPairs(docs, 0.9).count()
+      }
+      println(s"[probe] output pair rows: $outRows")
+      time("reportSort tail (repartition(1)) noop") {
+        Dedup.minhashNearDupPairs(docs, 0.9)
+          .repartition(1).sortWithinPartitions(col("a"), col("b"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("parallel range-sort tail (orderBy) noop") {
+        Dedup.minhashNearDupPairs(docs, 0.9)
+          .orderBy(col("a"), col("b"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("checkpointed pairs + orderBy noop") {
+        val pairs = Dedup.minhashNearDupPairs(docs, 0.9).localCheckpoint(false)
+        pairs.orderBy(col("a"), col("b"))
+          .write.mode("overwrite").format("noop").save()
+      }
     }
     spark.stop()
   }
