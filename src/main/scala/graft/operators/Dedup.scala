@@ -350,14 +350,56 @@ object Dedup {
     * band (no distinct pass), mirroring minhashNearDupPairs. Recall for a
     * pair at angle θ is 1-(1-p^r)^b with p = 1-θ/π — tuned via
     * Similarity.Bands / RowsPerBand at real scale. */
-  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+  @volatile private[graft] var lastLshRoute: String = ""
+
+  /** Banded-LSH near-dup pairs with the x83 route split (round 10):
+    * in-contract band buckets take a per-bucket primitive-loop kernel,
+    * oversized buckets fall back to the declarative join. The join route
+    * MATERIALIZES two d-dim arrays into every candidate pair row — at sf5
+    * that is Σ|bucket|² ≈ 260M pair rows × ~1 KB ≈ a 27–30 s query doing
+    * 3–8 s of arithmetic (JobProfile r10); the kernel buffers each bucket
+    * once (max bucket 4.7k × 64 dims ≈ 2.4 MB, dimension-aware gate) and
+    * loops pairs in primitive arrays with zero pair-row materialization.
+    * Identical output by construction: same first-matching-band dedup
+    * (the full band-key array rides along and keys below the bucket's band
+    * are compared in the loop, BEFORE any arithmetic — a pair that already
+    * matched at an earlier band skips its dot product), same sequential
+    * dot, same HALF_UP round4, same NaN-is-a-hit rule (plain JVM division
+    * is safe: a zero norm forces dot 0 too, so 0/0 = NaN exactly where the
+    * declarative try_divide → NULL → NaN; route parity is spec-pinned and
+    * the oracle is green on both routes). Routing stats are one slim
+    * aggregate over (band, key, dim) — no vector ships through the probe. */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+                          maxKernelBucket: Int = MaxKernelCellRows,
+                          kernelCellBytes: Long = KernelCellBytes): DataFrame = {
     import graft.operators.{Similarity => S}
-    val earlier = 0 until (S.Bands - 1)
     val keyed = S.withBandKeys(emb)
       .select(col("vec_id") +: (0 until S.Bands).map(b => col(s"k$b")) :+
         VectorFunctions.asDouble(col("embedding")).as("v"): _*)
-      .withColumn("nrm", VectorFunctions.norm(col("v")))
-    val rows = S.bandRows(keyed, earlier.map(b => s"k$b") ++ Seq("v", "nrm"))
+    val stats = S.bandRows(keyed.withColumn("dm", size(col("v"))), Seq("dm"))
+      .groupBy("band", "key").agg(count(lit(1)).as("c"), max(col("dm")).as("d"))
+      .agg(max(col("c")), max(col("d"))).head()
+    val maxBucket = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val dim = Option(stats.get(1)).map(_.asInstanceOf[Int]).getOrElse(1).max(1)
+    val cap = math.min(maxKernelBucket.toLong, kernelCellBytes / (dim.toLong * 8L))
+    if (maxBucket <= cap) {
+      lastLshRoute = "kernel"
+      lshPairsKernel(keyed, threshold)
+    } else {
+      lastLshRoute = "join"
+      lshPairsJoin(keyed, threshold)
+    }
+  }
+
+  /** Declarative fallback (the pre-r10 shape): spill-safe for buckets too
+    * large to buffer in one task, at the cost of materializing both vectors
+    * into every candidate pair row. */
+  private def lshPairsJoin(keyed: DataFrame, threshold: Double): DataFrame = {
+    import graft.operators.{Similarity => S}
+    val earlier = 0 until (S.Bands - 1)
+    val rows = S.bandRows(
+      keyed.withColumn("nrm", VectorFunctions.norm(col("v"))),
+      earlier.map(b => s"k$b") ++ Seq("v", "nrm"))
     val l = rows.select(col("band") +: col("key") +:
       col("vec_id").as("a") +: col("v").as("va") +: col("nrm").as("na") +:
       earlier.map(b => col(s"k$b").as(s"ka$b")): _*)
@@ -372,6 +414,86 @@ object Dedup {
         cosine4(VectorFunctions.dot(col("va"), col("vb")),
           col("na"), col("nb")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** Per-bucket kernel route: pinned (band, key) exchange + contiguous-run
+    * scan (semanticDedupKernel's mechanism — AQE cannot see Σ|bucket|² pair
+    * cost, a user-specified repartition is coalesce-exempt, and the
+    * within-partition (band, key, vec_id) sort makes each bucket an
+    * id-ordered run, so ids come out ascending and a < b needs no extra
+    * work). Output buffers SURVIVORS only (the threshold-filtered pair
+    * set, never the candidate set). */
+  private def lshPairsKernel(keyed: DataFrame, threshold: Double): DataFrame = {
+    import graft.operators.{Similarity => S}
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val rows = S.bandRows(keyed.withColumn("ks",
+        array((0 until S.Bands).map(b => col(s"k$b")): _*)), Seq("ks", "v"))
+      .select(col("band"), col("key"), col("vec_id"), col("ks"), col("v"))
+    rows
+      .repartition(spark.sparkContext.defaultParallelism, col("band"), col("key"))
+      .sortWithinPartitions("band", "key", "vec_id")
+      .as[(Int, Long, Long, Array[Long], Array[Double])]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        var curBand = 0; var curKey = 0L; var has = false
+        def flush(): Unit = if (has) {
+          // plain local arrays: the pair loop below runs Σ|bucket|²/2
+          // iterations (~260M at sf5) — ArrayBuffer.apply in the hot path
+          // is measurable at that count
+          val n = vecs.length
+          val vv = vecs.toArray
+          val kv = keys.toArray
+          val idv = ids.toArray
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            norms(i) = math.sqrt(dotArr(vv(i), vv(i))); i += 1
+          }
+          val b = curBand
+          var j = 1
+          while (j < n) {
+            val vj = vv(j); val kj = kv(j); val nj = norms(j); val idj = idv(j)
+            var i2 = 0
+            while (i2 < j) {
+              // first-matching-band: every band below this one must differ
+              val ki = kv(i2)
+              var t = 0; var firstHere = true
+              while (firstHere && t < b) {
+                if (ki(t) == kj(t)) firstHere = false
+                t += 1
+              }
+              if (firstHere) {
+                val raw = dotArr(vv(i2), vj) / (norms(i2) * nj)
+                // round4 allocates a BigDecimal (~550 ns measured) — gate
+                // it on the RAW value: HALF_UP at the 4th decimal can lift
+                // a value by at most 5e-5, so raw < thr − 6e-5 can never
+                // round to ≥ thr. The exact rounded check still decides.
+                if (raw.isNaN || raw >= threshold - 6e-5) {
+                  val cos = round4(raw)
+                  if (cos.isNaN || cos >= threshold)
+                    out += ((idv(i2), idj, cos))
+                }
+              }
+              i2 += 1
+            }
+            j += 1
+          }
+          ids.clear(); keys.clear(); vecs.clear()
+        }
+        it.foreach { case (band, key, id, ks, v) =>
+          if (!has || band != curBand || key != curKey) {
+            flush(); curBand = band; curKey = key; has = true
+          }
+          ids += id; keys += ks; vecs += v
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("a", "b", "cos")
   }
 
   /** SemDeDup — semantic dedup scoped to embedding-space clusters (Abbas et
@@ -550,8 +672,14 @@ object Dedup {
             var hit = false
             var k = 0
             while (!hit && k < j) {
-              val cos = round4(dotArr(vecs(k), vecs(j)) / (norms(k) * norms(j)))
-              if (cos.isNaN || cos >= threshold) hit = true
+              val raw = dotArr(vecs(k), vecs(j)) / (norms(k) * norms(j))
+              // gate the BigDecimal round4 on the raw value (x34's r10
+              // measurement: ~550 ns/round4 vs ~80 ns/dot); HALF_UP can
+              // lift at most 5e-5, so the prefilter is a strict superset
+              if (raw.isNaN || raw >= threshold - 6e-5) {
+                val cos = round4(raw)
+                if (cos.isNaN || cos >= threshold) hit = true
+              }
               k += 1
             }
             if (hit) dropped += 1
@@ -652,8 +780,12 @@ object Dedup {
             var hit = false
             var k = 0
             while (!hit && k < vecs.length) {
-              val cos = round4(dotArr(vecs(k), v) / (norms(k) * nrm))
-              if (cos.isNaN || cos >= threshold) hit = true
+              val raw = dotArr(vecs(k), v) / (norms(k) * nrm)
+              // round4 gated on the raw value (x34's r10 measurement)
+              if (raw.isNaN || raw >= threshold - 6e-5) {
+                val cos = round4(raw)
+                if (cos.isNaN || cos >= threshold) hit = true
+              }
               k += 1
             }
             if (hit) out += id
@@ -937,8 +1069,13 @@ object Dedup {
           var i = 0
           while (i < ps.length && ps(i)._1 < b) {
             val p = ps(i)
-            val cos = round4(dotArr(p._2, vb) / (p._3 * nb))
-            if (cos >= threshold) out += ((p._1, b, cos))
+            val raw = dotArr(p._2, vb) / (p._3 * nb)
+            // round4 gated on the raw value (x34's r10 measurement). NaN
+            // raw fails the prefilter exactly as NaN cos failed >= here.
+            if (raw >= threshold - 6e-5) {
+              val cos = round4(raw)
+              if (cos >= threshold) out += ((p._1, b, cos))
+            }
             i += 1
           }
           out

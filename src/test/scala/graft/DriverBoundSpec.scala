@@ -34,11 +34,15 @@ class DriverBoundSpec extends AnyFunSuite {
     "BpeTrainer.scala" -> (1,
       "TakeOrdered(1) round winner — exactly one (pair, weight) row per " +
         "merge round"),
-    "Dedup.scala" -> (1,
+    "Dedup.scala" -> (2,
       "contaminationCounts bloom sketch — ONE binary row of numBits/8 " +
-        "bytes (conf-capped 8 MB), size fixed by parameters not data"),
+        "bytes (conf-capped 8 MB), size fixed by parameters not data; " +
+        "embeddingNearDupLsh routing stats — ONE (max bucket, max dim) row"),
     "HiveCatalogDemo.scala" -> (2,
       "two-JVM demo main: bounded daily-count reports"),
+    "X34Probe.scala" -> (1,
+      "scratch profiler: ONE (rows, pairs, dots, hits, secs) counter row " +
+        "per partition — bounded by partition count"),
     "Sharding.scala" -> (2,
       "expected-count and write-audit aggregates — one row per shard, " +
         "bounded by nShards"))

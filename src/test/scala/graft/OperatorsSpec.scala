@@ -247,6 +247,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(0).nonEmpty) // the corpus genuinely produces pairs
   }
 
+  test("embeddingNearDupLsh: kernel route ≡ join route (forced via zero " +
+    "bucket cap), including first-band dedup and NaN-norm hits") {
+    val rnd = new scala.util.Random(31)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    // planted twins (same seed → identical vector, cos 1.0), a zero vector
+    // (NaN cosine counts as a hit on both routes), and noise
+    val base = (0 until 120).map(i => (i.toLong, vec(rnd.nextInt(40)), 0L))
+    val zeros = Seq((900L, Array.fill(8)(0f), 0L), (901L, Array.fill(8)(0f), 0L))
+    val emb = (base ++ zeros).toDF("vec_id", "embedding", "label")
+    // NaN != NaN would break set equality — canonicalize via raw bits
+    def pairs(cap: Int) = Dedup.embeddingNearDupLsh(emb, 0.9, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val kernel = pairs(Dedup.MaxKernelCellRows)
+    assert(Dedup.lastLshRoute == "kernel")
+    val join = pairs(0)
+    assert(Dedup.lastLshRoute == "join")
+    assert(kernel == join)
+    assert(kernel.nonEmpty, "the planted twins must surface")
+    assert(kernel.exists { case (a, b, c) => a == 900L && b == 901L &&
+        java.lang.Double.longBitsToDouble(c).isNaN },
+      "zero-norm twins share every band key and must hit via NaN")
+  }
+
   test("contaminationCounts: bloom route ≡ exact route, and counts are " +
     "the planted per-doc shingle overlaps") {
     val rnd = new scala.util.Random(11)

@@ -76,6 +76,25 @@ class RouteScaleSpec extends AnyFunSuite {
         "in one kernel task under the 32 MB budget")
   }
 
+  test("embeddingNearDupLsh: a band bucket over the DEFAULT dimension-aware " +
+    "byte budget routes to the join", Slow) {
+    import spark.implicits._
+    val dim = 4096
+    val bytesCap = Dedup.KernelCellBytes / (dim.toLong * 8L)
+    assert(bytesCap == 1024L)
+    // identical 4096-dim vectors: every row lands in the SAME bucket of
+    // every band, so one bucket holds bytesCap + 1 rows — over the budget.
+    // The route is decided by the eager stats probe; the quadratic pair
+    // result is never collected.
+    val vec = expr(s"transform(sequence(1, $dim), i -> CAST(1.0 AS FLOAT))")
+    val emb = spark.range(bytesCap + 1)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+    Dedup.embeddingNearDupLsh(emb, 0.999999)
+    assert(Dedup.lastLshRoute == "join",
+      s"a 4096-dim bucket of ${bytesCap + 1} rows (~33.6 MB of doubles) " +
+        "must not buffer in one kernel task")
+  }
+
   test("contaminationCounts: one item over MaxBloomItems routes exact at " +
     "the DEFAULT cap; exactly at cap keeps the bloom prefilter") {
     // the route is decided from the caller's estimate alone (sizing is
