@@ -74,7 +74,9 @@ object Bench {
 
   /** Parse `tools/bench_history.tsv`: `sfName<TAB>query<TAB>seconds` lines,
     * '#' comments. Malformed lines are skipped (a hand-edited file must
-    * never kill the bench). */
+    * never kill the bench), and duplicate (sf, query) rows reduce by MIN —
+    * last-wins would let a hand-merged duplicate silently RAISE a stall
+    * threshold, inverting the file's min-ever contract (ADVICE r10). */
   def parseHistory(text: String): Map[String, Map[String, Double]] =
     text.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -86,7 +88,9 @@ object Bench {
         }
       }
       .toSeq.groupBy(_._1)
-      .map { case (sf, rows) => sf -> rows.map(r => r._2 -> r._3).toMap }
+      .map { case (sf, rows) =>
+        sf -> rows.groupBy(_._2).map { case (q, vs) => q -> vs.map(_._3).min }
+      }
 
   def renderHistory(h: Map[String, Map[String, Double]]): String = {
     val header =
@@ -165,6 +169,12 @@ object Bench {
         parseHistory(new String(java.nio.file.Files.readAllBytes(histPath),
           java.nio.charset.StandardCharsets.UTF_8))
       else Map.empty
+    // history key = dir BASENAME, deliberately not the canonical path: the
+    // SF dirs are deterministic derivations (driver-written sf0.1 or
+    // make_sf1.py replicas), so equal basenames always hold equal data,
+    // while path keying would orphan the whole history whenever a dir is
+    // regenerated or mounted elsewhere. Contract: never point Bench at two
+    // DIFFERENT datasets sharing a basename (ADVICE r10, adjudicated).
     val sfName = new java.io.File(sfDir).getName
     val prev = history.getOrElse(sfName, Map.empty[String, Double])
 

@@ -352,23 +352,42 @@ object Dedup {
     * Similarity.Bands / RowsPerBand at real scale. */
   @volatile private[graft] var lastLshRoute: String = ""
 
-  /** Banded-LSH near-dup pairs with the x83 route split (round 10):
-    * in-contract band buckets take a per-bucket primitive-loop kernel,
-    * oversized buckets fall back to the declarative join. The join route
-    * MATERIALIZES two d-dim arrays into every candidate pair row — at sf5
-    * that is Σ|bucket|² ≈ 260M pair rows × ~1 KB ≈ a 27–30 s query doing
-    * 3–8 s of arithmetic (JobProfile r10); the kernel buffers each bucket
-    * once (max bucket 4.7k × 64 dims ≈ 2.4 MB, dimension-aware gate) and
-    * loops pairs in primitive arrays with zero pair-row materialization.
-    * Identical output by construction: same first-matching-band dedup
-    * (the full band-key array rides along and keys below the bucket's band
-    * are compared in the loop, BEFORE any arithmetic — a pair that already
-    * matched at an earlier band skips its dot product), same sequential
-    * dot, same HALF_UP round4, same NaN-is-a-hit rule (plain JVM division
-    * is safe: a zero norm forces dot 0 too, so 0/0 = NaN exactly where the
-    * declarative try_divide → NULL → NaN; route parity is spec-pinned and
-    * the oracle is green on both routes). Routing stats are one slim
-    * aggregate over (band, key, dim) — no vector ships through the probe. */
+  /** Oversized (band, key) buckets beyond this count route the WHOLE call
+    * to the join: a corpus where >64 buckets each exceed the kernel byte
+    * budget is join-shaped anyway, and the cap keeps both the routing
+    * predicate (an OR-chain over the hot list) and the driver-side hot-list
+    * collect bounded by a constant, never by data. */
+  val MaxHotBuckets: Int = 64
+
+  /** Banded-LSH near-dup pairs with PER-BUCKET route selection (round 11;
+    * round 10 shipped the two routes but picked one globally off the single
+    * largest bucket — one hot (band, key) demoted every in-contract bucket
+    * to the slow join). The join route MATERIALIZES two d-dim arrays into
+    * every candidate pair row — at sf5 that is Σ|bucket|² ≈ 260M pair rows
+    * × ~1 KB ≈ a 27–30 s query doing 3–8 s of arithmetic (JobProfile r10);
+    * the kernel buffers each bucket once and loops pairs in primitive
+    * arrays with zero pair-row materialization. A bucket is OVERSIZED iff
+    * it breaks the kernel's buffering contract on its OWN numbers —
+    * rows > maxKernelBucket, or rows × its max dim × 8 > kernelCellBytes
+    * (per-bucket byte gate: r10's global max(dim) cap punished every
+    * low-dim bucket for one high-dim vector elsewhere). Routing: no
+    * oversized buckets → kernel; ≤ [[MaxHotBuckets]] of them → the hot
+    * buckets take the join and every other bucket keeps the kernel
+    * ("mixed"), the two branches split by the SAME predicate so the bucket
+    * partition is exact; more than that (a join-shaped corpus) → all join.
+    * Splitting is sound because first-matching-band dedup is bucket-local:
+    * each emitted pair carries its own proof (all earlier band keys
+    * differ), independent of which route handled its bucket. Identical
+    * output by construction: same first-matching-band dedup, same
+    * sequential dot, same HALF_UP round4, same NaN-is-a-hit rule (plain
+    * JVM division is safe: a zero norm forces dot 0 too, so 0/0 = NaN
+    * exactly where the declarative try_divide → NULL → NaN; kernel ≡ join
+    * ≡ mixed is spec-pinned and the oracle is green on all routes). The
+    * routing probe is ONE slim aggregate job over (band, key, count, dim)
+    * — no vector ships through it, and the driver sees at most
+    * MaxHotBuckets + 1 rows of it (r10 ran a max-stats job AND would have
+    * needed a hot-list job; the per-bucket contract needs no global
+    * stats, so one job decides everything). */
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
                           maxKernelBucket: Int = MaxKernelCellRows,
                           kernelCellBytes: Long = KernelCellBytes): DataFrame = {
@@ -376,30 +395,47 @@ object Dedup {
     val keyed = S.withBandKeys(emb)
       .select(col("vec_id") +: (0 until S.Bands).map(b => col(s"k$b")) :+
         VectorFunctions.asDouble(col("embedding")).as("v"): _*)
-    val stats = S.bandRows(keyed.withColumn("dm", size(col("v"))), Seq("dm"))
-      .groupBy("band", "key").agg(count(lit(1)).as("c"), max(col("dm")).as("d"))
-      .agg(max(col("c")), max(col("d"))).head()
-    val maxBucket = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val dim = Option(stats.get(1)).map(_.asInstanceOf[Int]).getOrElse(1).max(1)
-    val cap = math.min(maxKernelBucket.toLong, kernelCellBytes / (dim.toLong * 8L))
-    if (maxBucket <= cap) {
-      lastLshRoute = "kernel"
-      lshPairsKernel(keyed, threshold)
-    } else {
+    if (maxKernelBucket <= 0) {
+      // a zero row budget makes EVERY non-empty bucket oversized — skip
+      // the probe, the corpus is join-shaped by declaration
       lastLshRoute = "join"
-      lshPairsJoin(keyed, threshold)
+      return lshPairsJoin(keyed, threshold, None)
+    }
+    // bounded collect: limit(MaxHotBuckets + 1) caps the driver at 65 slim
+    // (band, key) rows no matter how many buckets are oversized
+    val hot = S.bandRows(keyed.withColumn("dm", size(col("v"))), Seq("dm"))
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("c"), max(col("dm")).as("d"))
+      .where(col("c") > maxKernelBucket ||
+        col("c") * col("d") * 8L > kernelCellBytes)
+      .select("band", "key").limit(MaxHotBuckets + 1).collect()
+    if (hot.isEmpty) {
+      lastLshRoute = "kernel"
+      lshPairsKernel(keyed, threshold, None)
+    } else if (hot.length > MaxHotBuckets) {
+      lastLshRoute = "join"
+      lshPairsJoin(keyed, threshold, None)
+    } else {
+      lastLshRoute = "mixed"
+      val hotPred = hot.map(r => col("band") === r.getInt(0) &&
+        col("key") === r.getLong(1)).reduce(_ || _)
+      lshPairsKernel(keyed, threshold, Some(!hotPred))
+        .union(lshPairsJoin(keyed, threshold, Some(hotPred)))
     }
   }
 
   /** Declarative fallback (the pre-r10 shape): spill-safe for buckets too
     * large to buffer in one task, at the cost of materializing both vectors
-    * into every candidate pair row. */
-  private def lshPairsJoin(keyed: DataFrame, threshold: Double): DataFrame = {
+    * into every candidate pair row. `bucketFilter` (over the band/key cols)
+    * restricts the self-join to the oversized buckets on the mixed route. */
+  private def lshPairsJoin(keyed: DataFrame, threshold: Double,
+                           bucketFilter: Option[Column]): DataFrame = {
     import graft.operators.{Similarity => S}
     val earlier = 0 until (S.Bands - 1)
-    val rows = S.bandRows(
+    val all = S.bandRows(
       keyed.withColumn("nrm", VectorFunctions.norm(col("v"))),
       earlier.map(b => s"k$b") ++ Seq("v", "nrm"))
+    val rows = bucketFilter.map(all.where).getOrElse(all)
     val l = rows.select(col("band") +: col("key") +:
       col("vec_id").as("a") +: col("v").as("va") +: col("nrm").as("na") +:
       earlier.map(b => col(s"k$b").as(s"ka$b")): _*)
@@ -421,39 +457,40 @@ object Dedup {
     * cost, a user-specified repartition is coalesce-exempt, and the
     * within-partition (band, key, vec_id) sort makes each bucket an
     * id-ordered run, so ids come out ascending and a < b needs no extra
-    * work). Output buffers SURVIVORS only (the threshold-filtered pair
-    * set, never the candidate set). */
-  private def lshPairsKernel(keyed: DataFrame, threshold: Double): DataFrame = {
+    * work). Emission is bucket-INCREMENTAL: each bucket's survivors (the
+    * threshold-filtered pairs, never the candidate set) are yielded before
+    * the next bucket is buffered, so task memory is bounded by one
+    * bucket's inputs plus one bucket's survivors — a dup-heavy corpus
+    * whose survivor count grows quadratically with class sizes cannot
+    * concentrate the whole partition's pair set in one heap (ADVICE r10).
+    * `bucketFilter` drops the oversized buckets on the mixed route. */
+  private def lshPairsKernel(keyed: DataFrame, threshold: Double,
+                             bucketFilter: Option[Column]): DataFrame = {
     import graft.operators.{Similarity => S}
     val spark = keyed.sparkSession
     import spark.implicits._
-    val rows = S.bandRows(keyed.withColumn("ks",
+    val all = S.bandRows(keyed.withColumn("ks",
         array((0 until S.Bands).map(b => col(s"k$b")): _*)), Seq("ks", "v"))
       .select(col("band"), col("key"), col("vec_id"), col("ks"), col("v"))
+    val rows = bucketFilter.map(all.where).getOrElse(all)
     rows
       .repartition(spark.sparkContext.defaultParallelism, col("band"), col("key"))
       .sortWithinPartitions("band", "key", "vec_id")
       .as[(Int, Long, Long, Array[Long], Array[Double])]
-      .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-        var curBand = 0; var curKey = 0L; var has = false
-        def flush(): Unit = if (has) {
-          // plain local arrays: the pair loop below runs Σ|bucket|²/2
-          // iterations (~260M at sf5) — ArrayBuffer.apply in the hot path
-          // is measurable at that count
-          val n = vecs.length
-          val vv = vecs.toArray
-          val kv = keys.toArray
-          val idv = ids.toArray
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        // one bucket's pair loop: plain local arrays — the loop runs
+        // Σ|bucket|²/2 iterations (~260M at sf5); ArrayBuffer.apply in the
+        // hot path is measurable at that count
+        def bucketPairs(band: Int, idv: Array[Long], kv: Array[Array[Long]],
+                        vv: Array[Array[Double]]): Iterator[(Long, Long, Double)] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val n = vv.length
           val norms = new Array[Double](n)
           var i = 0
           while (i < n) {
             norms(i) = math.sqrt(dotArr(vv(i), vv(i))); i += 1
           }
-          val b = curBand
           var j = 1
           while (j < n) {
             val vj = vv(j); val kj = kv(j); val nj = norms(j); val idj = idv(j)
@@ -462,7 +499,7 @@ object Dedup {
               // first-matching-band: every band below this one must differ
               val ki = kv(i2)
               var t = 0; var firstHere = true
-              while (firstHere && t < b) {
+              while (firstHere && t < band) {
                 if (ki(t) == kj(t)) firstHere = false
                 t += 1
               }
@@ -482,16 +519,28 @@ object Dedup {
             }
             j += 1
           }
-          ids.clear(); keys.clear(); vecs.clear()
+          out.iterator
         }
-        it.foreach { case (band, key, id, ks, v) =>
-          if (!has || band != curBand || key != curKey) {
-            flush(); curBand = band; curKey = key; has = true
+        new Iterator[(Long, Long, Double)] {
+          private var cur: Iterator[(Long, Long, Double)] = Iterator.empty
+          private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          private val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+          private def fill(): Unit = {
+            while (!cur.hasNext && it.hasNext) {
+              // gather exactly ONE (band, key) run — input is sorted
+              val band = it.head._1; val key = it.head._2
+              ids.clear(); keys.clear(); vecs.clear()
+              while (it.hasNext && it.head._1 == band && it.head._2 == key) {
+                val r = it.next()
+                ids += r._3; keys += r._4; vecs += r._5
+              }
+              cur = bucketPairs(band, ids.toArray, keys.toArray, vecs.toArray)
+            }
           }
-          ids += id; keys += ks; vecs += v
+          def hasNext: Boolean = { fill(); cur.hasNext }
+          def next(): (Long, Long, Double) = { fill(); cur.next() }
         }
-        flush()
-        out.iterator
       }
       .toDF("a", "b", "cos")
   }

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   * dates a date-partitioned CDC feed no longer updates). */
 object Maintenance {
 
+  /** NAMING CONTRACT for batch-partitioned state tables: a table whose rows
+    * are aggregated COUNTS (so that readers SUM them and distinct() would
+    * corrupt the sum) must name its count column here; presence-based claim
+    * tables (digests/signatures/fingerprints/chunks/vectors) must NOT use
+    * these names. [[foldHistory]]'s structural guard keys on this set — a
+    * new count table whose column is missing here would be silently
+    * corrupted by a provenance-less fold (ADVICE r10). Current members:
+    * `n_kept`, the curation kept-counts shape
+    * ([[IncrementalCuration.curateBatch]]'s budget state). */
+  val AggregatedCountColumns: Set[String] = Set("n_kept")
+
   /** Rewrite every partition of `path` that holds at least `minFiles`
     * parquet files into a single file per partition (hash-clustered by the
     * partition column, so each value's rows land in one writer task).
@@ -139,13 +150,15 @@ object Maintenance {
     // Structural guard (ADVICE r9): an aggregated table folded without
     // provenance silently shrinks reader SUMs — drop(batch).distinct()
     // collapses legitimately distinct rows like (s1, n_kept=2) from two
-    // different batches into one. The tiers' aggregated tables all carry
-    // `n_kept` (the curation kept-counts shape), so its presence is the
-    // structural marker; claim tables (digests/signatures/fingerprints/
-    // chunks/vectors) are presence-based and never carry it.
-    require(provenance || !base.columns.contains("n_kept"),
-      s"$path carries an aggregated count column (n_kept); folding it " +
-        "without provenance = true would corrupt reader SUMs")
+    // different batches into one. The marker is the DECLARED
+    // [[AggregatedCountColumns]] set (ADVICE r10: a literal "n_kept" here
+    // would let a future count table under a different name bypass the
+    // guard silently); claim tables (digests/signatures/fingerprints/
+    // chunks/vectors) are presence-based and never carry any of them.
+    val aggCols = base.columns.toSet.intersect(AggregatedCountColumns)
+    require(provenance || aggCols.isEmpty,
+      s"$path carries aggregated count column(s) ${aggCols.mkString(", ")}; " +
+        "folding without provenance = true would corrupt reader SUMs")
     val merged = (if (provenance) {
         val withO =
           if (base.columns.contains("obatch"))

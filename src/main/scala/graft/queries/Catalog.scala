@@ -851,21 +851,28 @@ object Catalog {
     * (10·lev ≤ 6·max) so the boundary is engine-independent. The all-pairs
     * form is deliberate — this is the expensive exact verifier one runs on
     * a SMALL candidate set (the scale path generates candidates with
-    * x18/x20-style LSH first). */
+    * x18/x20-style LSH first). The distance kernel is Myers' bit-parallel
+    * form ([[graft.functions.MyersLevenshtein]], r11): DuckDB's vectorized
+    * `levenshtein` walked all over the builtin's scalar DP at sf5 (7.4×,
+    * pair J — the one real-work >2× row); the blocked bit-vector recurrence
+    * does the same cells 64 rows per word, bit-identical output. */
   val x41 = Q("x41_lev_neardup",
     (s, d) => {
       val w = t(s, d, "documents").where(col("doc_id") < 100)
         .select(col("doc_id"), col("text"))
-      // the DP verifier is pure CPU (O(len²) per pair); the bounded window
-      // reads from ONE parquet row group, so without a re-spread the whole
-      // quadratic block runs on a single task (measured 12.9 s at sf0.1 —
-      // 0.9 s when spread over the cores)
+      // the DP verifier is pure CPU (O(len²/64) per pair); the bounded
+      // window reads from ONE parquet row group, so without a re-spread the
+      // whole quadratic block runs on a single task (measured 12.9 s at
+      // sf0.1 — 0.9 s when spread over the cores)
       val l = w.toDF("a", "ta")
         .repartition(w.sparkSession.sparkContext.defaultParallelism)
       val r = w.toDF("b", "tb")
+      import org.apache.spark.sql.{GraftSqlBridge => B}
+      val lev = B.column(graft.functions.MyersLevenshtein(
+        B.expression(col("ta")), B.expression(col("tb"))))
       l.join(r, col("a") < col("b"))
         .select(col("a"), col("b"),
-          levenshtein(col("ta"), col("tb")).cast("bigint").as("lev"),
+          lev.cast("bigint").as("lev"),
           greatest(length(col("ta")), length(col("tb"))).as("mx"))
         .where(lit(10) * col("lev") <= lit(6) * col("mx"))
         .select("a", "b", "lev")

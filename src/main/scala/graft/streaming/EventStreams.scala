@@ -351,6 +351,16 @@ object EventStreams {
                                   expectedEvalShingles: Long,
                                   textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.{GraftSqlBridge => B}
+    // mirror contaminationCounts' routing gate (ADVICE r10): past the conf
+    // cap the bit budget clamps and the sketch saturates (fpp → 1), so the
+    // prefilter would silently flag nearly EVERYTHING instead of routing to
+    // an exact/sharded path. The batch operator routes exact; streaming has
+    // no exact route (the train side is unbounded), so over-cap estimates
+    // fail loudly here — callers shard the sketch by shingle range instead.
+    require(expectedEvalShingles <= graft.operators.Dedup.MaxBloomItems,
+      s"expectedEvalShingles=$expectedEvalShingles exceeds " +
+        s"MaxBloomItems=${graft.operators.Dedup.MaxBloomItems}: the capped " +
+        "sketch would saturate; shard the eval suite by shingle range")
     val bloom = graft.operators.Dedup.evalShingleBloom(
       evalDocs, expectedEvalShingles, textCol)
     docs.withColumn("n_suspect_shingles",

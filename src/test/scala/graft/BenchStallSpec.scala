@@ -74,4 +74,13 @@ class BenchStallSpec extends AnyFunSuite {
     val parsed = Bench.parseHistory(text)
     assert(parsed === Map("sf0.1" -> Map("x29_scalar_kit" -> 0.3169)))
   }
+
+  test("duplicate (sf, query) history rows reduce by MIN, not last-wins — " +
+    "a hand-merged duplicate must never raise a stall threshold") {
+    val text = "sf0.1\tx29_scalar_kit\t0.3169\n" +
+      "sf0.1\tx29_scalar_kit\t7.8700\n" + // stalled row merged in later
+      "sf0.1\tx29_scalar_kit\t0.4000\n"
+    val parsed = Bench.parseHistory(text)
+    assert(parsed === Map("sf0.1" -> Map("x29_scalar_kit" -> 0.3169)))
+  }
 }

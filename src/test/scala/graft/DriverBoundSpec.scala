@@ -37,7 +37,8 @@ class DriverBoundSpec extends AnyFunSuite {
     "Dedup.scala" -> (2,
       "contaminationCounts bloom sketch — ONE binary row of numBits/8 " +
         "bytes (conf-capped 8 MB), size fixed by parameters not data; " +
-        "embeddingNearDupLsh routing stats — ONE (max bucket, max dim) row"),
+        "embeddingNearDupLsh hot-bucket routing list — limit-bounded at " +
+        "MaxHotBuckets + 1 slim (band, key) rows"),
     "HiveCatalogDemo.scala" -> (2,
       "two-JVM demo main: bounded daily-count reports"),
     "X34Probe.scala" -> (1,

@@ -328,6 +328,15 @@ class EventStreamsSpec extends AnyFunSuite {
       val none = EventStreams.streamingContaminationFlags(
         arrivals.toDF("doc_id", "text"), evalDocs.where(lit(false)), 64)
       assert(none.where(col("n_suspect_shingles") =!= 0L).count() == 0)
+      // over-cap estimate fails LOUDLY (ADVICE r10): streaming has no
+      // exact fallback route, and past the conf cap the clamped sketch
+      // saturates toward fpp 1 — flagging everything silently
+      val over = intercept[IllegalArgumentException] {
+        EventStreams.streamingContaminationFlags(
+          arrivals.toDF("doc_id", "text"), evalDocs,
+          Dedup.MaxBloomItems + 1)
+      }
+      assert(over.getMessage.contains("MaxBloomItems"))
     } finally q.stop()
   }
 

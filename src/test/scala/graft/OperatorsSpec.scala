@@ -274,6 +274,34 @@ class OperatorsSpec extends AnyFunSuite {
       "zero-norm twins share every band key and must hit via NaN")
   }
 
+  test("embeddingNearDupLsh: MIXED route (one hot cluster over the cap, " +
+    "the rest in contract) ≡ all-join, hot pairs surfacing via the join " +
+    "side and the remainder via the kernel side") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    // 30 identical vectors: ONE oversized bucket per band under cap 16
+    // (≤ MaxHotBuckets, so the call must NOT demote everything to the
+    // join — the r10 all-or-nothing bug this test pins as fixed), plus
+    // 60 distinct vectors whose buckets stay inside the cap
+    val hot = (0 until 30).map(i => (i.toLong, vec(7)))
+    val rest = (0 until 60).map(i => (100L + i, vec(1000 + i)))
+    val emb = (hot ++ rest).toDF("vec_id", "embedding")
+    def pairs(cap: Int) = Dedup.embeddingNearDupLsh(emb, 0.9, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val mixed = pairs(16)
+    assert(Dedup.lastLshRoute == "mixed",
+      "30 identical vectors over a 16-row cap with ≤ MaxHotBuckets hot " +
+        "buckets must take the per-bucket split, not the global join")
+    val join = pairs(0)
+    assert(Dedup.lastLshRoute == "join")
+    assert(mixed == join)
+    // the hot cluster's C(30,2) = 435 identity pairs all survive (cos 1.0)
+    assert(mixed.count { case (a, b, _) => a < 30 && b < 30 } == 435)
+  }
+
   test("contaminationCounts: bloom route ≡ exact route, and counts are " +
     "the planted per-doc shingle overlaps") {
     val rnd = new scala.util.Random(11)

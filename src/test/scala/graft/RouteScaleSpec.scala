@@ -90,7 +90,10 @@ class RouteScaleSpec extends AnyFunSuite {
     val emb = spark.range(bytesCap + 1)
       .select(col("id").as("vec_id"), vec.as("embedding"))
     Dedup.embeddingNearDupLsh(emb, 0.999999)
-    assert(Dedup.lastLshRoute == "join",
+    // identical vectors share ONE bucket per band → Bands oversized
+    // buckets, all inside MaxHotBuckets → the mixed route sends exactly
+    // those to the join and keeps the (here empty) remainder on the kernel
+    assert(Dedup.lastLshRoute == "mixed",
       s"a 4096-dim bucket of ${bytesCap + 1} rows (~33.6 MB of doubles) " +
         "must not buffer in one kernel task")
   }
