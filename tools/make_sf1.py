@@ -24,7 +24,18 @@ cross-replica blowup:
   rotations would wrap onto earlier replicas.
 
 Usage: make_sf1.py [src_sf_dir] [dst_dir] [replicas]
-  replicas = 10 (default) -> sf1;  50 -> sf5.
+  replicas = 10 (default) -> sf1;  50 -> sf5;  250 -> sf25.
+
+Round-11 extension to 250 replicas (sf25): a THIRD disjoint letter set
+('bgjkp' -- the corpus alphabet is [a-w,y], so all five occur) multiplies
+the text perms to 10 x 5 x 5 = 250, and the embedding transform composes
+rotation (k % 64) with global negation ((k // 64) % 2) and reversal
+((k // 128) % 2) -- all three are norm-preserving, pairwise compositions of
+a random vector stay near-orthogonal (a negated/reversed rotation of a
+random vector is as orthogonal as the rotation itself; the one structured
+pair, v vs its own negation at the same rotation, has cosine -1, which no
+catalog threshold treats as a near-dup), giving 64 x 2 x 2 = 256 >= 250
+distinct transforms before any wrap onto an earlier replica.
 """
 import os
 import sys
@@ -34,18 +45,22 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-assert 1 <= R <= 50, f"replicas must be in 1..50 (embedding dim 64, text {10 * 5} perms), got {R}"
+assert 1 <= R <= 250, \
+    f"replicas must be in 1..250 (embedding 64 rot x neg x rev, " \
+    f"text {10 * 5 * 5} perms), got {R}"
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
 ROT_A = "etaoinshrd"  # 10 distinct rotations; k=0 is the identity
 ROT_B = "lucmf"       # disjoint 5-letter set; composite gives 50 perms
+ROT_C = "bgjkp"       # second disjoint set; composite gives 250 perms
 
 # composite length-preserving permutation of replica k (SQL fragment)
 TEXT_ROT = (
-    f"translate(translate(text,"
+    f"translate(translate(translate(text,"
     f" '{ROT_A}', substr('{ROT_A}{ROT_A}', CAST(k % 10 AS INT) + 1, 10)),"
-    f" '{ROT_B}', substr('{ROT_B}{ROT_B}', CAST((k // 10) % 5 AS INT) + 1, 5))")
+    f" '{ROT_B}', substr('{ROT_B}{ROT_B}', CAST((k // 10) % 5 AS INT) + 1, 5)),"
+    f" '{ROT_C}', substr('{ROT_C}{ROT_C}', CAST((k // 50) % 5 AS INT) + 1, 5))")
 
 
 def copy(name, sql):
@@ -96,9 +111,17 @@ copy("documents", f"""
          lang, source, n_chars
   FROM '{src}/documents.parquet', range({R}) r(k)""")
 
+# rotate (k % 64) -> optionally reverse ((k // 128) % 2) -> optionally
+# negate ((k // 64) % 2); each step preserves the norm and randomness
+EMB_ROT = ("embedding[(CAST(k % 64 AS INT) + 1):]"
+           " || embedding[:CAST(k % 64 AS INT)]")
+EMB_REV = (f"CASE WHEN (k // 128) % 2 = 1 THEN list_reverse({EMB_ROT})"
+           f" ELSE {EMB_ROT} END")
+EMB_XFORM = (f"CASE WHEN (k // 64) % 2 = 1 THEN "
+             f"list_transform({EMB_REV}, x -> -x) ELSE {EMB_REV} END")
+
 copy("embeddings", f"""
   SELECT vec_id + k*2000 AS vec_id,
-         embedding[(CAST(k AS INT) + 1):] || embedding[:CAST(k AS INT)]
-           AS embedding,
+         {EMB_XFORM} AS embedding,
          label
   FROM '{src}/embeddings.parquet', range({R}) r(k)""")
