@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Catalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for engine-specific sketches
-    * (x28 approx_count_distinct) → rows-only check. */
+    * the same parquet tables. Complete since r12: the sketch queries
+    * (x28/x54) hash their tolerance VERDICTS, computed in-query against
+    * the exact values, so even engine-specific sketches get a driver row. */
   def oracleSql: Map[String, String] = Catalog.oracleSql
 }

@@ -54,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sketch-query tolerance magnitudes (VERDICT r11 directive 6): the
+    // pass/fail verdicts are hashed inside x28/x54's own outputs; this
+    // sidecar records the measured errors behind them
+    try Files.writeString(Paths.get(s"$outDir/tolerance.json"),
+      graft.queries.Catalog.toleranceReport(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] tolerance report failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

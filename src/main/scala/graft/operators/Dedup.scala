@@ -392,6 +392,18 @@ object Dedup {
                           maxKernelBucket: Int = MaxKernelCellRows,
                           kernelCellBytes: Long = KernelCellBytes): DataFrame = {
     import graft.operators.{Similarity => S}
+    // `keyed` is deliberately NOT persisted even though the mixed route
+    // evaluates it up to three times (probe + kernel branch + join branch;
+    // ADVICE r11). The projection is a narrow, shuffle-free map over the
+    // pruned parquet scan (Bands dot products + a float→double widen per
+    // vector); persisting it at corpus scale means WRITING the whole
+    // corpus — widened to f64, so ~2× the parquet-encoded bytes — to
+    // executor storage once and reading it back twice, i.e. ~4× the
+    // corpus in extra I/O plus eviction pressure on the kernel's task
+    // heap budget, versus ≤ 2 extra CPU-bound scan+map passes that AQE
+    // and the columnar reader pipeline for free. Recompute wins on I/O
+    // volume at every scale where the cache wouldn't fit in memory —
+    // which at 100 TB is always.
     val keyed = S.withBandKeys(emb)
       .select(col("vec_id") +: (0 until S.Bands).map(b => col(s"k$b")) :+
         VectorFunctions.asDouble(col("embedding")).as("v"): _*)
@@ -989,6 +1001,17 @@ object Dedup {
     * bloom per range, each probed only by its range's shingles. */
   val MaxBloomItems: Long = 4L * 1000 * 1000
 
+  /** Bit-size clamp of [[evalShingleBloom]]'s sketch (8 MB) and the target
+    * density. The REAL saturation point is BloomBitCap / BloomBitsPerItem
+    * ≈ 4.19M items; [[MaxBloomItems]] deliberately sits just under it (at
+    * Spark's own runtime-bloom maxNumItems default) so every in-cap route
+    * gets the designed ~16 bits/item fpp. `BloomConstantsSpec` pins
+    * MaxBloomItems ≤ BloomBitCap / BloomBitsPerItem so the two can never
+    * drift apart if either is retuned (ADVICE r11: the streaming guard
+    * used to compare against a constant unrelated to the actual clamp). */
+  val BloomBitCap: Long = 1L << 26
+  val BloomBitsPerItem: Long = 16L
+
   @volatile private[graft] var lastDecontamRoute: String = ""
 
   /** Per-eval-doc contamination counts: for each doc in `eval`, how many of
@@ -1053,7 +1076,7 @@ object Dedup {
                        textCol: String = "text"): Array[Byte] = {
     import org.apache.spark.sql.GraftSqlBridge
     val items = math.max(expectedEvalShingles, 1024L)
-    val bits = math.min(items * 16, 1L << 26)
+    val bits = math.min(items * BloomBitsPerItem, BloomBitCap)
     eval.select(explode(
         graft.functions.TextHashFunctions.shingleSet(col(textCol))).as("sh"))
       .agg(GraftSqlBridge.bloomFilterAgg(col("sh"), items, bits).as("b"))

@@ -1246,17 +1246,34 @@ object Catalog {
            |ORDER BY c_custkey""".stripMargin),
     bench = false)
 
-  /** Approximate percentiles per event type (t-digest-style sketch;
-    * engine-specific like x28, so no hash oracle — CatalogSpec gates each
-    * value against the exact x33 percentiles instead). The 100 TB answer to
-    * exact `percentile`, which must materialize every group's values. */
+  /** Approximate percentiles per event type (rank-error sketch; the 100 TB
+    * answer to exact `percentile`, which must materialize every group's
+    * values). Sketch values are engine-specific like x28's HLL, so the
+    * tolerance gate runs IN-QUERY (VERDICT r11 directive 6): each group's
+    * approx p50/p90 must sit within 5% of the exact percentile (the x33
+    * expression + rounding, hash-green vs DuckDB `quantile_cont`), and the
+    * hashed output is (exact p50, exact p90, verdict) — a violation flips
+    * `within_tol` and breaks the driver hash, so the artifact carries the
+    * tolerance verdict instead of `err:"no_oracle"`. Measured errors go to
+    * Verify's tolerance.json via [[toleranceReport]]. */
   val x54 = Q("x54_approx_percentiles",
-    (s, d) => t(s, d, "events")
+    (s, d) => reportSortFused(t(s, d, "events")
       .groupBy("event_type")
-      .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50"),
-        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("p90"))
-      .orderBy("event_type"),
-    None,
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("a90"))
+      .select(col("event_type"), col("p50"), col("p90"),
+        (abs(col("a50") - col("p50")) <=
+            lit(0.05) * greatest(abs(col("p50")), lit(1.0)) &&
+          abs(col("a90") - col("p90")) <=
+            lit(0.05) * greatest(abs(col("p90")), lit(1.0))).as("within_tol")),
+      col("event_type")),
+    Some("""SELECT event_type,
+           |  round(quantile_cont(value, 0.5), 4) AS p50,
+           |  round(quantile_cont(value, 0.9), 4) AS p90,
+           |  TRUE AS within_tol
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
   /** E10 completion: multiset INTERSECT ALL (x30 covers the distinct
@@ -3222,13 +3239,31 @@ object Catalog {
             |GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = false)
 
-  /** E9 approximate distinct (plausibility-checked only — HLL sketches are
-    * engine-specific, so no hash oracle by design). */
+  /** E9 approximate distinct. The HLL sketch value is engine-specific, so
+    * the approx NUMBER can't be hash-compared against DuckDB; instead the
+    * tolerance gate runs IN-QUERY (VERDICT r11 directive 6): each day's
+    * `approx_count_distinct` must sit within 15% (3× the default rsd 0.05)
+    * of the exact distinct count, and the hashed output is
+    * (exact count, verdict) — a tolerance violation flips `within_tol` to
+    * false and breaks the driver's hash against the oracle's TRUE, so
+    * CORRECTNESS_r{N} carries the tolerance verdict directly instead of
+    * `err:"no_oracle"`. The exact column doubles as a cross-engine value
+    * pin. (At 100 TB the production shape drops the exact side — avoiding
+    * that shuffle is the entire point of HLL; this is the gate query.
+    * Measured errors go to Verify's tolerance.json via
+    * [[toleranceReport]].) */
   val x28 = Q("x28_approx_distinct",
     (s, d) => reportSortFused(t(s, d, "events")
       .groupBy(to_date(col("ts")).as("d"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users")), col("d")),
-    None)
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("d"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(0.15) * col("exact_users")).as("within_tol")), col("d")),
+    Some("""SELECT CAST(ts AS DATE) AS d,
+           |  COUNT(DISTINCT user_id) AS exact_users,
+           |  TRUE AS within_tol
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // ------------------------------------------------------------- assembly
 
@@ -3370,4 +3405,32 @@ object Catalog {
     * up in BENCH_r{N}. */
   def benchNamesExtended: Seq[String] =
     all.filterNot(_.bench).map(_.name).filterNot(_ == "q08_roundtrip")
+
+  /** Measured tolerance errors behind x28/x54's in-query `within_tol`
+    * verdicts (VERDICT r11 directive 6: pass/fail + measured error through
+    * Verify — the verdict is hashed in CORRECTNESS_r{N}; this JSON records
+    * the magnitudes). Driver-side materialization is two ONE-ROW max-error
+    * aggregates (DriverBoundSpec). */
+  def toleranceReport(s: SparkSession, d: String): String = {
+    def one(df: DataFrame): Double = {
+      val r = df.head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val e28 = one(t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .agg(max(abs(col("a") - col("e")) / col("e"))))
+    val e54 = one(t(s, d, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("a90"))
+      .agg(max(greatest(
+        abs(col("a50") - col("p50")) / greatest(abs(col("p50")), lit(1.0)),
+        abs(col("a90") - col("p90")) / greatest(abs(col("p90")), lit(1.0))))))
+    f"""{"x28_approx_distinct":{"pass":${e28 <= 0.15},"max_rel_err":$e28%.6f,"tol":0.15},""" +
+      f""""x54_approx_percentiles":{"pass":${e54 <= 0.05},"max_norm_err":$e54%.6f,"tol":0.05}}"""
+  }
 }

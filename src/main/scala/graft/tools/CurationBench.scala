@@ -52,7 +52,11 @@ object CurationBench {
       s"$nBatches batches × ~$rowsPerBatch rows, maintain every $maintainEvery")
 
     // thresholds from batch 0 (reference corpus): gate kernel's own scoring
-    val b0 = docs.where(col("doc_id") < lit(span / nBatches))
+    // same rounded bound as the loop's batch 0 (ADVICE r11: integer
+    // division drifted the "thresholds from batch 0" contract by up to
+    // one doc_id when span % nBatches != 0)
+    val b0 = docs.where(col("doc_id") <
+      lit(math.round(span.toDouble / nBatches)))
     val scored = b0
       .withColumn("__st", TextHashFunctions.langStats(col("text")))
       .withColumn("__n_tokens",

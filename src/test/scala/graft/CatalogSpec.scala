@@ -37,7 +37,7 @@ class CatalogSpec extends AnyFunSuite {
     "x25_text_tokencount" -> Seq("doc_id", "ws_tokens", "re_tokens", "n_chars"),
     "x26_text_fingerprint" -> Seq("doc_id", "fp"),
     "x27_multimodal_decode" -> Seq("asset_id", "kind", "byte_len", "width", "height"),
-    "x28_approx_distinct" -> Seq("d", "approx_users"),
+    "x28_approx_distinct" -> Seq("d", "exact_users", "within_tol"),
     "x29_scalar_kit" -> Seq("o_orderkey", "y", "m", "month_start", "pri_lower",
       "pri_code", "pri_digit", "tag", "pri_len"),
     "x30_set_ops" -> Seq("user_id"),
@@ -64,7 +64,8 @@ class CatalogSpec extends AnyFunSuite {
     "x51_rank_distribution" -> Seq("o_orderkey", "o_orderpriority", "quartile", "pr", "cd"),
     "x52_array_ops" -> Seq("doc_id", "n_distinct", "first_tok", "last_tok"),
     "x53_scalar_subquery" -> Seq("c_custkey", "c_acctbal"),
-    "x54_approx_percentiles" -> Seq("event_type", "p50", "p90"),
+    "x54_approx_percentiles" -> Seq("event_type", "p50", "p90",
+      "within_tol"),
     "x55_intersect_all" -> Seq("user_id"),
     "x56_string_agg" -> Seq("user_id", "types"),
     "x57_unpivot" -> Seq("d", "event_type", "n"),
@@ -127,10 +128,11 @@ class CatalogSpec extends AnyFunSuite {
     "x101_topk_exemplars" -> Seq("source", "rk", "doc_id", "quality"),
     "x102_bloom_decontamination" -> Seq("doc_id", "n_shared"))
 
-  test("registry covers the declared inventory and every query has an oracle unless sketch-based") {
+  test("registry covers the declared inventory and EVERY query has an oracle") {
     assert(Catalog.queries.keySet == expectedCols.keySet)
-    assert(Catalog.oracleSql.keySet ==
-      expectedCols.keySet - "x28_approx_distinct" - "x54_approx_percentiles")
+    // x28/x54 included since r12: their sketch tolerance gates run
+    // in-query (within_tol) so the oracle hashes the verdict
+    assert(Catalog.oracleSql.keySet == expectedCols.keySet)
   }
 
   for ((name, cols) <- expectedCols.toSeq.sortBy(_._1)) {
@@ -145,38 +147,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("x54 approx percentiles are within tolerance of the exact x33 values") {
-    // same design as x28: sketches are engine-specific, so the gate is a
-    // tolerance against the exact percentiles rather than a hash oracle
-    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+  test("x54 in-query tolerance verdicts are green and exact columns match x33") {
+    // since r12 the 5% tolerance gate runs INSIDE x54 (within_tol) so the
+    // driver's oracle hashes the verdict; this pins that the gate fires on
+    // real data and that the exact columns share x33's arithmetic
+    val rows = Catalog.queries("x54_approx_percentiles")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getBoolean(3), s"${r.getString(0)}: approx percentile " +
+        s"outside 5% of exact (p50=${r.getDouble(1)}, p90=${r.getDouble(2)})")
     val exact = Catalog.queries("x33_percentiles")(spark, sf0001)
-      .collect().map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = Catalog.queries("x54_approx_percentiles")(spark, sf0001)
-      .collect().map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((k, (a50, a90)) <- approx) {
-      val (e50, e90) = exact(k)
-      assert(math.abs(a50 - e50) <= 0.05 * math.abs(e50).max(1.0),
-        s"$k p50: approx $a50 vs exact $e50")
-      assert(math.abs(a90 - e90) <= 0.05 * math.abs(e90).max(1.0),
-        s"$k p90: approx $a90 vs exact $e90")
-    }
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    for (r <- rows)
+      assert((r.getDouble(1), r.getDouble(2)) == exact(r.getString(0)),
+        s"${r.getString(0)}: x54 exact columns drifted from x33")
   }
 
-  test("x28 approx distinct is within HLL tolerance of the exact per-day counts") {
-    // E9 has no hash oracle by design (engine-specific sketch); this gates
-    // plausibility instead: every day's approx_count_distinct must sit
-    // within a generous multiple of the default rsd (0.05) of q05's exact
-    // COUNT(DISTINCT user_id).
+  test("x28 in-query tolerance verdicts are green and exact side matches q05") {
+    val rows = Catalog.queries("x28_approx_distinct")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getBoolean(2), s"day ${r.getDate(0)}: approx distinct " +
+        s"outside 15% of exact ${r.getLong(1)}")
     val exact = Catalog.queries("q05_daily_distinct")(spark, sf0001)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    val approx = Catalog.queries("x28_approx_distinct")(spark, sf0001)
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((d, a) <- approx) {
-      val e = exact(d).toDouble
-      assert(math.abs(a - e) / e <= 0.15,
-        s"day $d: approx $a vs exact $e exceeds 15% tolerance")
-    }
+    assert(rows.map(_.getDate(0).toString).toSet == exact.keySet)
+    for (r <- rows)
+      assert(r.getLong(1) == exact(r.getDate(0).toString),
+        s"day ${r.getDate(0)}: x28 exact side drifted from q05")
+  }
+
+  test("toleranceReport emits measured errors consistent with the verdicts") {
+    val json = Catalog.toleranceReport(spark, sf0001)
+    assert(json.contains("\"x28_approx_distinct\":{\"pass\":true"))
+    assert(json.contains("\"x54_approx_percentiles\":{\"pass\":true"))
+    assert(json.contains("max_rel_err") && json.contains("max_norm_err"))
   }
 }

@@ -44,9 +44,18 @@ class DriverBoundSpec extends AnyFunSuite {
     "X34Probe.scala" -> (1,
       "scratch profiler: ONE (rows, pairs, dots, hits, secs) counter row " +
         "per partition — bounded by partition count"),
+    "X102Probe.scala" -> (1,
+      "route-stats aggregate .head() — ONE (count, sum) row per probe run"),
+    "CurationBench.scala" -> (2,
+      "max(doc_id) .head() — one row; thresholds collect — ONE " +
+        "(source, cutoff) row per source (discreteThreshold is " +
+        "source-grouped), sources are a fixed small enum in testdata"),
     "Sharding.scala" -> (2,
       "expected-count and write-audit aggregates — one row per shard, " +
-        "bounded by nShards"))
+        "bounded by nShards"),
+    "Catalog.scala" -> (1,
+      "toleranceReport max-error aggregates — ONE row per .head() " +
+        "(global max over bounded group reports)"))
 
   test("every driver-side collect/head/first in main is a declared bounded site") {
     val pat = java.util.regex.Pattern.compile(

@@ -118,4 +118,18 @@ class RouteScaleSpec extends AnyFunSuite {
     assert(Dedup.lastDecontamRoute == "bloom",
       s"exactly ${Dedup.MaxBloomItems} is in-contract for the sketch route")
   }
+
+  test("bloom constants: MaxBloomItems never exceeds the bit clamp's real " +
+    "saturation point (BloomConstantsSpec pin named in Dedup scaladoc)") {
+    // ADVICE r11: the streaming guard compares estimates to MaxBloomItems,
+    // but saturation is set by evalShingleBloom's bit clamp. Tie them: an
+    // in-cap estimate must still get ~BloomBitsPerItem bits/item under the
+    // clamp, so retuning either constant alone cannot silently let capped
+    // routes run a saturated (fpp → 1) sketch.
+    assert(Dedup.MaxBloomItems <= Dedup.BloomBitCap / Dedup.BloomBitsPerItem,
+      s"MaxBloomItems=${Dedup.MaxBloomItems} exceeds " +
+        s"BloomBitCap/BloomBitsPerItem=" +
+        s"${Dedup.BloomBitCap / Dedup.BloomBitsPerItem}: in-cap estimates " +
+        "would saturate the clamped sketch")
+  }
 }

@@ -30,6 +30,13 @@ def _veq(g, e):
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# optional resource bounds for big-SF local runs (sf25: x83's duck side
+# needed a spill directory with headroom; r11 died on a full /): the
+# driver's own gate never sets these, so its behavior is unchanged
+if os.environ.get("DUCK_TMP"):
+    con.execute(f"SET temp_directory='{os.environ['DUCK_TMP']}'")
+if os.environ.get("DUCK_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['DUCK_MEM']}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
