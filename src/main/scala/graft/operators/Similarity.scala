@@ -103,15 +103,42 @@ object Similarity {
     * sums, accumulated at DECIMAL(38,6) (exact — 38 digits over d ≤ 10⁴
     * terms of magnitude ≤ 10¹²). */
   def labelCentroidOutliers(emb: DataFrame,
-                            threshold: Double = 0.0): DataFrame = {
-    val ex = emb
-      .select(col("vec_id"), col("label"),
-        posexplode(V.asDouble(col("embedding"))).as(Seq("i", "x")))
-    val cent = ex.groupBy("label", "i")
-      .agg(sum(expr("CAST(round(x, 6) AS DECIMAL(12,6))")).as("m"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("i"),
-        (col("m").cast("double") / col("n")).as("cp"))
+                            threshold: Double = 0.0,
+                            fixedPoint: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    // fixedPoint (default, r12 — the follow-up named in BASELINE.md's r11
+    // x94 adjudication): the exact same per-term round(·, 6) + exact-sum
+    // discipline, but accumulated as Long micros / DECIMAL(38,0) unscaled
+    // sums instead of per-term JVM Decimals — see
+    // [[graft.functions.FixedPoint]] for the bit-identity argument;
+    // FixedPointFoldSpec pins kernel ≡ DECIMAL on testdata + adversarial
+    // dyadic ties. The DECIMAL route stays as the readable reference and
+    // the parity baseline.
+    val cent = if (fixedPoint) {
+      emb.select(col("label"), posexplode(B.column(
+          graft.functions.Round6Micros(
+            B.expression(V.asDouble(col("embedding")))))).as(Seq("i", "xm")))
+        .groupBy("label", "i")
+        // DECIMAL(38,0) sum of long micros: exact at any corpus size (a
+        // plain long SUM would silently wrap past 9.2e12 unit-norm rows
+        // per label); the per-term decimal wrap is cheap next to the
+        // BigDecimal ROUNDING it replaces. mm/1000000 is exact (scale ≥ 6
+        // by Spark's division typing), so CAST(· AS DOUBLE) is the same
+        // correctly-rounded conversion of the same rational value as the
+        // DECIMAL(12,6) route's.
+        .agg(sum(expr("CAST(xm AS DECIMAL(38,0))")).as("mm"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("i"),
+          (expr("CAST(mm / 1000000 AS DOUBLE)") / col("n")).as("cp"))
+    } else {
+      emb.select(col("vec_id"), col("label"),
+          posexplode(V.asDouble(col("embedding"))).as(Seq("i", "x")))
+        .groupBy("label", "i")
+        .agg(sum(expr("CAST(round(x, 6) AS DECIMAL(12,6))")).as("m"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("i"),
+          (col("m").cast("double") / col("n")).as("cp"))
+    }
     def decSum(terms: String) =
       s"aggregate($terms, CAST(0 AS DECIMAL(38,6)), (a, e) -> a + e)"
     val centArr = cent.groupBy("label")
@@ -143,16 +170,23 @@ object Similarity {
     // that label's vectors), so |cpArr| = |v| for every row of the label.
     // A mixed-dimension label would be a corrupt input either way; this
     // operator's contract (like every E7 kernel's) is fixed-dim per table.
+    val ds = if (fixedPoint)
+      // same per-term roundings, Long-micros accumulation, final doubles
+      // bit-identical to CAST(DECIMAL(38,6) AS DOUBLE) — one codegen call
+      // per vector instead of a d-term Decimal fold
+      B.column(graft.functions.DotNormMicros(
+        B.expression(col("v")), B.expression(col("cpArr"))))
+    else expr(
+      "aggregate(zip_with(v, cpArr, (x, c) -> struct(" +
+        "CAST(round(x * c, 6) AS DECIMAL(38,6)) AS d, " +
+        "CAST(round(x * x, 6) AS DECIMAL(38,6)) AS s)), " +
+        "struct(CAST(0 AS DECIMAL(38,6)) AS d, " +
+        "CAST(0 AS DECIMAL(38,6)) AS s), " +
+        "(a, e) -> struct(CAST(a.d + e.d AS DECIMAL(38,6)) AS d, " +
+        "CAST(a.s + e.s AS DECIMAL(38,6)) AS s))")
     emb.select(col("label"), V.asDouble(col("embedding")).as("v"))
       .join(broadcast(centArr), Seq("label"))
-      .select(col("label"), col("sc"), expr(
-        "aggregate(zip_with(v, cpArr, (x, c) -> struct(" +
-          "CAST(round(x * c, 6) AS DECIMAL(38,6)) AS d, " +
-          "CAST(round(x * x, 6) AS DECIMAL(38,6)) AS s)), " +
-          "struct(CAST(0 AS DECIMAL(38,6)) AS d, " +
-          "CAST(0 AS DECIMAL(38,6)) AS s), " +
-          "(a, e) -> struct(CAST(a.d + e.d AS DECIMAL(38,6)) AS d, " +
-          "CAST(a.s + e.s AS DECIMAL(38,6)) AS s))").as("ds"))
+      .select(col("label"), col("sc"), ds.as("ds"))
       .select(col("label"), col("sc"),
         col("ds.d").as("dot"), col("ds.s").as("sv"))
       // CHEAP equivalent of sv > 0 (the x52 move): the fold terms are
