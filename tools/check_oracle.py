@@ -43,6 +43,20 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)])
 fails = []
+
+# Big-SF local-run routes (driver never sets these → its gate unchanged):
+# DUCK_SKIP_QUERIES: comma list checked elsewhere (e.g. x83's sf25 side
+#   runs via tools/x83_sf25_check.py's streaming-equivalent form).
+# DUCK_AGG_QUERIES: comma list compared as COUNT + order-insensitive
+#   sum-of-row-hashes entirely inside DuckDB — no pandas materialization,
+#   for outputs (q01/x18/x29/x34/x51 at sf25: 37M-1.7B rows) whose
+#   .tolist() would not fit RAM. Column lists are name-sorted and the
+#   oracle side is CAST to the dump's parquet types, so a value/type
+#   drift still fails; ROW ORDER is not checked on this route (the heavy
+#   queries' total sorts are pinned by the exact gate at sf5 and the r11
+#   sf25 spot-gate).
+skip = set(filter(None, os.environ.get("DUCK_SKIP_QUERIES", "").split(",")))
+agg = set(filter(None, os.environ.get("DUCK_AGG_QUERIES", "").split(",")))
 for name in names:
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
@@ -50,6 +64,35 @@ for name in names:
         # every remaining query; count it as THIS query's failure instead
         print(f"{name:24s} NO PARQUET FILES (failed verify dump?)")
         fails.append(name)
+        continue
+    if name in skip:
+        print(f"{name:24s} SKIPPED (DUCK_SKIP_QUERIES)")
+        continue
+    if name in agg and name in oracle:
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
+        types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+        hl = ", ".join(f'"{c}"::{types[c]}' for c in sorted(cols))
+        q = (f"WITH got AS (SELECT * FROM read_parquet({files!r})), "
+             f"exp AS ({oracle[name]}) "
+             f"SELECT (SELECT count(*) FROM got), "
+             f"(SELECT count(*) FROM exp), "
+             f"(SELECT sum(hash({hl})) FROM got), "
+             f"(SELECT sum(hash({hl})) FROM exp)")
+        try:
+            gn, en, gh, eh = con.execute(q).fetchone()
+        except Exception as e:
+            print(f"{name:24s} AGG ORACLE ERROR: {str(e)[:200]}")
+            fails.append(name); continue
+        if gn != en:
+            print(f"{name:24s} ROWCOUNT MISMATCH got={gn} exp={en}")
+            fails.append(name)
+        elif gh != eh:
+            print(f"{name:24s} AGG-HASH MISMATCH got={gh} exp={eh}")
+            fails.append(name)
+        else:
+            print(f"{name:24s} OK rows={gn} (agg-hash route)")
         continue
     got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
     if name not in oracle:

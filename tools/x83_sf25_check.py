@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""x83's sf25 DuckDB side with the cell assignment as an arg_min
+aggregation instead of the catalog oracle's row_number window.
+
+The catalog oracle (which the driver runs at sf0.01 and gate.sh runs up
+to sf5 — unchanged by this tool) materializes the vectors THROUGH the
+window: at sf25 that is a 500M-row (500k vectors x 1000 centroids)
+sort carrying two 64-double lists per row, ~500 GB of window state —
+it filled the disk in round 11 and can never fit this machine. The
+assignment itself needs none of that: crn = 1 of ORDER BY (dot DESC,
+cid ASC) is exactly arg_min(cid, (-dot, cid)), a streaming aggregate
+with 500k groups of 24-byte rows.
+
+Equivalence argument (finite dots — float embeddings guarantee it):
+negation of a finite double is exact and order-reversing, and the
+(nd, cid) struct has no full ties (cid is unique per group), so the
+struct-min is the window's first row, deterministically. The pair
+stage, aggregation, and output shape are byte-for-byte the catalog
+oracle's. validate mode proves equivalence by running BOTH forms at a
+small SF and diffing.
+
+Usage:
+  python3 tools/x83_sf25_check.py validate <sf_dir>   # both forms, diff
+  python3 tools/x83_sf25_check.py check <sf_dir> <engine_dump_dir>
+"""
+import sys, glob, json
+import duckdb
+
+ASSIGN_WINDOW = """
+sc AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS crn
+  FROM e, c),
+cells AS (SELECT vec_id, v, nrm, cid AS cell FROM sc WHERE crn = 1)
+"""
+
+ASSIGN_ARGMIN = """
+best AS (SELECT e.vec_id,
+    (min(struct_pack(
+      nd := -list_dot_product(e.v, c.cv), cid := c.cid))).cid AS cell
+  FROM e, c GROUP BY e.vec_id),
+cells AS (SELECT b.vec_id, e.v, e.nrm, b.cell
+  FROM best b JOIN e ON e.vec_id = b.vec_id)
+"""
+
+def x83_sql(assign):
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id < (SELECT GREATEST(8, count(*) // 500)
+                  FROM embeddings)),
+{assign},
+dups AS (SELECT DISTINCT a.cell, b.vec_id AS b_id
+  FROM cells a JOIN cells b ON a.cell = b.cell
+    AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+    >= 0.4),
+agg AS (SELECT cell, COUNT(*) AS n_vectors FROM cells GROUP BY 1),
+dagg AS (SELECT cell, COUNT(*) AS n_dropped FROM dups GROUP BY 1)
+SELECT agg.cell, n_vectors,
+  CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(n_vectors - COALESCE(n_dropped, 0) AS BIGINT) AS n_kept
+FROM agg LEFT JOIN dagg USING (cell)
+ORDER BY agg.cell"""
+
+def connect(sf_dir):
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckspill'")
+    con.execute("SET memory_limit='80GB'")
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    return con
+
+mode, sf_dir = sys.argv[1], sys.argv[2]
+con = connect(sf_dir)
+if mode == "validate":
+    a = con.execute(x83_sql(ASSIGN_WINDOW)).fetchall()
+    b = con.execute(x83_sql(ASSIGN_ARGMIN)).fetchall()
+    assert a == b, f"forms diverge: {len(a)} vs {len(b)} rows / values"
+    print(f"VALIDATE OK: both assignment forms identical, {len(a)} rows")
+else:
+    dump = sys.argv[3]
+    files = glob.glob(f"{dump}/x83_semantic_dedup/*.parquet")
+    got = con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    exp = con.execute(x83_sql(ASSIGN_ARGMIN)).fetchdf()
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    assert list(got.columns) == list(exp.columns), (
+        list(got.columns), list(exp.columns))
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in got.columns:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for i, (g, e) in enumerate(zip(gv, ev)):
+            assert type(g) is type(e) and g == e, (c, i, g, e)
+    print(f"x83 sf25 CHECK OK rows={len(got)}")
