@@ -65,10 +65,13 @@ EXTENDED = [f"x{i}_{s}" for i, s in [
     (101, "topk_exemplars"), (102, "bloom_decontamination")]]
 
 
-# queries declared WITHOUT an oracle by design (rows-only checks) — the only
-# names bench_set may silently skip; anything else missing is drift between
-# this file and Catalog.benchNames/benchNamesExtended and must be loud
-NO_ORACLE = {"x28_approx_distinct", "x54_approx_percentiles"}
+# queries declared WITHOUT an oracle by design — the only names bench_set
+# may silently skip; anything else missing is drift between this file and
+# Catalog.benchNames/benchNamesExtended and must be loud. Empty since r12:
+# x28/x54 now carry in-query tolerance verdicts with real oracle SQL, so
+# they joined the shared set (both engines now pay the exact side's cost —
+# note when comparing r12+ totals to earlier rounds).
+NO_ORACLE = set()
 
 
 def bench_set(names):
