@@ -57,9 +57,11 @@ object Verify {
     // sketch-query tolerance magnitudes (VERDICT r11 directive 6): the
     // pass/fail verdicts are hashed inside x28/x54's own outputs; this
     // sidecar records the measured errors behind them
+    // NonFatal only (ADVICE r12): an OOM/linkage error here must kill
+    // verify, not let it report healthy with a missing sidecar
     try Files.writeString(Paths.get(s"$outDir/tolerance.json"),
       graft.queries.Catalog.toleranceReport(spark, sfDir))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] tolerance report failed: ${e.getMessage}")
     }
     spark.stop()

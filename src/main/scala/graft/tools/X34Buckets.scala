@@ -34,9 +34,14 @@ object X34Buckets {
       count(lit(1)).as("n_buckets"),
       max(col("c")).as("max_bucket"),
       expr("approx_percentile(c, 0.99)").as("p99_bucket"),
-      sum(col("c") * (col("c") - 1) / 2).as("cand_pairs_total"),
+      // DECIMAL(38,0) before the multiply (ADVICE r12): a long c·(c−1)
+      // product overflows silently past c ≈ 4.3e9 and would misreport
+      // the probe's headline number on a pathological bucket
+      sum(col("c").cast("decimal(38,0)") * (col("c") - 1) / 2)
+        .as("cand_pairs_total"),
       sum(when(hotPred, 1L).otherwise(0L)).as("n_hot"),
-      sum(when(hotPred, col("c") * (col("c") - 1) / 2).otherwise(lit(0L)))
-        .as("cand_pairs_hot")).show(false)
+      sum(when(hotPred, col("c").cast("decimal(38,0)") * (col("c") - 1) / 2)
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("cand_pairs_hot"))
+      .show(false)
   }
 }

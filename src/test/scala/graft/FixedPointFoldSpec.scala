@@ -119,4 +119,80 @@ class FixedPointFoldSpec extends AnyFunSuite {
     assert(arr(0) == null, "non-finite element → null ELEMENT (SUM skips)")
     assert(arr(1) == 2000000L)
   }
+
+  test("out-of-contract magnitudes reproduce the DECIMAL reference " +
+    "(ADVICE r12): guard-tripping terms take the exact fallback, " +
+    "Long-micros sum overflow re-folds exactly, DECIMAL(38,6) overflow " +
+    "nulls the row") {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    import spark.implicits._
+    val rows = Seq(
+      // t1 = 1.2e13 past the 9.0e12 guard → per-term exact fallback
+      (1L, Array(3.0e12, 1.5), Array(4.0, 0.5)),
+      // sub-guard terms (t1 = 8.9e12 each → 8.9e18 micros) whose SUM
+      // passes Long.MaxValue micros → addExact throws → exact re-fold
+      (2L, Array(1.0e6, 1.0e6), Array(8.9e6, 8.9e6)),
+      // twelve t2 = 1.024e31 terms sum past DECIMAL(38,6)'s 1e32 — the
+      // strict ANSI fold RAISES here; the kernel (and the try_add
+      // reference below) nulls instead
+      (3L, Array.fill(12)(3.2e15), Array.fill(12)(0.0)),
+      // in-contract control
+      (4L, Array(0.25, -0.5), Array(0.5, 0.25))
+    ).toDF("id", "v", "c")
+    // the exact fold DotNormMicros replaces (verbatim from Similarity
+    // for rows it can evaluate), with try_add in place of the ANSI `+`
+    // so the row-3 overflow expresses the kernel's documented TRY
+    // semantics instead of killing the test job
+    val ref = expr(
+      "aggregate(zip_with(v, c, (x, y) -> struct(" +
+        "TRY_CAST(round(x * y, 6) AS DECIMAL(38,6)) AS d, " +
+        "TRY_CAST(round(x * x, 6) AS DECIMAL(38,6)) AS s)), " +
+        "struct(CAST(0 AS DECIMAL(38,6)) AS d, " +
+        "CAST(0 AS DECIMAL(38,6)) AS s), " +
+        "(a, e) -> struct(TRY_CAST(try_add(a.d, e.d) AS DECIMAL(38,6)) AS d, " +
+        "TRY_CAST(try_add(a.s, e.s) AS DECIMAL(38,6)) AS s))")
+    val out = rows.select(col("id"),
+        B.column(graft.functions.DotNormMicros(
+          B.expression(col("v")), B.expression(col("c")))).as("k"),
+        ref.as("r"))
+      .select(col("id"), col("k.d").as("kd"), col("k.s").as("ks"),
+        col("r.d").cast("double").as("rd"), col("r.s").cast("double").as("rs"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 4L)) {
+      val r = out(id)
+      assert(!r.isNullAt(1) && !r.isNullAt(3), s"row $id must be non-null")
+      assert(r.getDouble(1) == r.getDouble(3) && r.getDouble(2) == r.getDouble(4),
+        s"row $id kernel=(${r.get(1)},${r.get(2)}) ref=(${r.get(3)},${r.get(4)})")
+    }
+    // row 3: the try-fold's s nulls on overflow (d stays 0 — the kernel
+    // coarsens to a null ROW, which every consumer drops identically)
+    assert(out(3L).isNullAt(4), "try-reference s must null on overflow")
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2),
+      "kernel must null the row where the ANSI DECIMAL fold would raise")
+  }
+
+  test("Round6Micros mirrors DECIMAL(12,6) overflow-to-null per element " +
+    "(ADVICE r12)") {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    import spark.implicits._
+    val v = Array(5.0, 1.0e6, -2.5e7, 999999.9999994, 999999.9999996, 1.0e13)
+    val df = Seq(Tuple1(v)).toDF("v")
+    // TRY_CAST: the strict ANSI cast raises at |round6(x)| ≥ 1e6; the
+    // kernel's documented contract is the TRY form's null element
+    val got = df.select(
+        B.column(graft.functions.Round6Micros(B.expression(col("v")))).as("k"),
+        expr("transform(v, x -> TRY_CAST(round(x, 6) AS DECIMAL(12,6)))").as("r"))
+      .collect()(0)
+    val k = got.getSeq[Any](0)
+    val r = got.getSeq[java.math.BigDecimal](1)
+    for (i <- v.indices) {
+      if (r(i) == null)
+        assert(k(i) == null, s"elem $i: ref overflows to null, kernel=${k(i)}")
+      else
+        assert(k(i) == r(i).movePointRight(6).longValueExact(),
+          s"elem $i: kernel=${k(i)} ref=${r(i)}")
+    }
+    assert(k(1) == null && k(2) == null && k(4) == null && k(5) == null)
+    assert(k(3) == 999999999999L, "just-under-boundary must stay a value")
+  }
 }

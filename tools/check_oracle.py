@@ -74,22 +74,28 @@ for name in names:
         types = {r[0]: r[1] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
         hl = ", ".join(f'"{c}"::{types[c]}' for c in sorted(cols))
+        # four independent reductions of the row-hash multiset (ADVICE
+        # r12): sum alone can cancel across differing multisets; adding
+        # bit_xor, min, and max makes accidental cancellation require a
+        # simultaneous collision in four algebraically unrelated folds.
+        # Row ORDER remains unchecked by design (documented: these heavy
+        # queries end in engine-side sorts verified at smaller SFs).
+        fp = (f"count(*), sum(hash({hl})), bit_xor(hash({hl})), "
+              f"min(hash({hl})), max(hash({hl}))")
         q = (f"WITH got AS (SELECT * FROM read_parquet({files!r})), "
              f"exp AS ({oracle[name]}) "
-             f"SELECT (SELECT count(*) FROM got), "
-             f"(SELECT count(*) FROM exp), "
-             f"(SELECT sum(hash({hl})) FROM got), "
-             f"(SELECT sum(hash({hl})) FROM exp)")
+             f"SELECT * FROM (SELECT {fp} FROM got), (SELECT {fp} FROM exp)")
         try:
-            gn, en, gh, eh = con.execute(q).fetchone()
+            gn, gh, gx, gmn, gmx, en, eh, ex, emn, emx = con.execute(q).fetchone()
         except Exception as e:
             print(f"{name:24s} AGG ORACLE ERROR: {str(e)[:200]}")
             fails.append(name); continue
         if gn != en:
             print(f"{name:24s} ROWCOUNT MISMATCH got={gn} exp={en}")
             fails.append(name)
-        elif gh != eh:
-            print(f"{name:24s} AGG-HASH MISMATCH got={gh} exp={eh}")
+        elif (gh, gx, gmn, gmx) != (eh, ex, emn, emx):
+            print(f"{name:24s} AGG-HASH MISMATCH got={(gh, gx, gmn, gmx)} "
+                  f"exp={(eh, ex, emn, emx)}")
             fails.append(name)
         else:
             print(f"{name:24s} OK rows={gn} (agg-hash route)")
