@@ -479,6 +479,12 @@ object Dedup {
   private def lshPairsKernel(keyed: DataFrame, threshold: Double,
                              bucketFilter: Option[Column]): DataFrame = {
     import graft.operators.{Similarity => S}
+    // the prefix-word packing in bucketPairs assumes 8-bit keys in ≤ 8
+    // lanes; a future knob change must widen the lanes, not silently
+    // corrupt the first-matching-band dedup
+    require(S.RowsPerBand <= 8 && S.Bands <= 8,
+      s"prefix-word packing requires RowsPerBand ≤ 8 and Bands ≤ 8, " +
+        s"got ${S.RowsPerBand}/${S.Bands}")
     val spark = keyed.sparkSession
     import spark.implicits._
     val all = S.bandRows(keyed.withColumn("ks",
@@ -492,30 +498,43 @@ object Dedup {
       .mapPartitions { it0 =>
         val it = it0.buffered
         // one bucket's pair loop: plain local arrays — the loop runs
-        // Σ|bucket|²/2 iterations (~260M at sf5); ArrayBuffer.apply in the
-        // hot path is measurable at that count
+        // Σ|bucket|²/2 iterations (~260M at sf5, 6.5B at sf25);
+        // ArrayBuffer.apply in the hot path is measurable at that count
         def bucketPairs(band: Int, idv: Array[Long], kv: Array[Array[Long]],
                         vv: Array[Array[Double]]): Iterator[(Long, Long, Double)] = {
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           val n = vv.length
           val norms = new Array[Double](n)
+          // prefix words (r13, the follow-up named in BASELINE.md's x34
+          // sf25 adjudication): the earlier-band keys hoisted out of the
+          // O(n²) pair loop into one 8-bit-lane word per ROW (RowsPerBand
+          // = 8 ⇒ every key < 256; Bands ≤ 8 ⇒ all earlier keys fit one
+          // Long — both pinned by the require in lshPairsKernel). The
+          // per-pair first-matching-band test collapses from an
+          // array-deref loop with bounds checks to XOR + the SWAR
+          // zero-byte probe: lanes ≥ band are forced to 0xff via notMask,
+          // so a zero byte exists iff SOME earlier band's keys are equal
+          // (⇒ this bucket is not the pair's first match).
+          val pw = new Array[Long](n)
+          val notMask = if (band == 0) -1L else ~((1L << (8 * band)) - 1L)
           var i = 0
           while (i < n) {
-            norms(i) = math.sqrt(dotArr(vv(i), vv(i))); i += 1
+            norms(i) = math.sqrt(dotArr(vv(i), vv(i)))
+            val k = kv(i)
+            var w = 0L
+            var t = 0
+            while (t < band) { w |= (k(t) & 0xffL) << (8 * t); t += 1 }
+            pw(i) = w
+            i += 1
           }
           var j = 1
           while (j < n) {
-            val vj = vv(j); val kj = kv(j); val nj = norms(j); val idj = idv(j)
+            val vj = vv(j); val pwj = pw(j); val nj = norms(j); val idj = idv(j)
             var i2 = 0
             while (i2 < j) {
               // first-matching-band: every band below this one must differ
-              val ki = kv(i2)
-              var t = 0; var firstHere = true
-              while (firstHere && t < band) {
-                if (ki(t) == kj(t)) firstHere = false
-                t += 1
-              }
-              if (firstHere) {
+              val y = (pw(i2) ^ pwj) | notMask
+              if (((y - 0x0101010101010101L) & ~y & 0x8080808080808080L) == 0L) {
                 val raw = dotArr(vv(i2), vj) / (norms(i2) * nj)
                 // round4 allocates a BigDecimal (~550 ns measured) — gate
                 // it on the RAW value: HALF_UP at the 4th decimal can lift

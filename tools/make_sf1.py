@@ -33,9 +33,16 @@ rotation (k % 64) with global negation ((k // 64) % 2) and reversal
 ((k // 128) % 2) -- all three are norm-preserving, pairwise compositions of
 a random vector stay near-orthogonal (a negated/reversed rotation of a
 random vector is as orthogonal as the rotation itself; the one structured
-pair, v vs its own negation at the same rotation, has cosine -1, which no
+pair, v vs its own negation at the same rotation, has cosine ~-1, which no
 catalog threshold treats as a near-dup), giving 64 x 2 x 2 = 256 >= 250
 distinct transforms before any wrap onto an earlier replica.
+
+Round-13 fix (x94 sf25 degeneracy): the k >= 64 embedding groups mix in a
+deterministic per-label unit anchor at weight 0.2 before re-normalizing,
+so per-label centroids stay round-6-visible at R=250 instead of being
+cancelled by the negated groups (see the comment above the embeddings
+copy for the math and the preserved invariants; sf1/sf5 outputs are
+byte-identical to the round-11 generation).
 """
 import os
 import sys
@@ -120,8 +127,55 @@ EMB_REV = (f"CASE WHEN (k // 128) % 2 = 1 THEN list_reverse({EMB_ROT})"
 EMB_XFORM = (f"CASE WHEN (k // 64) % 2 = 1 THEN "
              f"list_transform({EMB_REV}, x -> -x) ELSE {EMB_REV} END")
 
+# Label-anchor mixing for the k >= 64 groups (round 13, the x94 sf25
+# degeneracy fix — VERDICT r12 directive 3). Why a stronger fix than
+# "bias the replica signs": with zero-mean base vectors, EVERY +-1
+# sign/rotation/label scheme leaves per-label centroid components at
+# ~ sigma_m * sqrt(T)/T ~ 5e-4 for T=250 replicas (a random walk over
+# decorrelating norm-preserving transforms), below the 7.1e-4 floor
+# where x94's round(cp^2, 6) can see them — the negated groups merely
+# made an already-marginal quantity exactly cancel. The robust fix is
+# COHERENT reinforcement: replicas k >= 64 become
+# normalize(ALPHA * a_label + BETA * T_k(v)) with a_label a
+# deterministic per-label unit anchor, so per-label centroids carry
+# ~(186/250)*ALPHA*a_i ~ 0.019 per dim at R=250 — 25x over the round-6
+# visibility floor. Properties preserved: exact unit norm (explicit
+# normalize), near-dup structure (two anchored same-label replicas
+# have cos ~ ALPHA^2 = 0.04, far below every catalog threshold; the
+# structured pair v vs its anchored negation sits at ~ -BETA^2 +
+# ALPHA^2 ~ -0.92, still "no threshold treats it as a near-dup"), and
+# R <= 64 corpora (sf1/sf5) BYTE-IDENTICAL to the pre-r13 generation
+# (the anchor only touches k >= 64, which sf1/sf5 never reach).
+EMB_ALPHA = 0.2
+EMB_BETA = (1 - EMB_ALPHA ** 2) ** 0.5
+
 copy("embeddings", f"""
-  SELECT vec_id + k*2000 AS vec_id,
-         {EMB_XFORM} AS embedding,
-         label
-  FROM '{src}/embeddings.parquet', range({R}) r(k)""")
+  WITH anc0 AS (
+    SELECT label,
+      list_transform(range(64), i ->
+        (CAST(hash(label * 1000 + i) % 1000003 AS DOUBLE)
+           / 1000003.0) * 2 - 1) AS araw
+    FROM (SELECT DISTINCT label FROM '{src}/embeddings.parquet')
+  ), anc AS (
+    SELECT label, list_transform(araw, x ->
+      x / sqrt(list_sum(list_transform(araw, y -> y*y)))) AS a
+    FROM anc0
+  ), base AS (
+    SELECT vec_id + k*2000 AS vec_id, label, k,
+           CAST({EMB_XFORM} AS DOUBLE[]) AS t
+    FROM '{src}/embeddings.parquet', range({R}) r(k)
+  ), mixed AS (
+    SELECT b.vec_id, b.label, b.k,
+      CASE WHEN b.k < 64 THEN b.t
+      ELSE list_transform(range(64), i ->
+        {EMB_ALPHA} * anc.a[CAST(i AS INT) + 1] +
+        {EMB_BETA} * b.t[CAST(i AS INT) + 1]) END AS m
+    FROM base b JOIN anc ON anc.label = b.label
+  )
+  SELECT vec_id,
+    CAST(CASE WHEN k < 64 THEN m
+         ELSE list_transform(m, x ->
+           x / sqrt(list_sum(list_transform(m, y -> y*y)))) END
+      AS FLOAT[]) AS embedding,
+    label
+  FROM mixed""")
