@@ -118,37 +118,166 @@ object Multimodal {
         val id = r.getLong(0)
         val w = (8 + id % 24).toInt
         val h = (8 + (id * 3) % 24).toInt
-        val fill = new java.awt.Color(
-          (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = img.createGraphics()
-        g.setColor(fill); g.fillRect(0, 0, w, h); g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, bos.toByteArray)
+        val fill = ((id % 256).toInt << 16) |
+          (((id * 7) % 256).toInt << 8) | ((id * 13) % 256).toInt
+        val tc = threadCodecs.get()
+        Row(id, writeImage(solidImage(tc, w, h, fill), tc.pngWriter,
+          tc.pngWriter.getDefaultWriteParam))
       }
     }(enc)
   }
 
-  /** ImageIO.read that NEVER propagates: returns null for unrecognized
-    * formats (ImageIO's own contract), corrupt bodies (IOException), and
-    * the RuntimeExceptions the JDK readers are known to throw on crafted
-    * headers (IndexOutOfBounds/NegativeArraySize/CMMException, …). One
-    * bad asset must degrade to null metrics, never fail the batch. */
-  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
-    if (bytes.isEmpty) null
-    else
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+  /** ImageIO plumbing resolved ONCE per thread — the image-tier twin of the
+    * audio SPI move above, but per-THREAD because `ImageReader`/`ImageWriter`
+    * instances carry input/output state (the audio readers are stateless;
+    * these are not, so a shared `@volatile` would race). Task threads are
+    * pooled, so the cache is bounded by the executor thread count.
+    *
+    * Why: `ImageIO.read` walks the provider registry (`getImageReaders`
+    * probe loop over a fresh SPI iterator) and `ImageIO
+    * .getImageWritersByFormatName` + `createImageOutputStream` repeat the
+    * same dance on the encode side — PER CALL. Measured by
+    * [[graft.tools.X82Codec]] at the x82 frame shape (32–80 px JPEG),
+    * 32 threads: decode 45.1 → 2.6 µs/frame and encode 57.5 → 8.8 µs/frame
+    * with per-thread cached instances — the per-call path is ~10× plumbing,
+    * ~1× codec, and it was the bulk of x82's 1190 s sf25 Verify wall
+    * (4.375M frames × ~103 µs ≈ 450 s of registry/SPI overhead). */
+  private final class ThreadCodecs {
+    lazy val jpegWriter: javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    lazy val jpegParam: javax.imageio.ImageWriteParam = {
+      val p = jpegWriter.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.97f)
+      p
+    }
+    lazy val pngWriter: javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    /** Last reader that decoded a payload, tried FIRST on the next one (the
+      * audio tier's preferred-reader trick): a homogeneous payload column —
+      * the normal case; x82's frames are ALL JPEG, x78's ALL PNG — probes
+      * the registry once per thread, not once per frame. */
+    var preferredReader: javax.imageio.ImageReader = null
+    /** Reusable solid-fill canvases, keyed by geometry: the fixture
+      * synthesizers repaint every byte each call, so reuse is safe, and the
+      * key population is the id-arithmetic geometry grid (≤ a few hundred
+      * per thread, each ≤ 80×80×3 bytes). `TYPE_3BYTE_BGR` rather than
+      * INT_RGB so the JPEG writer streams the raster bytes instead of
+      * repacking every scanline through `Raster.setRect` (the int→byte
+      * conversion jstack-sampled alongside the native encode, round 13);
+      * pixel VALUES are identical, so the encoded frames are too. */
+    val solidImages = new java.util.HashMap[Long, java.awt.image.BufferedImage]
+  }
+  private val threadCodecs: ThreadLocal[ThreadCodecs] =
+    ThreadLocal.withInitial(() => new ThreadCodecs)
 
-  /** Per-channel pixel sums, one `getRGB` ROW fetch per scanline (the
-    * per-pixel getRGB call pays a ColorModel conversion + bounds check per
-    * pixel — measured dominant in the decode loop). Sums fit a Long far
-    * below 2^53, so downstream double division is correctly rounded. */
+  /** Solid-fill frame on the thread's reusable canvas: every byte is
+    * overwritten (B,G,R pattern straight into the raster — no Graphics2D,
+    * no per-call BufferedImage/raster allocation). */
+  private def solidImage(tc: ThreadCodecs, w: Int, h: Int,
+                         rgb: Int): java.awt.image.BufferedImage = {
+    val key = (w.toLong << 32) | (h.toLong & 0xffffffffL)
+    var img = tc.solidImages.get(key)
+    if (img == null) {
+      img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      tc.solidImages.put(key, img)
+    }
+    val d = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val bb = (rgb & 0xff).toByte
+    val gg = ((rgb >> 8) & 0xff).toByte
+    val rr = ((rgb >> 16) & 0xff).toByte
+    var i = 0
+    while (i < d.length) { d(i) = bb; d(i + 1) = gg; d(i + 2) = rr; i += 3 }
+    img
+  }
+
+  /** Encode through a per-thread cached writer (no registry walk, no output
+    * -stream SPI probe; `MemoryCacheImageOutputStream` is what
+    * `createImageOutputStream` resolves to under `setUseCache(false)`, so
+    * the bytes are identical to the per-call path's). */
+  private def writeImage(img: java.awt.image.BufferedImage,
+                         writer: javax.imageio.ImageWriter,
+                         param: javax.imageio.ImageWriteParam): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Decode that NEVER propagates: returns null for unrecognized formats
+    * (ImageIO's own contract), corrupt bodies (IOException), and the
+    * RuntimeExceptions the JDK readers are known to throw on crafted
+    * headers (IndexOutOfBounds/NegativeArraySize/CMMException, …). One
+    * bad asset must degrade to null metrics, never fail the batch.
+    *
+    * Fast path: the thread's preferred reader. Miss (format change, first
+    * call, corrupt bytes) → one registry probe, exactly what `ImageIO.read`
+    * does per call; a reader that probes positive but then fails to decode
+    * yields null, same as the old path. */
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes.isEmpty) return null
+    val tc = threadCodecs.get()
+    val pref = tc.preferredReader
+    if (pref != null) {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try { pref.setInput(iis, true, true); return pref.read(0) }
+      catch { case scala.util.control.NonFatal(_) => () }
+      finally iis.close()
+    }
+    // full probe on a FRESH stream (the preferred attempt consumed bytes)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val r = readers.next()
+      r.setInput(iis, true, true)
+      val img = r.read(0)
+      tc.preferredReader = r // only a SUCCESSFUL decode earns the fast path
+      img
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally iis.close()
+  }
+
+  /** Per-channel pixel sums. Fast path: the JDK's JPEG/PNG decoders hand
+    * back `TYPE_3BYTE_BGR` (byte-interleaved B,G,R), whose layout the
+    * BufferedImage type constant pins exactly — sum the raster bytes
+    * directly. The bulk-`getRGB` fallback routes every pixel through
+    * `ComponentColorModel.getRGBComponent` (float normalize + denormalize
+    * per sample) on these images, which jstack-sampled as ~25% of x82's
+    * serialized decode wall (round 13). Sums fit a Long far below 2^53,
+    * so downstream double division is correctly rounded. */
   private def rgbSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     val w = img.getWidth
     val h = img.getHeight
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+      val sm = img.getRaster.getSampleModel
+        .asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+      val db = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte]
+      val d = db.getData
+      val bo = sm.getBandOffsets // bands R,G,B at byte offsets 2,1,0
+      val stride = sm.getScanlineStride
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var p = db.getOffset + y * stride
+        var x = 0
+        while (x < w) {
+          sr += d(p + bo(0)) & 0xff
+          sg += d(p + bo(1)) & 0xff
+          sb += d(p + bo(2)) & 0xff
+          p += 3; x += 1
+        }
+        y += 1
+      }
+      return (sr, sg, sb)
+    }
     val buf = new Array[Int](w)
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
@@ -407,20 +536,8 @@ object Multimodal {
     * step, so a bucket-center solid color survives the round trip well
     * inside its 16-wide bucket). */
   private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = img.createGraphics()
-    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val p = writer.getDefaultWriteParam
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(0.97f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    writer.dispose(); ios.close()
-    bos.toByteArray
+    val tc = threadCodecs.get()
+    writeImage(solidImage(tc, w, h, rgb), tc.jpegWriter, tc.jpegParam)
   }
 
   /** Deterministic Motion-JPEG AVI fixtures: each doc_id becomes a standard

@@ -22,8 +22,12 @@ small SF and diffing.
 Usage:
   python3 tools/x83_sf25_check.py validate <sf_dir>   # both forms, diff
   python3 tools/x83_sf25_check.py check <sf_dir> <engine_dump_dir>
+  python3 tools/x83_sf25_check.py bench <sf_dir> [runs]
+    # time the ARGMIN form (the only x83 shape DuckDB can run at sf25 —
+    # the window form needs ~500 GB of state), warm + best-of-<runs>,
+    # for the sf25 singles table (VERDICT r12 directive 6)
 """
-import sys, glob, json
+import sys, glob, json, time
 import duckdb
 
 ASSIGN_WINDOW = """
@@ -75,7 +79,20 @@ def connect(sf_dir):
 
 mode, sf_dir = sys.argv[1], sys.argv[2]
 con = connect(sf_dir)
-if mode == "validate":
+if mode == "bench":
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    sql = x83_sql(ASSIGN_ARGMIN)
+    t0 = time.perf_counter()
+    n = len(con.execute(sql).fetchall())  # warm-up
+    warm = time.perf_counter() - t0
+    best = min(
+        (lambda s: (con.execute(sql).fetchall(), time.perf_counter() - s)[1])(
+            time.perf_counter())
+        for _ in range(runs))
+    print(json.dumps({"metric": "x83_duck_argmin", "best": round(best, 3),
+                      "warm": round(warm, 3), "runs": runs, "rows": n,
+                      "sf": sf_dir}))
+elif mode == "validate":
     a = con.execute(x83_sql(ASSIGN_WINDOW)).fetchall()
     b = con.execute(x83_sql(ASSIGN_ARGMIN)).fetchall()
     assert a == b, f"forms diverge: {len(a)} vs {len(b)} rows / values"
