@@ -143,6 +143,56 @@ object Catalog {
     * keeps the fully-distributed shuffle-join plan. */
   private val MaxBroadcastLmEntries: Int = 1 << 20
 
+  /** ONE-TASK floor fusion for cheap-expression relational queries (r14).
+    *
+    * When a query's entire input is tiny — summed parquet bytes from the
+    * scan relations' `optimizedPlan.stats`, the same zero-job statistic
+    * broadcast thresholds and [[kernelDocsAuto]] gate on — `coalesce(1)`
+    * the scans. A 1-partition child reports `SinglePartition`, which
+    * satisfies every required distribution, so EnsureRequirements inserts
+    * ZERO exchanges and the whole query (scan, join, agg, window, total
+    * sort, sink) fuses into ONE single-task stage: no AQE per-exchange
+    * stage jobs, no range-sampling pass, no 32-task reduce stages. The
+    * floor-class rows in BENCH pay 2-3 jobs × ~0.1 s of pure scheduling
+    * against DuckDB totals of ~0.01 s (BASELINE.md's row-group finding:
+    * every sf0.1 scan is one task regardless); below the cap one task IS
+    * the right plan on any engine — DuckDB runs these same queries on
+    * effectively one morsel. Above the cap the plan is byte-identical to
+    * the ungated one, so the 100 TB posture is untouched: the gate can
+    * never fire on a real corpus (sf1's events already exceeds it).
+    *
+    * EXCLUDED by design: kernel/codec/dedup tiers, whose per-row CPU a
+    * byte gate cannot see (the codec-tier lesson at [[codecDocIds]]) —
+    * those keep their explicit spreads. Gate tunable/disable-able via
+    * `spark.graft.oneTaskFloorBytes` (0 disables; used by PlanShapeSpec
+    * to pin the at-scale plan shapes). */
+  private val OneTaskFloorBytes = 16L << 20
+  private def oneTaskPlan(s: SparkSession, d: String, tables: String*): Boolean = {
+    val cap = s.conf.getOption("spark.graft.oneTaskFloorBytes")
+      .map(_.toLong).getOrElse(OneTaskFloorBytes)
+    cap > 0 && tables.map(n =>
+      t(s, d, n).queryExecution.optimizedPlan.stats.sizeInBytes).sum <= BigInt(cap)
+  }
+
+  /** [[oneTaskPlan]]-gated single-table loader: the common case where the
+    * query reads one table (multi-table queries gate on the sum explicitly
+    * so a fused side never meets an unfused one across a join). */
+  private def tF(s: SparkSession, d: String, n: String): DataFrame = {
+    val df = t(s, d, n)
+    if (oneTaskPlan(s, d, n)) df.coalesce(1) else df
+  }
+
+  /** events spread for the per-user window tails (q11/x36/x45/x46/x58/x73):
+    * at scale, ONE range exchange on user_id satisfies the window's
+    * clustering and pre-orders the output; below the [[oneTaskPlan]] cap the
+    * single partition satisfies the same distributions with ZERO exchanges
+    * (and no range-sampling job). */
+  private def eventsByUser(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    if (oneTaskPlan(s, d, "events")) ev.coalesce(1)
+    else ev.repartitionByRange(col("user_id"))
+  }
+
   // ------------------------------------------------------------------ core
 
   /** Q1 — C10/C11 projection + rename (reference transform's column surface,
@@ -164,7 +214,10 @@ object Catalog {
 
   /** Q2 — C12 timestamp→date cast (dags/rocket_launch_etl.py:102). */
   val q02 = Q("q02_cast_date",
-    (s, d) => t(s, d, "events")
+    // tF tail note (applies to every fused query ending in orderBy): a
+    // global Sort over a SinglePartition child needs no range exchange and
+    // therefore no sampling job — the tail self-fuses into the scan task.
+    (s, d) => tF(s, d, "events")
       .select(col("event_id"), to_date(col("ts")).as("d"))
       .orderBy("event_id"),
     Some("SELECT event_id, CAST(ts AS DATE) AS d FROM events ORDER BY event_id"))
@@ -172,7 +225,7 @@ object Catalog {
   /** Q3 — C3 equality date filter (partition-filter analog,
     * dags/rocket_launch_etl.py:129). */
   val q03 = Q("q03_eq_filter",
-    (s, d) => t(s, d, "events")
+    (s, d) => tF(s, d, "events")
       .where(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-02")))
       .select("event_id", "user_id").orderBy("event_id"),
     Some("""SELECT event_id, user_id FROM events
@@ -181,7 +234,7 @@ object Catalog {
   /** Q4 — C1′ half-open interval range predicate
     * (dags/rocket_launch_etl.py:37-41). */
   val q04 = Q("q04_range_filter",
-    (s, d) => t(s, d, "events")
+    (s, d) => tF(s, d, "events")
       .where(expr("ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
         "ts < TIMESTAMP '2024-01-03 00:00:00'"))
       .select("event_id").orderBy("event_id"),
@@ -192,7 +245,7 @@ object Catalog {
   /** Q5 — C13 grouped distinct count, the reference's one analytical query
     * (src/sql/query/daily_launch_events.sql:1-5). */
   val q05 = Q("q05_daily_distinct",
-    (s, d) => reportSortFused(t(s, d, "events")
+    (s, d) => reportSortFused(tF(s, d, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(countDistinct(col("user_id")).as("event_count")), col("d")),
     Some("""SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS event_count
@@ -207,7 +260,7 @@ object Catalog {
     // props, so sorting after extraction shuffles 16 B/row instead of the
     // JSON string — the double kernel eval in the sampling pass is ~50 ns/row
     // and loses to the extra shuffle bytes (measured: 0.21 s vs 0.39 s)
-    (s, d) => t(s, d, "events")
+    (s, d) => tF(s, d, "events")
       .select(col("event_id"),
         graft.functions.TextHashFunctions.jsonLong(col("props"), "k").as("k"))
       .orderBy("event_id"),
@@ -216,7 +269,7 @@ object Catalog {
 
   /** Q7 — plain grouped count. */
   val q07 = Q("q07_group_count",
-    (s, d) => reportSortFused(t(s, d, "events")
+    (s, d) => reportSortFused(tF(s, d, "events")
       .groupBy("event_type").agg(count(lit(1)).as("n")), col("event_type")),
     Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"))
 
@@ -253,12 +306,22 @@ object Catalog {
   /** Q9 — E1 equi join + agg. Customer is a dim → broadcast; the money sum
     * goes through DECIMAL so both engines sum exactly, then one cast. */
   val q09 = Q("q09_join_agg",
-    (s, d) => reportSortFused(t(s, d, "orders")
-      .join(broadcast(t(s, d, "customer")),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")),
-      col("c_mktsegment")),
+    (s, d) => {
+      // fused route: both sides single-partition, and the dim takes a
+      // shuffle_hash hint instead of broadcast — SinglePartition satisfies
+      // the hash join's clustering on both sides, so the whole query is one
+      // job (a broadcast build would be a second job for nothing on a
+      // 1-task stream side). At scale: broadcast dim, as before.
+      val fused = oneTaskPlan(s, d, "orders", "customer")
+      val fact = if (fused) t(s, d, "orders").coalesce(1) else t(s, d, "orders")
+      val dim = if (fused) t(s, d, "customer").coalesce(1).hint("shuffle_hash")
+                else broadcast(t(s, d, "customer"))
+      reportSortFused(fact
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")),
+        col("c_mktsegment"))
+    },
     Some("""SELECT c_mktsegment,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
            |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -266,9 +329,15 @@ object Catalog {
 
   /** Q10 — E2 anti join (customers with no orders). */
   val q10 = Q("q10_anti_join",
-    (s, d) => Relational.antiJoinKeys(
-        t(s, d, "customer"), t(s, d, "orders"), "c_custkey", "o_custkey")
-      .select("c_custkey").orderBy("c_custkey"),
+    (s, d) => {
+      val fused = oneTaskPlan(s, d, "customer", "orders")
+      val (cust, ords) =
+        if (fused) (t(s, d, "customer").coalesce(1),
+          t(s, d, "orders").coalesce(1).hint("shuffle_hash"))
+        else (t(s, d, "customer"), t(s, d, "orders"))
+      Relational.antiJoinKeys(cust, ords, "c_custkey", "o_custkey")
+        .select("c_custkey").orderBy("c_custkey")
+    },
     // NOT EXISTS, not NOT IN: a single NULL o_custkey would make NOT IN
     // return zero rows while the left-anti join (and this form) still
     // returns every unmatched customer
@@ -284,8 +353,7 @@ object Catalog {
     // clustering (equal keys co-locate) AND pre-orders the output, so the
     // usual window-exchange + final orderBy (two shuffles of the same rows
     // plus a sampling job) collapses into window + in-partition sort
-    (s, d) => Relational.dedupKeepLatest(
-        t(s, d, "events").repartitionByRange(col("user_id")),
+    (s, d) => Relational.dedupKeepLatest(eventsByUser(s, d),
         Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
       .select("user_id", "event_id", "event_type", "value")
       .sortWithinPartitions("user_id"),
@@ -298,14 +366,14 @@ object Catalog {
 
   /** Q12 — E8 exact dedup cardinality. */
   val q12 = Q("q12_distinct_count",
-    (s, d) => t(s, d, "documents").agg(countDistinct(col("text")).as("n")),
+    (s, d) => tF(s, d, "documents").agg(countDistinct(col("text")).as("n")),
     Some("SELECT COUNT(DISTINCT text) AS n FROM documents"))
 
   /** Q13 — E5 tokenize/explode/top-20 terms (one-pass AllTokens kernel —
     * the HOF empty-token filter lambda ran per token on the single-file
     * scan task). */
   val q13 = Q("q13_top_tokens",
-    (s, d) => t(s, d, "documents")
+    (s, d) => tF(s, d, "documents")
       .select(explode(
         graft.functions.TextHashFunctions.allTokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
@@ -328,9 +396,9 @@ object Catalog {
 
   /** Q15 — E10 set op (EXCEPT = distinct semantics in both engines). */
   val q15 = Q("q15_set_except",
-    (s, d) => t(s, d, "events").where(col("event_type") === "purchase")
+    (s, d) => tF(s, d, "events").where(col("event_type") === "purchase")
       .select("user_id")
-      .except(t(s, d, "events").where(col("event_type") === "error")
+      .except(tF(s, d, "events").where(col("event_type") === "error")
         .select("user_id"))
       .orderBy("user_id"),
     Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -340,12 +408,18 @@ object Catalog {
 
   /** Q16 — E1+E3 join + ranking window: top-2 customers per nation. */
   val q16 = Q("q16_join_window",
-    (s, d) => reportSort(Relational.topKPerGroup(
-        t(s, d, "customer").join(broadcast(t(s, d, "nation")),
-          col("c_nationkey") === col("n_nationkey")),
-        Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey")), 2)
-      .select("n_name", "rn", "c_custkey", "c_acctbal"),
-      col("n_name"), col("rn")),
+    (s, d) => {
+      val fused = oneTaskPlan(s, d, "customer", "nation")
+      val cust = if (fused) t(s, d, "customer").coalesce(1) else t(s, d, "customer")
+      val nat = if (fused) t(s, d, "nation").coalesce(1).hint("shuffle_hash")
+                else broadcast(t(s, d, "nation"))
+      val top = Relational.topKPerGroup(
+          cust.join(nat, col("c_nationkey") === col("n_nationkey")),
+          Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey")), 2)
+        .select("n_name", "rn", "c_custkey", "c_acctbal")
+      if (fused) top.sortWithinPartitions(col("n_name"), col("rn"))
+      else reportSort(top, col("n_name"), col("rn"))
+    },
     Some("""SELECT n_name, rn, c_custkey, c_acctbal FROM (
            |  SELECT n.n_name, c.c_custkey, c.c_acctbal, row_number() OVER (
            |    PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
@@ -373,7 +447,7 @@ object Catalog {
     // and a text-width exchange are both unaffordable; two digest-width
     // exchanges are noise.
     (s, d) => Dedup.exactGroups(
-        t(s, d, "documents").select("doc_id", "text"))
+        tF(s, d, "documents").select("doc_id", "text"))
       .orderBy("h"),
     Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -648,7 +722,7 @@ object Catalog {
   /** E10 remaining set ops: UNION (distinct) then INTERSECT. */
   val x30 = Q("x30_set_ops",
     (s, d) => {
-      val ev = t(s, d, "events")
+      val ev = tF(s, d, "events")
       def users(tpe: String) = ev.where(col("event_type") === tpe).select("user_id")
       users("signup").union(users("purchase")).distinct()
         .intersect(users("error"))
@@ -665,7 +739,7 @@ object Catalog {
   /** Multi-level aggregation: ROLLUP over (event_type, day). NULLS FIRST is
     * pinned explicitly — Spark defaults there for ASC, DuckDB doesn't. */
   val x31 = Q("x31_rollup_agg",
-    (s, d) => reportSortFused(t(s, d, "events")
+    (s, d) => reportSortFused(tF(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .rollup("event_type", "d")
       .agg(count(lit(1)).as("n")),
@@ -679,7 +753,7 @@ object Catalog {
     * when several errors share an instant; no raw timestamp emitted). */
   val x32 = Q("x32_asof_join",
     (s, d) => {
-      val ev = t(s, d, "events")
+      val ev = tF(s, d, "events")
       val p = ev.where(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
       val e = ev.where(col("event_type") === "error").select("user_id", "ts")
@@ -698,7 +772,7 @@ object Catalog {
   /** Exact continuous percentiles per group (Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition). */
   val x33 = Q("x33_percentiles",
-    (s, d) => reportSortFused(t(s, d, "events")
+    (s, d) => reportSortFused(tF(s, d, "events")
       .groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
@@ -714,9 +788,11 @@ object Catalog {
     * have no customer row (and vice versa). */
   val x35 = Q("x35_full_outer",
     (s, d) => {
-      val oc = t(s, d, "orders").groupBy(col("o_custkey").as("k"))
+      val fused = oneTaskPlan(s, d, "orders", "customer")
+      def side(n: String) = if (fused) t(s, d, n).coalesce(1) else t(s, d, n)
+      val oc = side("orders").groupBy(col("o_custkey").as("k"))
         .agg(count(lit(1)).as("n"))
-      t(s, d, "customer").join(oc, col("c_custkey") === col("k"), "full_outer")
+      side("customer").join(oc, col("c_custkey") === col("k"), "full_outer")
         .select(coalesce(col("c_custkey"), col("k")).as("k"),
           coalesce(col("n"), lit(0L)).as("n_orders"),
           col("c_custkey").isNotNull.as("known_customer"))
@@ -739,7 +815,7 @@ object Catalog {
       // ONE exchange (same fusion as q11): range partitions on user_id feed
       // the window and pre-order the output; only the (user_id, event_id)
       // in-partition re-sort remains
-      t(s, d, "events").repartitionByRange(col("user_id"))
+      eventsByUser(s, d)
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
         .select("user_id", "event_id", "gap_us")
@@ -753,7 +829,7 @@ object Catalog {
 
   /** CUBE over (event_type, day): all four grouping levels. */
   val x37 = Q("x37_cube_agg",
-    (s, d) => reportSortFused(t(s, d, "events")
+    (s, d) => reportSortFused(tF(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .cube("event_type", "d")
       .agg(count(lit(1)).as("n")),
@@ -765,9 +841,9 @@ object Catalog {
   /** E10 multiset difference (EXCEPT ALL): keeps multiplicity. Duplicate
     * user_ids are identical whole rows, so ORDER BY user_id is hash-total. */
   val x38 = Q("x38_except_all",
-    (s, d) => t(s, d, "events").where(col("event_type") === "purchase")
+    (s, d) => tF(s, d, "events").where(col("event_type") === "purchase")
       .select("user_id")
-      .exceptAll(t(s, d, "events").where(col("event_type") === "error")
+      .exceptAll(tF(s, d, "events").where(col("event_type") === "error")
         .select("user_id"))
       .orderBy("user_id"),
     Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -952,7 +1028,7 @@ object Catalog {
         .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
       // ONE exchange (q11/x36 fusion): range partitions on user_id satisfy
       // the window's clustering and pre-order the output
-      t(s, d, "events").repartitionByRange(col("user_id"))
+      eventsByUser(s, d)
         .select(col("user_id"), col("event_id"),
           round(sum(col("value").cast("decimal(18,6)")).over(w)
             .cast("double"), 4).as("mv3"))
@@ -976,7 +1052,7 @@ object Catalog {
       // per-user aggregate (clustered-by-user_id is satisfied, so no agg
       // exchange); the hash agg scrambles in-partition order, so a local
       // re-sort restores the range-partition total order
-      t(s, d, "events").repartitionByRange(col("user_id"))
+      eventsByUser(s, d)
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev", lag(col("us"), 1).over(w))
         .withColumn("new_s",
@@ -1343,7 +1419,7 @@ object Catalog {
       val w = Window.partitionBy("user_id").orderBy(col("us"))
         .rangeBetween(-600000000L, 0L)
       // ONE exchange (q11/x36 fusion)
-      t(s, d, "events").repartitionByRange(col("user_id"))
+      eventsByUser(s, d)
         .withColumn("us", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"),
           round(sum(col("value").cast("decimal(18,6)")).over(w)
@@ -1920,7 +1996,7 @@ object Catalog {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // ONE exchange (q11/x36 fusion); the window's sort (user_id, event_id)
       // IS the output order, so no local re-sort remains at all
-      t(s, d, "events").repartitionByRange(col("user_id"))
+      eventsByUser(s, d)
         .select(col("user_id"), col("event_id"),
           when(col("event_type") === "purchase", col("value")).as("pv"))
         .select(col("user_id"), col("event_id"),
@@ -3253,7 +3329,7 @@ object Catalog {
     * Measured errors go to Verify's tolerance.json via
     * [[toleranceReport]].) */
   val x28 = Q("x28_approx_distinct",
-    (s, d) => reportSortFused(t(s, d, "events")
+    (s, d) => reportSortFused(tF(s, d, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))

@@ -50,9 +50,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 2-column ReadSchema in:\n$plan")
   }
 
-  test("q09 fact⋈dim join broadcasts the dim side (E1)") {
+  test("q09 fact⋈dim join broadcasts the dim side (E1, at-scale branch)") {
+    // the r14 one-task floor fusion fires at sf0.001; pin the AT-SCALE plan
+    // by disabling the gate for this build
+    spark.conf.set("spark.graft.oneTaskFloorBytes", "0")
+    try {
+      val plan = planOf(Catalog.queries("q09_join_agg")(spark, sf0001))
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    } finally spark.conf.unset("spark.graft.oneTaskFloorBytes")
+  }
+
+  test("q09 one-task floor fusion: tiny inputs plan with ZERO exchanges (r14)") {
     val plan = planOf(Catalog.queries("q09_join_agg")(spark, sf0001))
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected fused hash join in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"one-task fusion must plan no exchange at all:\n$plan")
   }
 
   test("q05 distinct-count aggregates partially before the shuffle (C13)") {
