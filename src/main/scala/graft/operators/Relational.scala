@@ -153,6 +153,24 @@ object Relational {
         s"keyedRowNumbers: key '$k' contains BINARY — its external form has " +
           "no value equality; hash it to a comparable type first")
     }
+    // WINDOW route for 1-partition inputs (r14, the catalog's one-task
+    // floor fusion): the two-pass exists so real volume never serializes
+    // through per-key window sorts — but an input the caller has already
+    // collapsed to ONE partition is serialized by construction, and the
+    // checkpoint + block-stats pass + route-count job + block join would
+    // be four extra jobs to recompute what row_number/count read straight
+    // off that partition. Zero-job route check (physical partition count);
+    // at scale no caller hands this operator a single partition.
+    if (df.rdd.getNumPartitions == 1) {
+      lastKeyedRoute = "window"
+      val byKey = Window.partitionBy(keys.map(col): _*)
+      return df
+        .withColumn("__n", count(lit(1)).over(byKey))
+        // cast: row_number is INT; the two-pass emits LONG ranks, and
+        // callers (Sharding.verifyShards) read the column as LONG
+        .withColumn("__rn",
+          row_number().over(byKey.orderBy(order: _*)).cast("bigint"))
+    }
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     val sortExprs = keys.map(col) ++ order
     val sorted = df.repartitionByRange(p, sortExprs: _*)

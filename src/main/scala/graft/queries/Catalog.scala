@@ -79,6 +79,13 @@ object Catalog {
   private def reportSortFused(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
 
+  /** [[reportSort]] that follows a query's [[oneTaskPlan]] decision: in the
+    * fused branch everything is already one partition, so the coalesce(1)
+    * variant is a no-op narrow sort (repartition(1) would re-introduce the
+    * one exchange the fusion removed); at scale it is plain [[reportSort]]. */
+  private def reportSortAuto(fused: Boolean)(df: DataFrame, cols: Column*): DataFrame =
+    if (fused) reportSortFused(df, cols: _*) else reportSort(df, cols: _*)
+
   /** Slim, doc_id-ordered input for per-document KERNEL tables: `orderBy`'s
     * range-sampling pass re-executes its child, so `kernel(docs).orderBy(id)`
     * evaluates every kernel expression TWICE (sampling + shuffle map).
@@ -969,12 +976,12 @@ object Catalog {
     * value list pinned (never inferred — an inference scan is an extra pass
     * and nondeterministic column order at scale). */
   val x42 = Q("x42_pivot",
-    (s, d) => t(s, d, "events")
+    (s, d) => tF(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .groupBy("d").pivot("event_type", eventTypes).agg(count(lit(1)))
       .select(col("d") +: eventTypes.map(tp =>
         coalesce(col(tp), lit(0L)).as(tp)): _*)
-      .transform(reportSort(_, col("d"))),
+      .transform(reportSortAuto(oneTaskPlan(s, d, "events"))(_, col("d"))),
     Some {
       val cols = eventTypes.map(tp =>
         s"COUNT(CASE WHEN event_type = '$tp' THEN 1 END) AS $tp").mkString(",\n  ")
@@ -989,6 +996,10 @@ object Catalog {
   val x43 = Q("x43_grouping_sets",
     (s, d) => {
       graft.sources.Tables.registerAll(s, d)
+      // one-task fusion for the SQL surface: re-register the read side as
+      // the fused (single-partition) relation; re-registration is
+      // idempotent and every catalog SQL query re-registers on build
+      tF(s, d, "events").createOrReplaceTempView("events")
       s.sql("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
               |FROM events
               |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
@@ -1007,6 +1018,10 @@ object Catalog {
   val x44 = Q("x44_exists_subquery",
     (s, d) => {
       graft.sources.Tables.registerAll(s, d)
+      if (oneTaskPlan(s, d, "customer", "orders")) {
+        t(s, d, "customer").coalesce(1).createOrReplaceTempView("customer")
+        t(s, d, "orders").coalesce(1).createOrReplaceTempView("orders")
+      }
       s.sql("""SELECT c_custkey FROM customer c
               |WHERE EXISTS (SELECT 1 FROM orders o
               |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
@@ -1199,7 +1214,7 @@ object Catalog {
     * nested-loop plan Spark would pick for a raw inequality join. */
   val x50 = Q("x50_range_join",
     (s, d) => {
-      val ev = t(s, d, "events")
+      val ev = tF(s, d, "events")
       val p = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val e = ev.where(col("event_type") === "error")
@@ -1236,7 +1251,7 @@ object Catalog {
   val x51 = Q("x51_rank_distribution",
     (s, d) => {
       val ranked = Relational.keyedRowNumbers(
-        t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        tF(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
         Seq("o_orderpriority"), Seq(col("o_totalprice").desc, col("o_orderkey")))
       val rn = col("__rn"); val n = col("__n")
       ranked
@@ -1313,6 +1328,7 @@ object Catalog {
   val x53 = Q("x53_scalar_subquery",
     (s, d) => {
       graft.sources.Tables.registerAll(s, d)
+      tF(s, d, "customer").createOrReplaceTempView("customer")
       s.sql("""SELECT c_custkey, c_acctbal FROM customer
               |WHERE c_acctbal >= (SELECT MAX(c_acctbal) FROM customer) * 0.9
               |ORDER BY c_custkey""".stripMargin)
@@ -1333,7 +1349,7 @@ object Catalog {
     * tolerance verdict instead of `err:"no_oracle"`. Measured errors go to
     * Verify's tolerance.json via [[toleranceReport]]. */
   val x54 = Q("x54_approx_percentiles",
-    (s, d) => reportSortFused(t(s, d, "events")
+    (s, d) => reportSortFused(tF(s, d, "events")
       .groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
@@ -1357,7 +1373,7 @@ object Catalog {
     * Duplicates are kept min(countL, countR) times by both engines. */
   val x55 = Q("x55_intersect_all",
     (s, d) => {
-      val ev = t(s, d, "events")
+      val ev = tF(s, d, "events")
       def users(tpe: String) = ev.where(col("event_type") === tpe).select("user_id")
       users("purchase").intersectAll(users("click")).orderBy("user_id")
     },
@@ -1373,7 +1389,7 @@ object Catalog {
     * (collect_list order is partition-dependent; array_sort pins it —
     * equal elements are interchangeable, so ties cannot drift). */
   val x56 = Q("x56_string_agg",
-    (s, d) => t(s, d, "events")
+    (s, d) => tF(s, d, "events")
       .groupBy("user_id")
       .agg(array_join(array_sort(collect_list(col("event_type"))), ",")
         .as("types"))
@@ -1387,7 +1403,7 @@ object Catalog {
     * (d, event_type, n) rows — the inverse of x42's pivot. Spark side uses
     * the `stack` generator; the oracle uses the portable UNION ALL form. */
   val x57 = Q("x57_unpivot",
-    (s, d) => t(s, d, "events")
+    (s, d) => tF(s, d, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signup"),
@@ -1527,7 +1543,7 @@ object Catalog {
     * engines' merge orders (values are O(1)–O(1e4), double carries ~15
     * significant digits). */
   val x61 = Q("x61_stats_kit",
-    (s, d) => t(s, d, "lineitem")
+    (s, d) => tF(s, d, "lineitem")
       .groupBy(col("l_returnflag").as("rflag"))
       .agg(
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
@@ -1535,7 +1551,7 @@ object Catalog {
         round(stddev_samp(col("l_discount")), 4).as("sd_disc"),
         round(var_samp(col("l_tax")), 4).as("var_tax"),
         round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"))
-      .transform(reportSort(_, col("rflag"))),
+      .transform(reportSortAuto(oneTaskPlan(s, d, "lineitem"))(_, col("rflag"))),
     Some("""SELECT l_returnflag AS rflag,
            |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
            |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
@@ -1566,9 +1582,35 @@ object Catalog {
       // checkpoint preserves the partitioning, so the three per-user
       // aggregates and all four user_id joins downstream are exchange-free.
       // The bounded O(users) report takes the usual reportSort tail.
-      val e = t(s, d, "events").select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us")).repartition(col("user_id"))
-        .localCheckpoint(false)
+      val eRaw = t(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      if (oneTaskPlan(s, d, "events")) {
+        // ONE-TASK branch (r14): per-user event array + three conditional
+        // array scans — one agg, zero joins, zero exchanges. The identical
+        // funnel semantics: t1 = min signup time, t2 = min click time
+        // strictly after t1, t3 = min purchase strictly after t2 (a null tN
+        // nulls everything later: filter(_ > null) is empty, array_min of
+        // empty is null). The join form below is the at-scale plan —
+        // collect_list per user is bounded only below the one-task cap, and
+        // fusing the join chain is not even possible (Spark re-shuffles SHJ
+        // children whose subtrees contain joins, measured r14: 4 exchanges
+        // on 1-partition children).
+        reportSortFused(eRaw.coalesce(1)
+          .groupBy("user_id")
+          .agg(collect_list(struct(col("us"), col("event_type"))).as("evs"))
+          .withColumn("t1", expr(
+            "array_min(transform(filter(evs, x -> x.event_type = 'signup'), x -> x.us))"))
+          .withColumn("t2", expr(
+            "array_min(filter(transform(filter(evs, x -> x.event_type = 'click'), x -> x.us), u -> u > t1))"))
+          .withColumn("t3", expr(
+            "array_min(filter(transform(filter(evs, x -> x.event_type = 'purchase'), x -> x.us), u -> u > t2))"))
+          .where(col("t1").isNotNull)
+          .select(col("user_id"),
+            (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+              + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth")),
+          col("user_id"))
+      } else {
+      val e = eRaw.repartition(col("user_id")).localCheckpoint(false)
       val s1 = e.where(col("event_type") === "signup")
         .groupBy("user_id").agg(min("us").as("t1"))
       val s2 = e.join(s1, "user_id")
@@ -1583,6 +1625,7 @@ object Catalog {
           (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
             + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth")),
         col("user_id"))
+      }
     },
     Some("""WITH e AS (SELECT user_id, event_type,
            |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -1615,7 +1658,7 @@ object Catalog {
     * posture) overflow and ANSI mode kills the query. Per-stratum keep
     * counts plus id-range fingerprints verify the identical row selection. */
   val x63 = Q("x63_stratified_sample",
-    (s, d) => t(s, d, "events")
+    (s, d) => tF(s, d, "events")
       .withColumn("h",
         ((col("event_id") % lit(1000000007L)) * lit(2654435761L))
           % lit(1000000007L) % lit(1000L))
@@ -1628,7 +1671,7 @@ object Catalog {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_kept"), min("event_id").as("min_id"),
         max("event_id").as("max_id"))
-      .transform(reportSort(_, col("event_type"))),
+      .transform(reportSortAuto(oneTaskPlan(s, d, "events"))(_, col("event_type"))),
     Some("""SELECT event_type, COUNT(*) AS n_kept, min(event_id) AS min_id,
            |  max(event_id) AS max_id
            |FROM (SELECT event_type, event_id,
@@ -1757,7 +1800,8 @@ object Catalog {
     * here because the oracle hash-checks exact values. */
   val x67 = Q("x67_winsorize",
     (s, d) => {
-      val e = t(s, d, "events")
+      val fused = oneTaskPlan(s, d, "events")
+      val e = tF(s, d, "events")
       // Clip bounds rounded to 4 decimals — the DECLARED winsorize
       // semantics since round 7: the interpolated percentile of 2-decimal
       // values is an exact ≤4-decimal rational, but each engine computes
@@ -1769,8 +1813,11 @@ object Catalog {
       val bounds = e.groupBy("event_type")
         .agg(round(expr("percentile(value, 0.01)"), 4).as("lo"),
           round(expr("percentile(value, 0.99)"), 4).as("hi"))
-      reportSort(
-        e.join(broadcast(bounds), "event_type")
+      // fused: the bounds aggregate is single-partition like the stream, so
+      // a hash join needs no broadcast build job and no exchange at all
+      val boundsJ = if (fused) bounds.hint("shuffle_hash") else broadcast(bounds)
+      reportSortAuto(fused)(
+        e.join(boundsJ, "event_type")
           .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
@@ -1800,7 +1847,7 @@ object Catalog {
     * per-row arithmetic (no quantile pass); count + decimal-exact sum per
     * bucket. */
   val x68 = Q("x68_histogram",
-    (s, d) => reportSort(t(s, d, "events")
+    (s, d) => reportSortAuto(oneTaskPlan(s, d, "events"))(tF(s, d, "events")
       .withColumn("bucket", width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -1853,7 +1900,7 @@ object Catalog {
     * spread, and total characters — the slice a curation run reviews before
     * admitting a source. Pure integer outputs; one partial-agg shuffle. */
   val x70 = Q("x70_source_report",
-    (s, d) => reportSort(t(s, d, "documents")
+    (s, d) => reportSortAuto(oneTaskPlan(s, d, "documents"))(tF(s, d, "documents")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_uniq_texts"),
@@ -1889,7 +1936,7 @@ object Catalog {
       // would run per PAIR (the 10-row probe side: 1M casts of the same
       // 10 arrays). On the pre-cast column SimplifyCasts drops the
       // kernel's inner no-op cast.
-      val emb = t(s, d, "embeddings")
+      val emb = tF(s, d, "embeddings")
         .withColumn("ed", V.asDouble(col("embedding")))
         .withColumn("nrm", V.norm(col("ed")))
       val probes = emb.where(col("vec_id") < 10)
@@ -1917,7 +1964,7 @@ object Catalog {
         .agg(count(lit(1)).as("votes"))
       val winner = Relational.topKPerGroup(votes, Seq("qid"),
         Seq(col("votes").desc, col("label")), 1)
-      reportSort(winner.select(col("qid"),
+      reportSortAuto(oneTaskPlan(s, d, "embeddings"))(winner.select(col("qid"),
         col("label").cast("bigint").as("pred_label"), col("votes")),
         col("qid"))
     },
@@ -1957,10 +2004,14 @@ object Catalog {
       // not the single-task report merge (the x74 sf1 lesson).
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("d")
-      t(s, d, "events")
-        .select(col("user_id"), to_date(col("ts")).as("d"))
-        .repartitionByRange(s.sparkContext.defaultParallelism,
+      val spread = {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        if (oneTaskPlan(s, d, "events")) ev.coalesce(1)
+        else ev.repartitionByRange(s.sparkContext.defaultParallelism,
           col("user_id"))
+      }
+      spread
         .groupBy("user_id", "d")
         .agg(count(lit(1)).as("n"))
         .withColumn("nd", lead(col("d"), 1).over(w))
@@ -2025,10 +2076,11 @@ object Catalog {
     * within-partition sort yields the same global order in parallel, and
     * the range sampling sees only the raw scan projection. */
   val x74 = Q("x74_debounce",
-    (s, d) => t(s, d, "events")
-      .withColumn("w", expr("unix_micros(ts) div 600000000"))
-      .repartitionByRange(s.sparkContext.defaultParallelism,
-        col("user_id"), col("event_type"), col("w"))
+    (s, d) => { val ev = t(s, d, "events")
+        .withColumn("w", expr("unix_micros(ts) div 600000000"))
+      if (oneTaskPlan(s, d, "events")) ev.coalesce(1)
+      else ev.repartitionByRange(s.sparkContext.defaultParallelism,
+        col("user_id"), col("event_type"), col("w")) }
       .groupBy("user_id", "event_type", "w")
       .agg(min("event_id").as("first_event_id"),
         (count(lit(1)) - 1).as("n_suppressed"))
@@ -2049,7 +2101,7 @@ object Catalog {
   val x75 = Q("x75_share_of_total",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      reportSort(t(s, d, "events")
+      reportSortAuto(oneTaskPlan(s, d, "events"))(tF(s, d, "events")
         .groupBy(to_date(col("ts")).as("d"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .withColumn("share", round(col("n") /
@@ -2085,7 +2137,7 @@ object Catalog {
       // buckets — exactly x51's reshape.
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("bucket").desc)
-      t(s, d, "customer")
+      tF(s, d, "customer")
         .select(col("c_mktsegment"), col("c_custkey"),
           floor(col("c_acctbal") / 1000).cast("bigint").as("bucket"))
         .select(col("c_mktsegment"), col("c_custkey"), col("bucket"),
@@ -2113,11 +2165,13 @@ object Catalog {
     * broadcast-join shape intact. Exact kept here for the hash oracle. */
   val x77 = Q("x77_mad",
     (s, d) => {
-      val e = t(s, d, "events")
+      val fused = oneTaskPlan(s, d, "events")
+      val e = tF(s, d, "events")
       val med = e.groupBy("event_type")
         .agg(expr("percentile(value, 0.5)").as("med"))
-      reportSort(
-        e.join(broadcast(med), "event_type")
+      val medJ = if (fused) med.hint("shuffle_hash") else broadcast(med)
+      reportSortAuto(fused)(
+        e.join(medJ, "event_type")
           .withColumn("dev", abs(col("value") - col("med")))
           .groupBy("event_type")
           .agg(round(max("med"), 4).as("med"),
@@ -2573,7 +2627,7 @@ object Catalog {
     * identical ranks with a parallel range sort. */
   val x87 = Q("x87_shuffle_shards",
     (s, d) => Relational.shuffleShards(
-        t(s, d, "documents").select("doc_id"), "doc_id", nShards = 8)
+        tF(s, d, "documents").select("doc_id"), "doc_id", nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"), col("shard_rows"))
       .sortWithinPartitions("shard", "pos"),
     Some("""WITH h AS (SELECT doc_id,
@@ -2716,7 +2770,7 @@ object Catalog {
     * per-domain window. cap = 20 drops documents at every SF. */
   val x92 = Q("x92_domain_caps",
     (s, d) => reportSortFused(
-      Relational.groupCaps(t(s, d, "documents"), "source", "doc_id", cap = 20),
+      Relational.groupCaps(tF(s, d, "documents"), "source", "doc_id", cap = 20),
       col("source")),
     Some("""WITH h AS (SELECT doc_id, source,
            |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS h
@@ -2804,10 +2858,15 @@ object Catalog {
   val x94 = Q("x94_centroid_outliers",
     // pinned hash spread of the byte-tiny embeddings scan (the kernelDocs
     // rationale): the 64-way posexplode and both downstream partial aggs
-    // otherwise run on the scan's single input split
+    // otherwise run on the scan's single input split. Below the one-task
+    // cap the spread is pure floor (the posexplode is 64×|rows| cheap
+    // arithmetic) and the whole map-reduce fuses instead.
     (s, d) => reportSortFused(
-      Similarity.labelCentroidOutliers(t(s, d, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))),
+      Similarity.labelCentroidOutliers({
+        val emb = t(s, d, "embeddings")
+        if (oneTaskPlan(s, d, "embeddings")) emb.coalesce(1)
+        else emb.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      }),
       col("label")),
     Some("""WITH e AS (SELECT vec_id, label,
            |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2977,6 +3036,7 @@ object Catalog {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("d")
+      val fusedX98 = oneTaskPlan(s, d, "events")
       val seg = t(s, d, "events")
         // range BEFORE the to_date + DECIMAL-round projection (x64/x72's
         // rule, applied here in round 9): the range sampler re-executes
@@ -2990,8 +3050,9 @@ object Catalog {
         // table-shaped output (O(users × days)) sort in PARALLEL within
         // partitions instead of the single-task report merge (x74's sf1
         // lesson)
-        .repartitionByRange(s.sparkContext.defaultParallelism,
-          col("user_id"))
+        .transform(df => if (fusedX98) df.coalesce(1)
+          else df.repartitionByRange(s.sparkContext.defaultParallelism,
+            col("user_id")))
         .select(col("user_id"), to_date(col("ts")).as("d"),
           expr("CAST(round(value, 4) AS DECIMAL(18,4))").as("v4"))
         .groupBy("user_id", "d").agg(sum(col("v4")).as("vd"))

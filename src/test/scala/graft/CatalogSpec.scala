@@ -181,6 +181,30 @@ class CatalogSpec extends AnyFunSuite {
         s"day ${r.getDate(0)}: x28 exact side drifted from q05")
   }
 
+  test("one-task floor fusion: fused and at-scale branches return identical " +
+    "rows (r14) — including x62's join-free array funnel") {
+    // representatives of each fused shape: plain relational (q09 hash-join
+    // route swap), window (q11), two-pass window route (x51/x87), and the
+    // one genuinely different tiny-scale plan (x62's array funnel vs the
+    // join funnel)
+    for (name <- Seq("q09_join_agg", "q11_latest_per_user",
+        "x51_rank_distribution", "x87_shuffle_shards", "x62_funnel")) {
+      // ROW-SET comparison (sorted render), not row order: the driver's
+      // oracle compare sorts before hashing, and e.g. x87's two branches
+      // emit the same total (shard, pos) content from different partition
+      // layouts
+      val fused = Catalog.queries(name)(spark, sf0001).collect()
+        .map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.oneTaskFloorBytes", "0")
+      val plain = try Catalog.queries(name)(spark, sf0001).collect()
+          .map(_.toString).sorted.toSeq
+        finally spark.conf.unset("spark.graft.oneTaskFloorBytes")
+      assert(fused == plain,
+        s"$name: one-task branch diverges from the at-scale branch " +
+          s"(${fused.size} vs ${plain.size} rows)")
+    }
+  }
+
   test("toleranceReport emits measured errors consistent with the verdicts") {
     val json = Catalog.toleranceReport(spark, sf0001)
     assert(json.contains("\"x28_approx_distinct\":{\"pass\":true"))

@@ -155,15 +155,28 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("one-exchange window fusion: window + output order share a single " +
-    "range exchange (q11/x36/x45/x46/x58/x73)") {
-    for (name <- Seq("q11_latest_per_user", "x36_window_lag",
-        "x45_window_frame", "x46_sessionize", "x58_window_range_frame",
-        "x73_forward_fill")) {
+    "range exchange (q11/x36/x45/x46/x58/x73) at scale; ZERO exchanges " +
+    "under the one-task cap") {
+    val names = Seq("q11_latest_per_user", "x36_window_lag",
+      "x45_window_frame", "x46_sessionize", "x58_window_range_frame",
+      "x73_forward_fill")
+    // at-scale branch: the gate off pins the one-exchange design
+    spark.conf.set("spark.graft.oneTaskFloorBytes", "0")
+    try {
+      for (name <- names) {
+        val plan = planOf(Catalog.queries(name)(spark, sf0001))
+        val dataExchanges = "Exchange (range|hash)partitioning".r
+          .findAllIn(plan).length
+        assert(dataExchanges == 1,
+          s"$name must shuffle its rows exactly once (found $dataExchanges):\n$plan")
+        assert(plan.contains("Window"), s"$name lost its window:\n$plan")
+      }
+    } finally spark.conf.unset("spark.graft.oneTaskFloorBytes")
+    // fused branch (default at sf0.001): the whole query plans NO exchange
+    for (name <- names) {
       val plan = planOf(Catalog.queries(name)(spark, sf0001))
-      val dataExchanges = "Exchange (range|hash)partitioning".r
-        .findAllIn(plan).length
-      assert(dataExchanges == 1,
-        s"$name must shuffle its rows exactly once (found $dataExchanges):\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"$name under the one-task cap must plan zero exchanges:\n$plan")
       assert(plan.contains("Window"), s"$name lost its window:\n$plan")
     }
   }
@@ -194,22 +207,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // exchange (aggregate and window both reuse it), and the table-shaped
     // output (grows with the data) sorts WITHIN user_id-ranged partitions —
     // never a single-task report merge (the x74 sf1 lesson)
-    for (name <- Seq("x72_gapfill", "x98_interpolate")) {
+    val names = Seq("x72_gapfill", "x98_interpolate")
+    spark.conf.set("spark.graft.oneTaskFloorBytes", "0")
+    try {
+      for (name <- names) {
+        val plan = planOf(Catalog.queries(name)(spark, sf0001))
+        assert("Exchange (range|hash)partitioning".r.findAllIn(plan).length == 1,
+          s"$name must keep exactly the one user_id exchange:\n$plan")
+        assert(!plan.contains("Join"), s"$name's spine join should be gone:\n$plan")
+        assert("Window".r.findAllIn(plan).length == 1,
+          s"$name should run exactly one Window (lead over observations):\n$plan")
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$name's table-shaped output must not merge to one task:\n$plan")
+      }
+    } finally spark.conf.unset("spark.graft.oneTaskFloorBytes")
+    // fused branch (default at sf0.001): zero exchanges, same operator set
+    for (name <- names) {
       val plan = planOf(Catalog.queries(name)(spark, sf0001))
-      assert("Exchange (range|hash)partitioning".r.findAllIn(plan).length == 1,
-        s"$name must keep exactly the one user_id exchange:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"$name under the one-task cap must plan zero exchanges:\n$plan")
       assert(!plan.contains("Join"), s"$name's spine join should be gone:\n$plan")
       assert("Window".r.findAllIn(plan).length == 1,
         s"$name should run exactly one Window (lead over observations):\n$plan")
-      assert(!plan.contains("Exchange SinglePartition"),
-        s"$name's table-shaped output must not merge to one task:\n$plan")
     }
   }
 
   test("co-partitioned pipelines: the one data exchange lives in the " +
     "checkpoint job; the query plan itself is exchange-free (x62)") {
     for (name <- Seq("x62_funnel")) {
-      val plan = planOf(Catalog.queries(name)(spark, sf0001))
+      // at-scale branch
+      spark.conf.set("spark.graft.oneTaskFloorBytes", "0")
+      val plan = try planOf(Catalog.queries(name)(spark, sf0001))
+        finally spark.conf.unset("spark.graft.oneTaskFloorBytes")
       // the repartition(user_id) ran once inside the localCheckpoint
       // materialization; every consumer reads the partitioning-preserving
       // RDD scan, so aggregates and user_id joins need NO further shuffle
@@ -222,6 +251,13 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name lost its checkpointed shared input:\n$plan")
       assert("Exchange SinglePartition".r.findAllIn(plan).length == 1,
         s"$name's bounded report tail must be the single-partition sort:\n$plan")
+      // fused branch (default at sf0.001): the join-free array-funnel plan
+      // — one agg over one partition, no exchange, no join at all
+      val fplan = planOf(Catalog.queries(name)(spark, sf0001))
+      assert(!fplan.contains("Exchange"),
+        s"$name under the one-task cap must plan zero exchanges:\n$fplan")
+      assert(!fplan.contains("Join"),
+        s"$name's one-task branch must be join-free (array funnel):\n$fplan")
     }
   }
 
