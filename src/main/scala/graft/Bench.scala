@@ -51,6 +51,15 @@ import graft.queries.Catalog
   * retry can turn a would-be degraded artifact into a moderate one. Both
   * probes are recorded: "floor_pre" is the effective (second) probe,
   * "floor_retry" the abandoned first one.
+  *
+  * Degraded-window FULL-SET retry (r14, VERDICT r13): if either bracket
+  * probe of the completed set is degraded, sleep 60 s and — when a fresh
+  * probe shows recovery — run the entire set once more, publishing the
+  * per-query MIN of the two passes and the recovered pass's floors.
+  * BENCH_r12/r13 were both degraded-floor artifacts whose cross-round
+  * deltas were pure window noise; the retry makes the driver-visible
+  * artifact match the quality of the hand-taken pair records. The
+  * abandoned pass's floors are published as "set_retry":[pre,post].
   */
 object Bench {
 
@@ -188,9 +197,46 @@ object Bench {
         Thread.sleep(60000L)
         (floorProbe(), Some(floorFirst))
       } else (floorFirst, None)
-    val headRaw = benchSet(pick(Catalog.benchNames))
-    val extRaw = benchSet(pick(Catalog.benchNamesExtended))
-    val floorPost = floorProbe()
+    val headFirst = benchSet(pick(Catalog.benchNames))
+    val extFirst = benchSet(pick(Catalog.benchNamesExtended))
+    val floorPostFirst = floorProbe()
+
+    // Degraded-window FULL-SET retry (VERDICT r13 directive): BENCH_r12 and
+    // r13 were both taken on degraded floors, so their round-over-round
+    // deltas were window noise. When either bracket probe is degraded,
+    // sleep 60 s, re-probe, and — if the host recovered — run the WHOLE set
+    // once more; per-query values merge by MIN (identical code both
+    // passes), and the published floors describe the recovered pass. If the
+    // re-probe is still degraded, the first pass stands and self-describes
+    // via "window":"degraded" as before.
+    var headRaw = headFirst; var extRaw = extFirst
+    var floorPreEff = floorPre; var floorPost = floorPostFirst
+    var setRetry: Option[(Double, Double)] = None
+    if (math.max(floorPre, floorPostFirst) > 0.25) {
+      System.err.println(s"[bench] window degraded (pre ${fmt(floorPre)}, " +
+        s"post ${fmt(floorPostFirst)}); sleeping 60s and retrying the full set")
+      Thread.sleep(60000L)
+      val fp = floorProbe()
+      if (fp <= 0.25) {
+        val h2 = benchSet(pick(Catalog.benchNames))
+        val e2 = benchSet(pick(Catalog.benchNamesExtended))
+        val fpost2 = floorProbe()
+        def mergeMin(a: Seq[(String, Double)], b: Seq[(String, Double)]) = {
+          val bm = b.toMap
+          a.map { case (n, v) =>
+            val w = bm.getOrElse(n, -1.0)
+            n -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+          }
+        }
+        headRaw = mergeMin(headFirst, h2)
+        extRaw = mergeMin(extFirst, e2)
+        setRetry = Some((floorPre, floorPostFirst))
+        floorPreEff = fp; floorPost = fpost2
+      } else {
+        System.err.println(s"[bench] retry probe still degraded " +
+          s"(${fmt(fp)}); publishing the first pass")
+      }
+    }
 
     // stall defense: one extra run per suspect, publish min + the names
     val suspects = stallSuspects(headRaw ++ extRaw, prev, floorPost)
@@ -222,15 +268,17 @@ object Bench {
     // drifted round is self-describing instead of needing human sentinel
     // forensics against BASELINE.md after the fact.
     val window =
-      if (math.max(floorPre, floorPost) > 0.25) "degraded" else "moderate"
+      if (math.max(floorPreEff, floorPost) > 0.25) "degraded" else "moderate"
     // shared prefix for the full and compact metric lines (ADVICE r8: two
     // independent string builders had already half-drifted once)
     val prefix =
       s"""{"metric":"total","value":${total(head)},"unit":"sec","queries":${json(head)},""" +
       s""""extended_total":${total(ext)},"""
     val suffix =
-      s""""floor_pre":${fmt(floorPre)},"floor_post":${fmt(floorPost)},""" +
+      s""""floor_pre":${fmt(floorPreEff)},"floor_post":${fmt(floorPost)},""" +
       floorRetry.map(f => s""""floor_retry":${fmt(f)},""").getOrElse("") +
+      setRetry.map { case (p, q) =>
+        s""""set_retry":[${fmt(p)},${fmt(q)}],""" }.getOrElse("") +
       s""""stall_suspect":${suspects.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
       s""""window":"$window","sf":"$sfDir"}"""
     val line = prefix + s""""extended_queries":${json(ext)},""" + suffix

@@ -505,6 +505,23 @@ object Dedup {
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           val n = vv.length
           val norms = new Array[Double](n)
+          // LAYOUT (r14, the lever named in BASELINE.md's r13 x34
+          // adjudication): the surviving per-candidate bound is memory
+          // traffic — the i2 side of the dot reads n scattered heap arrays
+          // in shuffle-arrival order. Pack the bucket's vectors into ONE
+          // contiguous primitive buffer (offsets preserve ragged lengths;
+          // the dot below folds left-to-right over min(len) exactly like
+          // dotArr, so output is bit-identical) so the inner loop streams
+          // sequentially through the buffer instead of pointer-chasing.
+          val offs = new Array[Int](n + 1)
+          var pk = 0
+          while (pk < n) { offs(pk + 1) = offs(pk) + vv(pk).length; pk += 1 }
+          val flat = new Array[Double](offs(n))
+          pk = 0
+          while (pk < n) {
+            System.arraycopy(vv(pk), 0, flat, offs(pk), vv(pk).length)
+            pk += 1
+          }
           // prefix words (r13, the follow-up named in BASELINE.md's x34
           // sf25 adjudication): the earlier-band keys hoisted out of the
           // O(n²) pair loop into one 8-bit-lane word per ROW (RowsPerBand
@@ -530,12 +547,20 @@ object Dedup {
           var j = 1
           while (j < n) {
             val vj = vv(j); val pwj = pw(j); val nj = norms(j); val idj = idv(j)
+            val lj = vj.length
             var i2 = 0
             while (i2 < j) {
               // first-matching-band: every band below this one must differ
               val y = (pw(i2) ^ pwj) | notMask
               if (((y - 0x0101010101010101L) & ~y & 0x8080808080808080L) == 0L) {
-                val raw = dotArr(vv(i2), vj) / (norms(i2) * nj)
+                // dotArr over the flat buffer: same min-length bound, same
+                // left-to-right fold — bit-identical, sequential reads
+                val o = offs(i2)
+                val m = math.min(offs(i2 + 1) - o, lj)
+                var s = 0.0
+                var t = 0
+                while (t < m) { s += flat(o + t) * vj(t); t += 1 }
+                val raw = s / (norms(i2) * nj)
                 // round4 allocates a BigDecimal (~550 ns measured) — gate
                 // it on the RAW value: HALF_UP at the 4th decimal can lift
                 // a value by at most 5e-5, so raw < thr − 6e-5 can never

@@ -153,11 +153,14 @@ object Multimodal {
     }
     lazy val pngWriter: javax.imageio.ImageWriter =
       javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-    /** Last reader that decoded a payload, tried FIRST on the next one (the
-      * audio tier's preferred-reader trick): a homogeneous payload column —
-      * the normal case; x82's frames are ALL JPEG, x78's ALL PNG — probes
-      * the registry once per thread, not once per frame. */
-    var preferredReader: javax.imageio.ImageReader = null
+    /** Readers that have decoded a payload, keyed by the payload's 4-byte
+      * magic and tried FIRST on the next payload with that magic (the audio
+      * tier's preferred-reader trick, made format-keyed per ADVICE r13: a
+      * single last-reader slot thrashes on a MIXED column — PNG/JPEG
+      * interleaved pays an exception + a second stream + the full registry
+      * probe per row, slower than the per-call path it replaced). Key
+      * population is the formats this thread has seen (a handful). */
+    val readersByMagic = new java.util.HashMap[Int, javax.imageio.ImageReader]
     /** Reusable solid-fill canvases, keyed by geometry: the fixture
       * synthesizers repaint every byte each call, so reuse is safe, and the
       * key population is the id-arithmetic geometry grid (≤ a few hundred
@@ -218,10 +221,20 @@ object Multimodal {
     * call, corrupt bytes) → one registry probe, exactly what `ImageIO.read`
     * does per call; a reader that probes positive but then fails to decode
     * yields null, same as the old path. */
+  /** First 4 payload bytes as a big-endian int — the cheap format sniff
+    * keying [[ThreadCodecs.readersByMagic]]. */
+  private def magic4(bytes: Array[Byte]): Int = {
+    var m = 0
+    var i = 0
+    while (i < 4 && i < bytes.length) { m = (m << 8) | (bytes(i) & 0xff); i += 1 }
+    m
+  }
+
   private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     if (bytes.isEmpty) return null
     val tc = threadCodecs.get()
-    val pref = tc.preferredReader
+    val key = magic4(bytes)
+    val pref = tc.readersByMagic.get(key)
     if (pref != null) {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -238,7 +251,7 @@ object Multimodal {
       val r = readers.next()
       r.setInput(iis, true, true)
       val img = r.read(0)
-      tc.preferredReader = r // only a SUCCESSFUL decode earns the fast path
+      tc.readersByMagic.put(key, r) // only a SUCCESSFUL decode earns the fast path
       img
     } catch { case scala.util.control.NonFatal(_) => null }
     finally iis.close()
@@ -255,7 +268,19 @@ object Multimodal {
   private def rgbSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     val w = img.getWidth
     val h = img.getHeight
-    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+    // Fast path guards (ADVICE r13): the direct-raster walk assumes the
+    // raster starts at the buffer origin with pixel stride 3 — a CHILD
+    // raster (getSubimage) still reports TYPE_3BYTE_BGR but has nonzero
+    // sampleModelTranslate, and summing from the parent's origin would
+    // read the wrong region. Not reachable from the JDK decoders today;
+    // any such image falls through to the exact getRGB path.
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+        img.getRaster.getSampleModelTranslateX == 0 &&
+        img.getRaster.getSampleModelTranslateY == 0 &&
+        img.getRaster.getMinX == 0 && img.getRaster.getMinY == 0 &&
+        img.getRaster.getSampleModel
+          .asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+          .getPixelStride == 3) {
       val sm = img.getRaster.getSampleModel
         .asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
       val db = img.getRaster.getDataBuffer

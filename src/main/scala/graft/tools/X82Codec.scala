@@ -92,17 +92,25 @@ object X82Codec {
     val pool = Executors.newFixedThreadPool(nThreads)
     val start = new CountDownLatch(1)
     val done = new CountDownLatch(nThreads)
+    // countDown in finally + first-error capture (ADVICE r13): a worker
+    // that throws would otherwise swallow the exception in the executor
+    // and leave done.await() hanging forever — a silent bench deadlock
+    val firstError = new java.util.concurrent.atomic.AtomicReference[Throwable]
     for (t <- 0 until nThreads) pool.execute { () =>
-      start.await()
-      var i = 0
-      while (i < perThread) { work(t, i); i += 1 }
-      done.countDown()
+      try {
+        start.await()
+        var i = 0
+        while (i < perThread) { work(t, i); i += 1 }
+      } catch {
+        case e: Throwable => firstError.compareAndSet(null, e): Unit
+      } finally done.countDown()
     }
     val t0 = System.nanoTime()
     start.countDown()
     done.await()
     val dt = (System.nanoTime() - t0) / 1e9
     pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS)
+    if (firstError.get() != null) throw firstError.get()
     dt
   }
 

@@ -31,8 +31,13 @@ os.makedirs(dst, exist_ok=True)
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents"]:
     link = os.path.join(dst, f"{t}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(os.path.join(src, f"{t}.parquet")), link)
+    # lexists, not exists (ADVICE r13): exists() follows the symlink and
+    # returns False for a stale link (source dir regenerated/removed), so
+    # os.symlink would raise FileExistsError on rerun. Remove-then-relink
+    # keeps reruns idempotent even when the source moved.
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(os.path.abspath(os.path.join(src, f"{t}.parquet")), link)
 
 con = duckdb.connect()
 # Box-Muller: u1, u2 in (0,1) from the deterministic 64-bit hash (the
