@@ -210,6 +210,8 @@ object Catalog {
     // returnflags (8 at sf0.1, 80 at sf1), and on a non-total key the two
     // engines ordered the ties differently at sf1 (caught by the round-7
     // sf1 oracle gate; sf0.01/sf0.1 passed by luck)
+    // NOT tF-fused (r14 A/B: +0.04 s): the table-shaped 600k-row output
+    // wants the parallel range sort even at the bench SF
     (s, d) => t(s, d, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
         col("l_returnflag").as("rflag"), col("l_linenumber"))
@@ -746,7 +748,9 @@ object Catalog {
   /** Multi-level aggregation: ROLLUP over (event_type, day). NULLS FIRST is
     * pinned explicitly — Spark defaults there for ASC, DuckDB doesn't. */
   val x31 = Q("x31_rollup_agg",
-    (s, d) => reportSortFused(tF(s, d, "events")
+    // NOT tF-fused (r14 A/B twice: +0.024/+0.010 s): the rollup's ×3 row
+    // expansion prefers the parallel partial agg even on the tiny corpus
+    (s, d) => reportSortFused(t(s, d, "events")
       .withColumn("d", to_date(col("ts")))
       .rollup("event_type", "d")
       .agg(count(lit(1)).as("n")),
@@ -995,11 +999,9 @@ object Catalog {
     * via pure spark.sql over the registered corpus views. */
   val x43 = Q("x43_grouping_sets",
     (s, d) => {
+      // NOT tF-fused (r14 A/B twice: +0.018/+0.013 s): grouping-sets
+      // expansion, like x31's rollup, prefers the parallel partial agg
       graft.sources.Tables.registerAll(s, d)
-      // one-task fusion for the SQL surface: re-register the read side as
-      // the fused (single-partition) relation; re-registration is
-      // idempotent and every catalog SQL query re-registers on build
-      tF(s, d, "events").createOrReplaceTempView("events")
       s.sql("""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
               |FROM events
               |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
