@@ -57,7 +57,29 @@ fails = []
 #   sf25 spot-gate).
 skip = set(filter(None, os.environ.get("DUCK_SKIP_QUERIES", "").split(",")))
 agg = set(filter(None, os.environ.get("DUCK_AGG_QUERIES", "").split(",")))
+# DUCK_FRESH_CON=1: reconnect per query (big-SF local runs). One resource
+# casualty on a shared connection poisons every query after it — the r14
+# sf25 run had x83's ~78 GB spill fill the disk and the NEXT EIGHT queries
+# then OOM'd on allocator state they did not cause; all eight passed
+# immediately on fresh connections. The driver never sets this, so its
+# gate is unchanged.
+fresh_con = bool(os.environ.get("DUCK_FRESH_CON"))
+
+def _connect():
+    c = duckdb.connect()
+    if os.environ.get("DUCK_TMP"):
+        c.execute(f"SET temp_directory='{os.environ['DUCK_TMP']}'")
+    if os.environ.get("DUCK_MEM"):
+        c.execute(f"SET memory_limit='{os.environ['DUCK_MEM']}'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
 for name in names:
+    if fresh_con:
+        con.close()
+        con = _connect()
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         # residue of a failed/aborted Verify write: a crash here would skip
