@@ -221,15 +221,22 @@ object Bench {
         val h2 = benchSet(pick(Catalog.benchNames))
         val e2 = benchSet(pick(Catalog.benchNamesExtended))
         val fpost2 = floorProbe()
-        def mergeMin(a: Seq[(String, Double)], b: Seq[(String, Double)]) = {
-          val bm = b.toMap
-          a.map { case (n, v) =>
-            val w = bm.getOrElse(n, -1.0)
-            n -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+        // Publish the RECOVERED pass's values ALONE (ADVICE r14): min-merging
+        // both passes made retried rounds effectively best-of-10 vs the
+        // normal best-of-5 — a small systematic downward bias in cross-round
+        // comparisons. The degraded pass is discarded; its only trace is
+        // "set_retry". Exception: a query that FAILED in the recovered pass
+        // keeps the first pass's value — that's failure rescue (identical
+        // code; the failure is environmental), not a timing merge.
+        def recoveredOnly(first: Seq[(String, Double)],
+                          second: Seq[(String, Double)]) = {
+          val fm = first.toMap
+          second.map { case (n, v) =>
+            n -> (if (v < 0) fm.getOrElse(n, v) else v)
           }
         }
-        headRaw = mergeMin(headFirst, h2)
-        extRaw = mergeMin(extFirst, e2)
+        headRaw = recoveredOnly(headFirst, h2)
+        extRaw = recoveredOnly(extFirst, e2)
         setRetry = Some((floorPre, floorPostFirst))
         floorPreEff = fp; floorPost = fpost2
       } else {

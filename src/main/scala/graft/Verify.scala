@@ -22,11 +22,29 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Heavy-dump route (VERDICT r14 directive 2): names listed in
+    // SPARK_GRAFT_VERIFY_MULTIFILE dump as MULTI-FILE parquet — no
+    // coalesce(1). The default single-file dump exists because
+    // check_oracle's exact compare is row-order-sensitive, but on a heavy
+    // query whose pipeline has no exchange before the sink (x82's codec
+    // pass, q01/x18/x34's one-task writes) the coalesce pulls the WHOLE
+    // pipeline into one serial task: x82 paid ~700 s of single-task re-run
+    // for ~35 s of parallel work at sf25. Multi-file keeps the dump at the
+    // JobProfile shape; row order across files is undefined, so these
+    // names must be checked via check_oracle's order-insensitive
+    // DUCK_AGG_QUERIES route — tools/gate.sh wires both from one list
+    // (GATE_HEAVY). The driver sets neither variable → its sf0.01 gate
+    // contract is byte-identical to before.
+    val multiFile: Set[String] = sys.env.get("SPARK_GRAFT_VERIFY_MULTIFILE")
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        (if (multiFile(name)) out else out.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any previous run's dump AND this run's partial write:

@@ -312,10 +312,12 @@ object TextAnalysis {
     * O(sources) driver arithmetic, mirroring the SQL oracle's integer
     * division exactly); the rate table rides a broadcast. */
   def mixtureSample(docs: DataFrame, budgetPermille: Long = 250,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    fuseOneTask: Boolean = false): DataFrame = {
     require(budgetPermille >= 0 && budgetPermille <= 1000,
       s"budgetPermille must be in [0, 1000], got $budgetPermille")
     val s = docs.sparkSession
+    if (fuseOneTask) return mixtureSampleFused(docs, budgetPermille, textCol)
     val toks = docs.select(col("doc_id"), col("source"),
       expr(s"size(${Portable.tokens(SparkD, textCol)})").cast("bigint")
         .as("n_toks"))
@@ -352,6 +354,51 @@ object TextAnalysis {
         col("rate_pm"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
+  }
+
+  /** ONE-TASK branch of [[mixtureSample]] (r15, VERDICT r14 directive 4 —
+    * the x62 move): callers that know the input is below the one-task floor
+    * (`fuseOneTask = true`) get the whole report as ONE job / ONE task with
+    * ZERO joins — where the at-scale shape needs a checkpoint (kernel-once),
+    * a bounded driver collect (rates arithmetic) and a broadcast join, and
+    * pays 7 floor-billed jobs on a 0.6 MB corpus (JobProfile r15). Here the
+    * per-source totals, grand total and source count are WINDOW layers over
+    * the same single partition (the x93 zipf fusion pattern):
+    * rate arithmetic runs per-row in exact BIGINT `div`s identical to the
+    * driver's, and the sampled counts fold into the same final aggregate as
+    * conditional sums — the tokens kernel runs once, nothing shuffles.
+    * Never taken at scale: the caller's gate is the same optimizedPlan-stats
+    * cap that keeps every other fused branch off real corpora. */
+  private def mixtureSampleFused(docs: DataFrame, budgetPermille: Long,
+                                 textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    val bySrcOrd = bySrc.orderBy("doc_id")
+    val global = Window.partitionBy()
+    docs.coalesce(1)
+      .select(col("doc_id"), col("source"),
+        expr(s"size(${Portable.tokens(SparkD, textCol)})").cast("bigint")
+          .as("n_toks"))
+      .withColumn("__rn", row_number().over(bySrcOrd))
+      .withColumn("toks_total", sum("n_toks").over(bySrc))
+      .withColumn("n_docs", count(lit(1)).over(bySrc))
+      .withColumn("grand", sum("n_toks").over(global))
+      .withColumn("n_sources",
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).over(global))
+      .withColumn("rate_pm",
+        when(col("toks_total") === 0L, lit(1000L))
+          .otherwise(least(lit(1000L), expr(
+            s"(1000 * ((grand * $budgetPermille) div 1000)) div " +
+              "(n_sources * toks_total)"))))
+      .withColumn("h",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+          % lit(1000000007L) % lit(1000L))
+      .groupBy("source")
+      .agg(min("n_docs").as("n_docs"), min("toks_total").as("toks_total"),
+        min("rate_pm").as("rate_pm"),
+        sum(when(col("h") < col("rate_pm"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("h") < col("rate_pm"), col("n_toks")).otherwise(0L))
+          .cast("bigint").as("toks_sampled"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —

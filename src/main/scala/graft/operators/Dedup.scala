@@ -1088,7 +1088,8 @@ object Dedup {
   def contaminationCounts(train: DataFrame, eval: DataFrame,
                           expectedEvalShingles: Long,
                           idCol: String = "doc_id", textCol: String = "text",
-                          maxBloomItems: Long = MaxBloomItems): DataFrame = {
+                          maxBloomItems: Long = MaxBloomItems,
+                          fuseOneTask: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val sh = graft.functions.TextHashFunctions.shingleSet(col(textCol))
     val trainSh = train.select(explode(sh).as("sh"))
@@ -1103,7 +1104,14 @@ object Dedup {
         trainSh.where(GraftSqlBridge.bloomMightContain(
           GraftSqlBridge.binaryLit(bloom), col("sh"))).distinct()
       }
-    evalSh.join(trainMatch, "sh")
+    // fuseOneTask (r15): callers whose inputs are below the one-task floor
+    // pass single-partition frames — a broadcast build there costs one
+    // extra job for a hash map the single task could build inline, so the
+    // fused branch hints shuffle_hash (SinglePartition satisfies the SHJ's
+    // distribution: zero exchanges, one job). At scale the broadcast of the
+    // result-sized trainMatch side is the right plan and stays the default.
+    val buildSide = if (fuseOneTask) trainMatch.hint("shuffle_hash") else trainMatch
+    evalSh.join(buildSide, "sh")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 

@@ -274,34 +274,38 @@ object Multimodal {
     // sampleModelTranslate, and summing from the parent's origin would
     // read the wrong region. Not reachable from the JDK decoders today;
     // any such image falls through to the exact getRGB path.
-    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
-        img.getRaster.getSampleModelTranslateX == 0 &&
-        img.getRaster.getSampleModelTranslateY == 0 &&
-        img.getRaster.getMinX == 0 && img.getRaster.getMinY == 0 &&
-        img.getRaster.getSampleModel
-          .asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
-          .getPixelStride == 3) {
-      val sm = img.getRaster.getSampleModel
-        .asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
-      val db = img.getRaster.getDataBuffer
-        .asInstanceOf[java.awt.image.DataBufferByte]
-      val d = db.getData
-      val bo = sm.getBandOffsets // bands R,G,B at byte offsets 2,1,0
-      val stride = sm.getScanlineStride
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var p = db.getOffset + y * stride
-        var x = 0
-        while (x < w) {
-          sr += d(p + bo(0)) & 0xff
-          sg += d(p + bo(1)) & 0xff
-          sb += d(p + bo(2)) & 0xff
-          p += 3; x += 1
+    // Pattern-match on the sample model (ADVICE r14): a TYPE_3BYTE_BGR
+    // image with a non-PixelInterleaved SampleModel must fall through to
+    // the exact getRGB path — an asInstanceOf in the guard would throw and
+    // fail the whole batch, contradicting the degrade-to-null contract
+    // (theoretical today: the JDK only assigns the constant to interleaved
+    // rasters, but the contract shouldn't depend on that)
+    (img.getRaster.getSampleModel, img.getRaster.getDataBuffer) match {
+      case (sm: java.awt.image.PixelInterleavedSampleModel,
+            db: java.awt.image.DataBufferByte)
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+             img.getRaster.getSampleModelTranslateX == 0 &&
+             img.getRaster.getSampleModelTranslateY == 0 &&
+             img.getRaster.getMinX == 0 && img.getRaster.getMinY == 0 &&
+             sm.getPixelStride == 3 =>
+        val d = db.getData
+        val bo = sm.getBandOffsets // bands R,G,B at byte offsets 2,1,0
+        val stride = sm.getScanlineStride
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var p = db.getOffset + y * stride
+          var x = 0
+          while (x < w) {
+            sr += d(p + bo(0)) & 0xff
+            sg += d(p + bo(1)) & 0xff
+            sb += d(p + bo(2)) & 0xff
+            p += 3; x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      return (sr, sg, sb)
+        return (sr, sg, sb)
+      case _ => // exact getRGB path below
     }
     val buf = new Array[Int](w)
     var sr = 0L; var sg = 0L; var sb = 0L

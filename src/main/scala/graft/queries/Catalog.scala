@@ -783,11 +783,14 @@ object Catalog {
   /** Exact continuous percentiles per group (Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition). */
   val x33 = Q("x33_percentiles",
-    (s, d) => reportSortFused(tF(s, d, "events")
-      .groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99")),
+    // count-table percentile plan (r15): see Relational.exactPercentiles —
+    // the builtin percentile's ObjectHashAggregate de-codegens the whole
+    // fused stage (JobProfile: 1 job/1 task but 0.30 s of interpreted scan)
+    (s, d) => reportSortFused(
+      Relational.exactPercentiles(tF(s, d, "events"), Seq("event_type"),
+          col("value"), Seq(0.5 -> "p50r", 0.9 -> "p90r", 0.99 -> "p99r"))
+        .select(col("event_type"), round(col("p50r"), 4).as("p50"),
+          round(col("p90r"), 4).as("p90"), round(col("p99r"), 4).as("p99")),
       col("event_type")),
     Some("""SELECT event_type,
            |  round(quantile_cont(value, 0.5), 4) AS p50,
@@ -1020,14 +1023,19 @@ object Catalog {
   val x44 = Q("x44_exists_subquery",
     (s, d) => {
       graft.sources.Tables.registerAll(s, d)
-      if (oneTaskPlan(s, d, "customer", "orders")) {
-        t(s, d, "customer").coalesce(1).createOrReplaceTempView("customer")
-        t(s, d, "orders").coalesce(1).createOrReplaceTempView("orders")
-      }
-      s.sql("""SELECT c_custkey FROM customer c
-              |WHERE EXISTS (SELECT 1 FROM orders o
-              |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-              |ORDER BY c_custkey""".stripMargin)
+      // fused views live under x44-private names (ADVICE r14): overwriting
+      // the registered 'customer'/'orders' views with coalesce(1) variants
+      // would leak the fused layout into any later spark.sql query that
+      // skips registerAll
+      val (cv, ov) = if (oneTaskPlan(s, d, "customer", "orders")) {
+        t(s, d, "customer").coalesce(1).createOrReplaceTempView("customer_x44")
+        t(s, d, "orders").coalesce(1).createOrReplaceTempView("orders_x44")
+        ("customer_x44", "orders_x44")
+      } else ("customer", "orders")
+      s.sql(s"""SELECT c_custkey FROM $cv c
+               |WHERE EXISTS (SELECT 1 FROM $ov o
+               |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+               |ORDER BY c_custkey""".stripMargin)
     },
     Some("""SELECT c_custkey FROM customer c
            |WHERE EXISTS (SELECT 1 FROM orders o
@@ -1163,7 +1171,12 @@ object Catalog {
     * before the comparison ever reaches it). */
   val x49 = Q("x49_curation",
     (s, d) => {
-      val docs = t(s, d, "documents")
+      // tF-fused (r15, VERDICT r14 directive 3): JobProfile showed 4 jobs —
+      // 3 AQE exchange-stage hops between 1-TASK stages (the 0.6 MB scan is
+      // one partition regardless, so the exchanges bought no parallelism).
+      // The kernel-tier exclusion doesn't apply: x49 has no spread to lose.
+      val fused = oneTaskPlan(s, d, "documents")
+      val docs = tF(s, d, "documents")
       val hitCols = TextAnalysis.profiles.zipWithIndex.map { case ((l, _), i) =>
         element_at(col("st"), i + 1).cast("int").as(s"${l}_hits") }
       docs
@@ -1183,7 +1196,7 @@ object Catalog {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("k.quality").cast("decimal(18,6)")).cast("double")
             .as("total_quality"))
-        .transform(reportSort(_, col("lang_pred")))
+        .transform(reportSortAuto(fused)(_, col("lang_pred")))
     },
     Some(s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
             |  GROUP BY md5(text)),
@@ -1351,12 +1364,20 @@ object Catalog {
     * tolerance verdict instead of `err:"no_oracle"`. Measured errors go to
     * Verify's tolerance.json via [[toleranceReport]]. */
   val x54 = Q("x54_approx_percentiles",
+    // ONE scan, ONE agg, array forms (r15 A/B): a single exact map + a
+    // single QuantileSummaries sketch for all four requested percentiles.
+    // A split exact-subtree + approx-subtree + join variant measured WORSE
+    // (0.42 vs 0.33 s) — two scans through the interpreted aggregate stage
+    // cost more than the per-map savings; reverted.
     (s, d) => reportSortFused(tF(s, d, "events")
       .groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        expr("approx_percentile(value, 0.5, 1000)").as("a50"),
-        expr("approx_percentile(value, 0.9, 1000)").as("a90"))
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("ps"),
+        expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("aps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        element_at(col("aps"), 1).as("a50"),
+        element_at(col("aps"), 2).as("a90"))
       .select(col("event_type"), col("p50"), col("p90"),
         (abs(col("a50") - col("p50")) <=
             lit(0.05) * greatest(abs(col("p50")), lit(1.0)) &&
@@ -1812,9 +1833,11 @@ object Catalog {
       // all 10 copies (n_clipped 3990 vs 4000). round(·, 4) of a value
       // 1 ulp from a 4-decimal point is safely far from the .00005
       // rounding boundary, so both engines pin the identical bound.
-      val bounds = e.groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.01)"), 4).as("lo"),
-          round(expr("percentile(value, 0.99)"), 4).as("hi"))
+      // count-table percentile plan (r15): see Relational.exactPercentiles
+      val bounds = Relational.exactPercentiles(e, Seq("event_type"),
+          col("value"), Seq(0.01 -> "loR", 0.99 -> "hiR"))
+        .select(col("event_type"), round(col("loR"), 4).as("lo"),
+          round(col("hiR"), 4).as("hi"))
       // fused: the bounds aggregate is single-partition like the stream, so
       // a hash join needs no broadcast build job and no exchange at all
       val boundsJ = if (fused) bounds.hint("shuffle_hash") else broadcast(bounds)
@@ -2169,6 +2192,10 @@ object Catalog {
     (s, d) => {
       val fused = oneTaskPlan(s, d, "events")
       val e = tF(s, d, "events")
+      // r14 two-agg shape kept (r15 A/B): a helper-based med + dev + mad
+      // three-join variant measured worse (0.41 vs 0.31 s) AND re-shuffled
+      // — the mad-side SHJ child contains the med join, tripping the known
+      // Spark re-shuffle quirk on join-bearing subtrees (1 stage → 3).
       val med = e.groupBy("event_type")
         .agg(expr("percentile(value, 0.5)").as("med"))
       val medJ = if (fused) med.hint("shuffle_hash") else broadcast(med)
@@ -2523,8 +2550,11 @@ object Catalog {
     // x96's LangStats (wash) and opposite of x85's chunk+md5 (1.76→1.12
     // WITH the spread) — the trade is per-kernel and only measurement
     // settles it.
+    // fused one-task branch below the floor cap (r15): window-layered rates,
+    // zero joins, one kernel pass — see TextAnalysis.mixtureSampleFused
     (s, d) => reportSortFused(
-      TextAnalysis.mixtureSample(t(s, d, "documents"), budgetPermille = 250),
+      TextAnalysis.mixtureSample(t(s, d, "documents"), budgetPermille = 250,
+        fuseOneTask = oneTaskPlan(s, d, "documents")),
       col("source")),
     Some(s"""WITH t AS (SELECT doc_id, source,
             |    CAST(length(${Portable.tokens(DuckD, "text")}) AS BIGINT)
@@ -3353,12 +3383,18 @@ object Catalog {
     * incompressible text inflates it toward the exact route earlier. */
   val x102 = Q("x102_bloom_decontamination",
     (s, d) => {
-      val docs = t(s, d, "documents").withColumn("h",
+      // fused below the one-task cap (r15): the 32-partition shingle
+      // shuffles (distinct + join) on a 0.6 MB corpus were pure AQE stage
+      // floor — SinglePartition scans plan them exchange-free (bloom build
+      // + one main job instead of 4 jobs / 132 tasks)
+      val base = tF(s, d, "documents")
+      val docs = base.withColumn("h",
         graft.functions.TextHashFunctions.fingerprint(col("text")) % 100)
       val est = (t(s, d, "documents")
         .queryExecution.optimizedPlan.stats.sizeInBytes / 2).toLong
       graft.operators.Dedup.contaminationCounts(
-          docs.where(col("h") < 80), docs.where(col("h") >= 90), est)
+          docs.where(col("h") < 80), docs.where(col("h") >= 90), est,
+          fuseOneTask = oneTaskPlan(s, d, "documents"))
         .orderBy("doc_id")
     },
     Some(s"""WITH th AS (SELECT doc_id, text,

@@ -188,7 +188,10 @@ class CatalogSpec extends AnyFunSuite {
     // one genuinely different tiny-scale plan (x62's array funnel vs the
     // join funnel)
     for (name <- Seq("q09_join_agg", "q11_latest_per_user",
-        "x51_rank_distribution", "x87_shuffle_shards", "x62_funnel")) {
+        "x51_rank_distribution", "x87_shuffle_shards", "x62_funnel",
+        // r15 fused shapes: curation report, window-layered mixture rates,
+        // single-partition bloom decontamination
+        "x49_curation", "x84_mixture_sample", "x102_bloom_decontamination")) {
       // ROW-SET comparison (sorted render), not row order: the driver's
       // oracle compare sorts before hashing, and e.g. x87's two branches
       // emit the same total (shard, pos) content from different partition

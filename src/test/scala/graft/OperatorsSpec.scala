@@ -1176,6 +1176,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentiles ≡ separate builtin percentile calls, incl. NULLs, " +
+    "single-row groups, and q∈{0,1}") {
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      val key = s"k${i % 4}"
+      val v: java.lang.Double =
+        if (i % 37 == 0) null else rng.nextDouble() * 100
+      (key, v)
+    } :+ (("solo", java.lang.Double.valueOf(7.25)))
+    val df = rows.toDF("key", "value")
+    val qs = Seq(0.0 -> "p0", 0.01 -> "p01", 0.5 -> "p50", 0.99 -> "p99",
+      1.0 -> "p100")
+    val got = Relational.exactPercentiles(df, Seq("key"), col("value"), qs)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), qs.indices.map(i => r.getDouble(i + 1))))
+    val exp = df.groupBy("key")
+      .agg(expr("percentile(value, 0.0)"), expr("percentile(value, 0.01)"),
+        expr("percentile(value, 0.5)"), expr("percentile(value, 0.99)"),
+        expr("percentile(value, 1.0)"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), qs.indices.map(i => r.getDouble(i + 1))))
+    // exact double equality: the helper IS the builtin fed in array form,
+    // so no ulp tolerance is needed — any drift means the form diverged
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("groupCaps: kept counts respect the cap, dropped is the remainder, " +
     "and the report is partition-invariant") {
     val docs = ((1 to 30).map(i => (i.toLong, "big")) ++

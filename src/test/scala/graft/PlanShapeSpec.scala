@@ -67,6 +67,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one-task fusion must plan no exchange at all:\n$plan")
   }
 
+  test("r15 fused branches (x49/x84/x102): zero exchanges under the cap; " +
+    "the at-scale shapes keep their exchanges/checkpoint") {
+    // fused branch (default at sf0.001)
+    for (name <- Seq("x49_curation", "x84_mixture_sample",
+        "x102_bloom_decontamination")) {
+      val plan = planOf(Catalog.queries(name)(spark, sf0001))
+      assert(!plan.contains("Exchange"),
+        s"$name under the one-task cap must plan zero exchanges:\n$plan")
+    }
+    // x84 fused: the window-layered rates replace the checkpoint + joins
+    val x84Fused = planOf(Catalog.queries("x84_mixture_sample")(spark, sf0001))
+    assert(!x84Fused.contains("Join"),
+      s"x84's fused branch must be join-free (window-layered rates):\n$x84Fused")
+    assert(x84Fused.contains("Window"),
+      s"x84's fused branch lost its rate windows:\n$x84Fused")
+    // at-scale branch: gate off restores the distributed shapes
+    spark.conf.set("spark.graft.oneTaskFloorBytes", "0")
+    try {
+      val x49 = planOf(Catalog.queries("x49_curation")(spark, sf0001))
+      assert(x49.contains("Exchange"),
+        s"x49's at-scale branch must keep its aggregate exchanges:\n$x49")
+      val x84 = planOf(Catalog.queries("x84_mixture_sample")(spark, sf0001))
+      assert(x84.contains("ExistingRDD"),
+        s"x84's at-scale branch must keep the kernel-once checkpoint:\n$x84")
+      val x102 = planOf(
+        Catalog.queries("x102_bloom_decontamination")(spark, sf0001))
+      assert(x102.contains("Exchange"),
+        s"x102's at-scale branch must keep its shingle exchanges:\n$x102")
+    } finally spark.conf.unset("spark.graft.oneTaskFloorBytes")
+  }
+
   test("q05 distinct-count aggregates partially before the shuffle (C13)") {
     val plan = planOf(Catalog.queries("q05_daily_distinct")(spark, sf0001))
     assert(plan.contains("HashAggregate"))

@@ -80,7 +80,9 @@ for name in names:
     if fresh_con:
         con.close()
         con = _connect()
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    # sorted: multi-file dumps (GATE_HEAVY) should read deterministically;
+    # glob order is filesystem order otherwise
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
         # residue of a failed/aborted Verify write: a crash here would skip
         # every remaining query; count it as THIS query's failure instead

@@ -19,6 +19,18 @@ set -u
 # a pass (ADVICE r9).
 [ $# -ge 1 ] || { echo "usage: tools/gate.sh SF_DIR..." >&2; exit 2; }
 cd "$(dirname "$0")/.."
+# GATE_HEAVY (big-SF local runs only; the driver never sets it): one comma
+# list wiring BOTH halves of the heavy-dump contract — Verify dumps these
+# names as multi-file parquet (parallel write, no coalesce(1) single-task
+# re-run) and check_oracle compares them on the order-insensitive agg-hash
+# route. Setting them separately risks a multi-file dump hitting the
+# row-order-sensitive exact compare. Typical sf5/sf25 value:
+#   GATE_HEAVY=q01_project_rename,x18_dedup_minhash,x29_scalar_kit,x34_dedup_embedding_lsh,x51_rank_distribution,x82_video_decode
+if [ -n "${GATE_HEAVY:-}" ]; then
+  export SPARK_GRAFT_VERIFY_MULTIFILE="$GATE_HEAVY"
+  export DUCK_AGG_QUERIES="$GATE_HEAVY"
+  echo "gate: heavy multi-file+agg-hash route for: $GATE_HEAVY"
+fi
 fail=0
 for sf in "$@"; do
   name=$(basename "$sf")
