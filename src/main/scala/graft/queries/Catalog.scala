@@ -557,7 +557,11 @@ object Catalog {
   /** E7/E8 embedding-cosine near-dup pairs (probe set vec_id<500; the
     * synthetic corpus peaks around cos≈0.5, so threshold 0.4). */
   val x21 = Q("x21_dedup_embedding",
-    // reportSort: threshold-bounded pair report over a bounded probe set
+    // reportSort: threshold-bounded pair report over a bounded probe set.
+    // NOT reportSortAuto-fused (r15 A/B: +0.095 s): the repartition(1)
+    // boundary here separates the kernel stage from the sort stage; fusing
+    // them into one narrow task measured WORSE — reverted, the usual
+    // per-kernel trade only measurement settles
     (s, d) => reportSort(
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 500L, 0.4),
       col("a"), col("b")),
@@ -580,8 +584,9 @@ object Catalog {
     * (multi-probe). */
   val x22 = Q("x22_sim_lsh",
     // lshTopK's single-partition ranking tail already emits (qid, rn) total
-    // order — no report sort on top
-    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3, probe = 1),
+    // order — no report sort on top; fused below the one-task cap (r15)
+    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 5L, 3, probe = 1,
+      fuseOneTask = oneTaskPlan(s, d, "embeddings")),
     Some {
       val anyBandProbe = (0 until Similarity.Bands)
         .map(b => s"bit_count(xor(q.k$b, c.k$b)) <= 1").mkString(" OR ")

@@ -191,7 +191,8 @@ class CatalogSpec extends AnyFunSuite {
         "x51_rank_distribution", "x87_shuffle_shards", "x62_funnel",
         // r15 fused shapes: curation report, window-layered mixture rates,
         // single-partition bloom decontamination
-        "x49_curation", "x84_mixture_sample", "x102_bloom_decontamination")) {
+        "x49_curation", "x84_mixture_sample", "x102_bloom_decontamination",
+        "x22_sim_lsh")) {
       // ROW-SET comparison (sorted render), not row order: the driver's
       // oracle compare sorts before hashing, and e.g. x87's two branches
       // emit the same total (shard, pos) content from different partition

@@ -71,7 +71,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "the at-scale shapes keep their exchanges/checkpoint") {
     // fused branch (default at sf0.001)
     for (name <- Seq("x49_curation", "x84_mixture_sample",
-        "x102_bloom_decontamination")) {
+        "x102_bloom_decontamination", "x22_sim_lsh")) {
       val plan = planOf(Catalog.queries(name)(spark, sf0001))
       assert(!plan.contains("Exchange"),
         s"$name under the one-task cap must plan zero exchanges:\n$plan")
@@ -127,8 +127,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair-level distinct crept back into x18:\n$logical")
   }
 
-  test("x22 ANN broadcasts ONLY the bounded probe side") {
-    val plan = planOf(Catalog.queries("x22_sim_lsh")(spark, sf0001))
+  test("x22 ANN broadcasts ONLY the bounded probe side (at-scale branch)") {
+    // r15: the one-task fusion fires at sf0.001; pin the AT-SCALE broadcast
+    // shape with the gate off (the fused branch is pinned separately)
+    spark.conf.set("spark.graft.oneTaskFloorBytes", "0")
+    val plan = try planOf(Catalog.queries("x22_sim_lsh")(spark, sf0001))
+      finally spark.conf.unset("spark.graft.oneTaskFloorBytes")
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast of the probe side in:\n$plan")
     // the candidate corpus must NOT be broadcast: the only broadcast exchange
