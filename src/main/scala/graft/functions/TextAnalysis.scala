@@ -178,7 +178,8 @@ object TextAnalysis {
     * broadcast cross joins; the unigram joins AQE-broadcast; top-k is
     * TakeOrderedAndProject. */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20,
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      fuseOneTask: Boolean = false): DataFrame = {
     val cnt = docs
       .select(expr(Portable.tokens(SparkD, textCol)).as("toks"))
       .select(explode(expr(
@@ -194,15 +195,36 @@ object TextAnalysis {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
-    val uni = cnt.where(col("w2").isNull)
-    val pairs = cnt.where(col("w2").isNotNull)
-      .withColumnRenamed("c", "c12")
-    val tu = uni.agg(sum(col("c")).as("tu"))
-    val tb = pairs.agg(sum(col("c12")).as("tb"))
-    pairs.where(col("c12") >= minCount)
+    // fuseOneTask (r15): below the caller's floor gate the grand totals
+    // ride UNBOUNDED-frame windows over the same single partition (the
+    // x84/x93 pattern) instead of two aggregate+broadcast-build jobs —
+    // the checkpointed count table is one partition there, so the windows
+    // and joins plan no exchange. At scale the 1-row broadcast cross joins
+    // stay: a global window would funnel the vocabulary through one task.
+    val (pairs0, uni) =
+      if (fuseOneTask) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy()
+        val cntW = cnt
+          .withColumn("tu", sum(when(col("w2").isNull, col("c"))).over(w))
+          .withColumn("tb", sum(when(col("w2").isNotNull, col("c"))).over(w))
+        (cntW.where(col("w2").isNotNull).withColumnRenamed("c", "c12"),
+          cntW.where(col("w2").isNull).select("w1", "c"))
+      } else {
+        (cnt.where(col("w2").isNotNull).withColumnRenamed("c", "c12"),
+          cnt.where(col("w2").isNull).select("w1", "c"))
+      }
+    val joined = pairs0.where(col("c12") >= minCount)
       .join(uni.select(col("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w1").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+    val withTotals =
+      if (fuseOneTask) joined
+      else {
+        val tu = cnt.where(col("w2").isNull).agg(sum(col("c")).as("tu"))
+        val tb = cnt.where(col("w2").isNotNull).agg(sum(col("c")).as("tb"))
+        joined.crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      }
+    withTotals
       .select(col("w1"), col("w2"), col("c12").as("n_pair"),
         expr(s"CAST(${Portable.pmi("c12", "c1", "c2", "tb", "tu")} " +
           "AS DECIMAL(18,6))").as("pmi_dec"))

@@ -114,35 +114,47 @@ object Catalog {
       .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       .sortWithinPartitions("doc_id")
 
-  /** (doc_id, text) hash-spread across cores with a PINNED partition count
-    * for CPU-heavy per-row kernel chains (x89's winnowing: O(n·w) array
-    * work per row): the corpus parquet is byte-tiny at test scale, so the
-    * scan yields a handful of input splits and AQE cannot see per-row
-    * kernel cost (the codec-tier lesson, see [[codecDocIds]]) — a plain
-    * hash repartition (no range-sampling job) with a user-specified count
-    * is exempt from AQE coalescing and spreads the kernel stage. At real
-    * scale `files.maxPartitionBytes` already splits the scan and this
-    * exchange is a cheap narrow-width shuffle of the projection. */
-  private def kernelDocs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select("doc_id", "text")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-
-  /** [[kernelDocs]] with the spread GATED on the scan's size estimate
-    * (optimizedPlan.stats — the parquet file bytes; no job): under the cap
-    * the kernel work on 1-2 input splits costs less than the exchange +
-    * its AQE stage jobs (x85 at sf0.1: the unconditional spread measured
-    * +0.33 s of pure floor), above it the serialized scan dominates (x85
-    * at sf1: 1.76 → 1.12 s WITH the spread). At corpus scale input splits
-    * abound, the estimate blows past any cap, and the branch is moot —
-    * but hash-clustering by doc_id is still what the downstream
-    * aggregates want. */
+  /** (doc_id, text) for CPU-heavy per-row kernel chains (x85 chunk+md5,
+    * x89 winnowing, x90/x95 bm25, x91 pmi), hash-spread across cores with
+    * a PINNED partition count when the scan is big enough to earn it: the
+    * corpus parquet is byte-tiny at test scale, so the scan yields a
+    * handful of input splits and AQE cannot see per-row kernel cost (the
+    * codec-tier lesson, see [[codecDocIds]]) — a plain hash repartition
+    * (no range-sampling job) with a user-specified count is exempt from
+    * AQE coalescing and spreads the kernel stage. At real scale
+    * `files.maxPartitionBytes` already splits the scan, the estimate blows
+    * past the gate, and the branch is moot — but hash-clustering by doc_id
+    * is still what the downstream aggregates want.
+    *
+    * The spread is GATED on the scan's size estimate (optimizedPlan.stats
+    * — the parquet file bytes; no job): under the gate the kernel work on
+    * 1-2 input splits costs less than the exchange + its AQE stage jobs
+    * (x85 at sf0.1: an unconditional spread measured +0.33 s of pure
+    * floor), above it the serialized scan dominates (x85 at sf1:
+    * 1.76 → 1.12 s WITH the spread). An ungated variant existed through
+    * r14 (x89/x90/x91/x95) — r15 A/B'd each onto the gate: x89 0.59→0.22,
+    * x95 0.60→0.50, x97 0.64→0.52 (inline form), x91 wash on wall but
+    * 196 → 5 tasks. */
   private val SpreadBytes = 2L << 20
   private def kernelDocsAuto(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "documents").select("doc_id", "text")
     if (base.queryExecution.optimizedPlan.stats.sizeInBytes >= SpreadBytes)
       base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    else base
+    // r15: the under-spread scan is ONE split anyway, but a bare FileScan
+    // reports UnknownPartitioning, so downstream windows/aggs still plan
+    // exchanges + AQE stage jobs. coalesce(1) is a no-op narrow here and
+    // reports SinglePartition — the whole consumer fuses into one task
+    // (x89: 5 jobs → 1, measured)
+    else base.coalesce(1)
   }
+
+  /** True iff [[kernelDocsAuto]] takes its FUSED (coalesce(1)) branch —
+    * kernel queries that add window-total tails must gate them on the SAME
+    * statistic, or a 2–16 MB corpus would spread for the kernel and then
+    * funnel back through a global window. */
+  private def docsUnderSpread(s: SparkSession, d: String): Boolean =
+    t(s, d, "documents").select("doc_id", "text")
+      .queryExecution.optimizedPlan.stats.sizeInBytes < SpreadBytes
 
   /** Cap on the bigram-LM entries x81 will pull to the driver and broadcast
     * (same role and magnitude as [[Dedup.MaxBroadcastShingles]]): ~60 MB of
@@ -2717,7 +2729,10 @@ object Catalog {
     * w = 5 ⇒ any ≥ 8-token shared run yields a shared fingerprint at
     * expected density 1/3. Per-doc output keeps the parallel range sort. */
   val x89 = Q("x89_winnowing",
-    (s, d) => Dedup.winnowingDedup(kernelDocs(s, d)).orderBy("doc_id"),
+    // kernelDocsAuto (r15 A/B): the unconditional spread on a 0.6 MB corpus
+    // was x85's measured +0.33 s floor pattern; the gate keeps the sf1+
+    // spread where the winnow kernel earns it
+    (s, d) => Dedup.winnowingDedup(kernelDocsAuto(s, d)).orderBy("doc_id"),
     Some(s"""WITH h AS (SELECT doc_id,
             |    ${Portable.tokenHashes(DuckD, "text", distinctTokens = false)}
             |      AS hs FROM documents),
@@ -2773,7 +2788,8 @@ object Catalog {
     * [[TextAnalysis.bm25]]. The corpus-stats row rides a 1-row broadcast
     * cross join (q14/x39's pattern); top-k is TakeOrderedAndProject. */
   val x90 = Q("x90_bm25",
-    (s, d) => TextAnalysis.bm25(kernelDocs(s, d), SearchTerms),
+    // kernelDocsAuto (r15 A/B, same rationale as x89)
+    (s, d) => TextAnalysis.bm25(kernelDocsAuto(s, d), SearchTerms),
     Some(bm25OracleSql(SearchTerms, 50)),
     bench = false)
 
@@ -2781,7 +2797,10 @@ object Catalog {
     * [[TextAnalysis.pmiCollocations]] — vocabulary-bounded count joins,
     * 1-row broadcast totals, TakeOrderedAndProject top-k. */
   val x91 = Q("x91_pmi_collocations",
-    (s, d) => TextAnalysis.pmiCollocations(kernelDocs(s, d)),
+    // kernelDocsAuto (r15 A/B): static-planned, so the 32-task post-shuffle
+    // stages never coalesced — the fused SinglePartition input removes them
+    (s, d) => TextAnalysis.pmiCollocations(kernelDocsAuto(s, d),
+      fuseOneTask = docsUnderSpread(s, d)),
     Some(s"""WITH t AS (SELECT ${Portable.tokens(DuckD, "text")} AS toks
             |    FROM documents),
             |u AS (SELECT unnest(toks) AS w FROM t),
@@ -2942,7 +2961,9 @@ object Catalog {
     * coverage contract). Identical double arithmetic on both engines. */
   val x95 = Q("x95_hybrid_search",
     (s, d) => {
-      val hits = TextAnalysis.bm25(kernelDocs(s, d), SearchTerms, topK = 50)
+      // kernelDocsAuto (r15, same rationale as x89/x90): the unconditional
+      // 32-way spread inside the bm25 stage was pure floor at sf0.1
+      val hits = TextAnalysis.bm25(kernelDocsAuto(s, d), SearchTerms, topK = 50)
       val e = t(s, d, "embeddings")
       val q = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
       // smax as an unbounded window over the ≤50-row hit list, not a
@@ -3023,8 +3044,15 @@ object Catalog {
     * report is O(|sources|²). */
   val x97 = Q("x97_source_overlap",
     (s, d) => {
-      val fps = t(s, d, "documents").select("doc_id", "source", "text")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // spread gated on scan bytes (r15, the kernelDocsAuto rule): below
+      // SpreadBytes the 32-way kernel exchange on a 1-split scan was pure
+      // floor; above it the winnow kernel earns the spread
+      val raw = t(s, d, "documents").select("doc_id", "source", "text")
+      val spread =
+        if (raw.queryExecution.optimizedPlan.stats.sizeInBytes >= SpreadBytes)
+          raw.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        else raw.coalesce(1) // SinglePartition → the self-join fuses
+      val fps = spread
         .select(col("source"), explode(graft.functions.TextHashFunctions
           .winnowSet(col("text"), 4, 5)).as("fp"))
         .distinct()
