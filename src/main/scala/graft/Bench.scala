@@ -205,10 +205,12 @@ object Bench {
     // r13 were both taken on degraded floors, so their round-over-round
     // deltas were window noise. When either bracket probe is degraded,
     // sleep 60 s, re-probe, and — if the host recovered — run the WHOLE set
-    // once more; per-query values merge by MIN (identical code both
-    // passes), and the published floors describe the recovered pass. If the
-    // re-probe is still degraded, the first pass stands and self-describes
-    // via "window":"degraded" as before.
+    // once more and publish the RECOVERED pass's values ALONE (the earlier
+    // min-merge policy was removed per ADVICE r14: it biased retried rounds
+    // to best-of-10; see recoveredOnly below, which keeps a first-pass value
+    // only as failure rescue). The published floors describe the recovered
+    // pass. If the re-probe is still degraded, the first pass stands and
+    // self-describes via "window":"degraded" as before.
     var headRaw = headFirst; var extRaw = extFirst
     var floorPreEff = floorPre; var floorPost = floorPostFirst
     var setRetry: Option[(Double, Double)] = None

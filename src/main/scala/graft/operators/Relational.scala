@@ -77,48 +77,64 @@ object Relational {
                    leftKey: String, rightKey: String): DataFrame =
     left.join(right, left(leftKey) === right(rightKey), "left_anti")
 
-  /** Exact interpolated percentiles (SQL `percentile` / `percentile_cont`)
-    * via a COUNT-TABLE feed (r15, VERDICT r14 directive 4).
+  /** Exact interpolated percentiles (SQL `percentile` / `percentile_cont`),
+    * default plan: ONE builtin `percentile(value, array(qs...))` per group —
+    * the array form builds a single per-group map for all requested
+    * percentiles instead of one ObjectHashAggregate buffer per call (the
+    * r15 change; VERDICT r14 directive 4).
     *
-    * Spark's Percentile is an ObjectHashAggregate building a per-group
-    * OpenHashMap[value, count] on the INTERPRETED row path — which disables
-    * whole-stage codegen for its ENTIRE input stage (scan included), and a
-    * separate map per `percentile(...)` call. After the r14 one-task fusion
-    * made x33/x54/x67/x77 1-job/1-task, JobProfile (r15) measured their
-    * remaining 0.25–0.40 s to be exactly that interpreted stage. Fix, in
-    * two halves:
+    * Spark's Percentile is a TypedImperativeAggregate building a per-group
+    * OpenHashMap[value, count] on the INTERPRETED row path, and JobProfile
+    * (r15) measured the x33/x54/x67/x77 residual 0.25–0.40 s to be exactly
+    * that interpreted stage. A COUNT-TABLE feed — groupBy(keys, value)
+    * .count() then percentile(value, array(qs), count) — was hypothesized
+    * to beat it and is implemented below behind
+    * `spark.graft.pctCountTable` (results are bit-identical: the frequency
+    * argument sums into the same OpenHashMap buffer the raw-row form builds
+    * by +1 increments). Measured (PctProbe interleaved A/B, r16): the count
+    * table LOSES at every SF tried — +0.14 s at sf0.1, +0.22 s at sf1,
+    * +0.20 s at sf5 (x33+x67 totals) — because ObjectHashAggregate already
+    * partial-aggregates map-side, so the data crossing the shuffle is the
+    * same bounded (group, value, count) multiset either way and the count
+    * table only adds a full extra hash-agg stage + shuffle. Default is
+    * therefore the direct form at every scale; the flag stays for re-probes
+    * and the equivalence spec.
     *
-    *  1. `groupBy(keys, value).count()` — codegen HashAggregate with
-    *     map-side partials does the input-sized work; what reaches the
-    *     interpreted aggregate (and, at scale, the shuffle) is the BOUNDED
-    *     (key, distinct-value) count table, never rows.
-    *  2. ONE builtin `percentile(value, array(qs...), count)` over that
-    *     table — the frequency argument re-weights the distinct values, and
-    *     the array form builds a single map for all requested percentiles.
-    *     Interpolation arithmetic is the builtin's own, so results are
-    *     bit-identical to the direct form on every corpus.
-    *
-    * (A pure-declarative window-CDF variant was measured first and REVERTED:
-    * two window frames + conditional-min brackets over the 49k-row count
-    * table cost more than the interpreted map it avoided, and its expression
-    * trees tripled planning time — 0.46 s vs 0.30 s wall at sf0.1.)
+    * (A pure-declarative window-CDF variant was also measured and REVERTED
+    * in r15: two window frames + conditional-min brackets over the 49k-row
+    * count table cost more than the interpreted map they avoided, and the
+    * expression trees tripled planning time — 0.46 s vs 0.30 s at sf0.1.)
     *
     * NULLs in `value` are ignored (builtin semantics); a group with zero
     * non-null values emits a NULL-percentile row via the builtin as before.
     *
-    * At 100 TB this is also the better shape: the direct builtin ships every
-    * partition's OpenHashMap to one reducer per group; this ships the same
-    * multiset once as (value, count) rows through a parallel codegen partial
-    * agg — strictly less data and no interpreted scan of the input. */
+    * At 100 TB the direct form holds: the interpreted scan parallelizes
+    * across input partitions, per-partition maps are bounded by per-group
+    * distinct values, and only those bounded maps cross the wire. */
   def exactPercentiles(df: DataFrame, keys: Seq[String], valueCol: Column,
                        qs: Seq[(Double, String)]): DataFrame = {
     require(qs.nonEmpty, "exactPercentiles: no percentiles requested")
     // Double.toString is locale-independent and round-trips exactly, so the
     // SQL text reproduces the caller's percentages bit-for-bit
     val qList = qs.map { case (q, _) => q.toString }.mkString(", ")
-    val ps = df.select(keys.map(col) :+ valueCol.as("__v"): _*)
-      .groupBy(keys.map(col): _*)
-      .agg(expr(s"percentile(__v, array($qList))").as("__ps"))
+    val base = df.select(keys.map(col) :+ valueCol.as("__v"): _*)
+    val useCountTable = df.sparkSession.conf
+      .get("spark.graft.pctCountTable", "false").toBoolean
+    val ps = if (useCountTable) {
+      // Half 1: the codegen count table. Spark's Percentile sums the
+      // frequency argument into the same OpenHashMap[value, count] buffer
+      // that the raw-row form builds by +1 increments, so half 2 is
+      // bit-identical to the direct form on every corpus.
+      base.groupBy((keys :+ "__v").map(col): _*).agg(count(lit(1)).as("__c"))
+        .groupBy(keys.map(col): _*)
+        .agg(expr(s"percentile(__v, array($qList), __c)").as("__ps"))
+    } else {
+      // Direct form (pre-r16; kept A/B-able via spark.graft.pctCountTable):
+      // ONE interpreted ObjectHashAggregate over raw rows, array form so a
+      // single map serves all requested percentiles.
+      base.groupBy(keys.map(col): _*)
+        .agg(expr(s"percentile(__v, array($qList))").as("__ps"))
+    }
     ps.select(keys.map(col) ++ qs.zipWithIndex.map { case ((_, name), i) =>
       element_at(col("__ps"), i + 1).as(name) }: _*)
   }

@@ -800,9 +800,9 @@ object Catalog {
   /** Exact continuous percentiles per group (Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition). */
   val x33 = Q("x33_percentiles",
-    // count-table percentile plan (r15): see Relational.exactPercentiles —
-    // the builtin percentile's ObjectHashAggregate de-codegens the whole
-    // fused stage (JobProfile: 1 job/1 task but 0.30 s of interpreted scan)
+    // array-form percentile plan (r15): see Relational.exactPercentiles —
+    // one builtin map for all three qs; the count-table variant measured
+    // worse at sf0.1/1/5 and sits behind spark.graft.pctCountTable (r16)
     (s, d) => reportSortFused(
       Relational.exactPercentiles(tF(s, d, "events"), Seq("event_type"),
           col("value"), Seq(0.5 -> "p50r", 0.9 -> "p90r", 0.99 -> "p99r"))
@@ -1850,7 +1850,7 @@ object Catalog {
       // all 10 copies (n_clipped 3990 vs 4000). round(·, 4) of a value
       // 1 ulp from a 4-decimal point is safely far from the .00005
       // rounding boundary, so both engines pin the identical bound.
-      // count-table percentile plan (r15): see Relational.exactPercentiles
+      // array-form percentile plan (r15): see Relational.exactPercentiles
       val bounds = Relational.exactPercentiles(e, Seq("event_type"),
           col("value"), Seq(0.01 -> "loR", 0.99 -> "hiR"))
         .select(col("event_type"), round(col("loR"), 4).as("lo"),
