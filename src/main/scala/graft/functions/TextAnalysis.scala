@@ -181,7 +181,12 @@ object TextAnalysis {
                       textCol: String = "text",
                       fuseOneTask: Boolean = false): DataFrame = {
     val cnt = docs
-      .select(expr(Portable.tokens(SparkD, textCol)).as("toks"))
+      // one-pass byte-level AllTokens kernel (r16): same ORDERED token
+      // array as filter(split(text,' '), t -> t <> '') — order matters
+      // here (adjacent pairs) and the kernel preserves it, unlike the
+      // multiset-only claim q13/x93 needed — without the Java-regex split
+      // and per-token HOF lambda (~2× on the corpus pass)
+      .select(TextHashFunctions.allTokens(col(textCol)).as("toks"))
       .select(explode(expr(
         // concat(unigram stream, bigram stream); the bigram transform is
         // CASE-guarded — Spark's sequence(1, n) DESCENDS for n < 1
@@ -194,32 +199,50 @@ object TextAnalysis {
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
-    // fuseOneTask (r15): below the caller's floor gate the grand totals
-    // ride UNBOUNDED-frame windows over the same single partition (the
-    // x84/x93 pattern) instead of two aggregate+broadcast-build jobs —
-    // the checkpointed count table is one partition there, so the windows
-    // and joins plan no exchange. At scale the 1-row broadcast cross joins
-    // stay: a global window would funnel the vocabulary through one task.
-    val (pairs0, uni) =
+      // EAGER checkpoint (r16 JobProfile find): the count table has
+      // MULTIPLE CONCURRENT first consumers — the two unigram joins
+      // AQE-broadcast, and the at-scale path adds the tu/tb grand-total
+      // builds, all racing on Spark's broadcast thread pool. A lazy
+      // checkpoint materializes per racer (none sees a cached block yet),
+      // re-running the corpus tokenize pass 2× at sf0.1 (two concurrent
+      // 0.42 s jobs profiled) and up to 4× at scale. Eager runs it exactly
+      // once; every consumer then reads the cached vocabulary-bounded
+      // block.
+      .localCheckpoint(true)
+    // fuseOneTask (r15, reshaped r16): below the caller's floor gate the
+    // whole tail is JOIN-FREE — the grand totals ride UNBOUNDED-frame
+    // windows over the single partition (the x84/x93 pattern), and the
+    // unigram lookups ride per-word windows over the SAME partition: the
+    // unigram row of any pair word necessarily exists in the count table
+    // (a bigram's words are tokens too), so max(c where w2 IS NULL) over
+    // partitionBy(word) IS the unigram count. r15's fused form kept the
+    // two unigram joins, which AQE-broadcast — two extra build jobs and an
+    // AQE replan per run (JobProfile r16: ~0.2 s of planning + builds on a
+    // 0.36 s corpus pass). SinglePartition satisfies every window
+    // distribution, so this plans zero exchanges and one job end-to-end.
+    // At scale the joins + 1-row broadcast cross joins stay: a global
+    // window would funnel the vocabulary through one task.
+    val withTotals =
       if (fuseOneTask) {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy()
-        val cntW = cnt
+        val uniC = max(when(col("w2").isNull, col("c")))
+        cnt
           .withColumn("tu", sum(when(col("w2").isNull, col("c"))).over(w))
           .withColumn("tb", sum(when(col("w2").isNotNull, col("c"))).over(w))
-        (cntW.where(col("w2").isNotNull).withColumnRenamed("c", "c12"),
-          cntW.where(col("w2").isNull).select("w1", "c"))
+          .withColumn("c1", uniC.over(Window.partitionBy("w1")))
+          .withColumn("k2", coalesce(col("w2"), col("w1")))
+          .withColumn("c2", uniC.over(Window.partitionBy("k2")))
+          .where(col("w2").isNotNull && col("c") >= minCount)
+          .select(col("w1"), col("w2"), col("c").as("c12"),
+            col("c1"), col("c2"), col("tu"), col("tb"))
       } else {
-        (cnt.where(col("w2").isNotNull).withColumnRenamed("c", "c12"),
-          cnt.where(col("w2").isNull).select("w1", "c"))
-      }
-    val joined = pairs0.where(col("c12") >= minCount)
-      .join(uni.select(col("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uni.select(col("w1").as("w2"), col("c").as("c2")), Seq("w2"))
-    val withTotals =
-      if (fuseOneTask) joined
-      else {
+        val uni = cnt.where(col("w2").isNull).select("w1", "c")
+        val joined = cnt.where(col("w2").isNotNull)
+          .withColumnRenamed("c", "c12")
+          .where(col("c12") >= minCount)
+          .join(uni.select(col("w1"), col("c").as("c1")), Seq("w1"))
+          .join(uni.select(col("w1").as("w2"), col("c").as("c2")), Seq("w2"))
         val tu = cnt.where(col("w2").isNull).agg(sum(col("c")).as("tu"))
         val tb = cnt.where(col("w2").isNotNull).agg(sum(col("c")).as("tb"))
         joined.crossJoin(broadcast(tu)).crossJoin(broadcast(tb))

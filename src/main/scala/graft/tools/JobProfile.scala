@@ -30,8 +30,10 @@ object JobProfile {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (verbose) {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
           val info = s"stages=${j.stageInfos.size} " +
-            s"tasks=${j.stageInfos.map(_.numTasks).sum}"
+            s"tasks=${j.stageInfos.map(_.numTasks).sum} @ $site"
           started.put(j.jobId, (j.time, info))
         }
       }

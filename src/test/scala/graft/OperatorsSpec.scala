@@ -1000,6 +1000,12 @@ class OperatorsSpec extends AnyFunSuite {
     val expect = BigDecimal(math.log((6.0 * nTu * nTu) / (nTb * 6.0 * 6.0)))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(got.head._4 - expect) < 1e-9)
+    // fused arm (r16: join-free window tail) must emit the identical table
+    val fusedGot = TextAnalysis.pmiCollocations(docs.coalesce(1), minCount = 5,
+        topK = 10, fuseOneTask = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(fusedGot.toSeq == got.toSeq)
   }
 
   test("labelCentroidOutliers: coherent labels have no outliers; an " +
