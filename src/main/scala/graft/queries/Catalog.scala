@@ -3515,15 +3515,20 @@ object Catalog {
     // post-shuffle tasks that AQE collapses — re-probed 0.374 (on) vs
     // 0.559 (off) at sf0.1, and at sf5 coalescing is neutral-to-helpful
     // (12 MB of digests)
-    // x34 (x18 LEFT this set in round 16): the LSH band joins are shuffled
-    // equi-joins whose bucket sizes are bounded by construction (signature
-    // grouping / band hashing), so runtime skew-splitting has nothing to
-    // split — the operators stay AQE-compatible for arbitrary corpora; this
-    // routes only the benched catalog entries. x18 re-probed r16 after the
-    // r14/r15 reshapes: AQE now wins 3/3 (−0.09/−0.11/−0.19 s at sf0.1 —
-    // its 97-task tail collapses to a few coalesced tasks); x20 re-probed
-    // the same session and static still wins (+0.165 s with AQE).
-    "x19_dedup_simhash", "x20_dedup_ngram",
+    // x18/x34: the LSH band joins are shuffled equi-joins whose bucket
+    // sizes are bounded by construction (signature grouping / band
+    // hashing), so runtime skew-splitting has nothing to split — the
+    // operators stay AQE-compatible for arbitrary corpora; this routes
+    // only the benched catalog entries. x18 was flipped to adaptive in
+    // r16 on a 3/3 sf0.1 probe (−0.09/−0.11/−0.19 s — AQE coalesces the
+    // 97-task static tail to ~14) and REVERTED the same session when the
+    // sf5 pair showed +2.95 s and the sf5 interleaved probe confirmed
+    // +2.80 (10.63 adaptive vs 7.83 static): at scale the post-shuffle
+    // partitions carry real data, so coalescing buys nothing and the
+    // per-exchange AQE stage jobs re-serialize the 3-stage tail. The
+    // 0.1 s bench-SF win is not worth the scale regression. x20
+    // re-probed r16 at sf0.1: static still wins (+0.165 s with AQE).
+    "x18_dedup_minhash", "x19_dedup_simhash", "x20_dedup_ngram",
     "x21_dedup_embedding", "x22_sim_lsh", "x23_text_langid",
     "x24_text_quality", "x25_text_tokencount",
     "x26_text_fingerprint", "x27_multimodal_decode", "x29_scalar_kit",
