@@ -44,10 +44,16 @@ object TextAnalysis {
     d.listSum(d.transform(toksCol, "t", "CAST(length(t) AS BIGINT)"))
 
   /** Quality score: logistic over log-length and stopword density. The raw
-    * (unrounded) components feed the logistic; only the outputs are rounded. */
+    * (unrounded) components feed the logistic; only the outputs are rounded.
+    * The operands are cast to DOUBLE explicitly: the same text feeds both
+    * engines, and without the casts Spark's parser typed the bare `1.0`
+    * literals DECIMAL and ran the density term through BigDecimal division
+    * per row (≈0.5 s of x24's sf5 wall) while DuckDB was already doing
+    * IEEE double division — the casts make the arithmetic identical ops on
+    * both sides as well as codegen-cheap. */
   def qualityScore(nToks: String, stopHits: String): String =
-    s"round(1.0 / (1.0 + exp(-(0.2 * ln(1.0 + $nToks) + " +
-      s"2.0 * ($stopHits / (1.0 * $nToks)) - 1.0))), 4)"
+    s"round(1.0 / (1.0 + exp(-(0.2 * ln(1.0 + CAST($nToks AS DOUBLE)) + " +
+      s"2.0 * (CAST($stopHits AS DOUBLE) / CAST($nToks AS DOUBLE)) - 1.0))), 4)"
 
   /** Regex token count ("BPE-ish": runs of alnum, else single symbols). */
   def regexTokens(d: Dialect, textCol: String): String = d match {
@@ -72,13 +78,19 @@ object TextAnalysis {
   /** doc_id, n_tokens, avg_token_len, stopword_ratio, quality — same
     * [[LangStats]] single pass feeding the unchanged formulas. */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
+    // the token-bearing filter runs on RAW text (∃ non-space char ⇔ n_tokens > 0
+    // for the single-space tokenizer): filtering on the kernel's n_tokens
+    // output let Catalyst push a LangStats-bearing predicate below the
+    // sort exchange, where it re-ran the kernel in the range-sampling job
+    // AND the map stage (pair-N sf5 profile: every job of x24's run was
+    // ~4× x23's on the identical plan shape)
+    docs.where(col(textCol).rlike("[^ ]"))
+      .select(col("doc_id"),
         TextHashFunctions.langStats(col(textCol)).as("st"))
       .select(col("doc_id"),
         element_at(col("st"), profiles.length + 1).cast("int").as("n_tokens"),
         element_at(col("st"), profiles.length + 2).as("tok_chars"),
         element_at(col("st"), 1).cast("int").as("en_hits"))
-      .where(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens"),
         round(col("tok_chars") / (lit(1.0) * col("n_tokens")), 4).as("avg_token_len"),
         round(col("en_hits") / (lit(1.0) * col("n_tokens")), 4).as("stopword_ratio"),
@@ -89,22 +101,28 @@ object TextAnalysis {
     * scanning the corpus twice, running the kernel twice, or paying a
     * doc-level shuffled join to recombine two projections of the same row. */
   def langQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
+    // raw-text token-bearing filter, same rationale as [[quality]]: a
+    // kernel-output predicate is pushdown bait
+    docs.where(col(textCol).rlike("[^ ]"))
+      .select(col("doc_id"),
         TextHashFunctions.langStats(col(textCol)).as("st"))
       .select(col("doc_id") +:
         (profiles.zipWithIndex.map { case ((l, _), i) =>
           element_at(col("st"), i + 1).cast("int").as(s"${l}_hits") } :+
           element_at(col("st"), profiles.length + 1).cast("int").as("n_tokens")): _*)
-      .where(col("n_tokens") > 0)
       .select(col("doc_id"),
         expr(langPick("en_hits", "de_hits", "fr_hits", "es_hits")).as("lang_pred"),
         expr(qualityScore("n_tokens", "en_hits")).as("quality"))
 
-  /** doc_id, ws_tokens, re_tokens, n_chars. */
+  /** doc_id, ws_tokens, re_tokens, n_chars — via the byte-scan
+    * [[TokenCount]]/[[BpeTokenCount]] kernels (the declarative form
+    * materialized the split array AND ran java.util.regex per document
+    * just to take two sizes; at sf5 that was the whole kernel-stage cost.
+    * KernelParitySpec pins kernel ≡ declarative). */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      expr(s"size(${Portable.tokens(SparkD, textCol)})").cast("bigint").as("ws_tokens"),
-      expr(regexTokens(SparkD, textCol)).cast("bigint").as("re_tokens"),
+      TextHashFunctions.tokenCount(col(textCol)).as("ws_tokens"),
+      TextHashFunctions.bpeTokenCount(col(textCol)).as("re_tokens"),
       length(col(textCol)).cast("bigint").as("n_chars"))
 
   /** doc_id, fp — order-sensitive rolling-hash document fingerprint, via the
@@ -323,12 +341,13 @@ object TextAnalysis {
       s"keepPermille in (0,1000], got $keepPermille")
     val dropPm = 1000 - keepPermille
     val scored = docs
+      // raw-text token-bearing filter, same rationale as [[quality]]
+      .where(col(textCol).rlike("[^ ]"))
       .select(col("doc_id"), col("source"),
         TextHashFunctions.langStats(col(textCol)).as("st"))
       .select(col("doc_id"), col("source"),
         element_at(col("st"), profiles.length + 1).cast("int").as("n_tokens"),
         element_at(col("st"), 1).cast("int").as("en_hits"))
-      .where(col("n_tokens") > 0)
       .select(col("doc_id"), col("source"),
         expr(qualityScore("n_tokens", "en_hits")).as("quality"))
       .localCheckpoint(false)

@@ -339,6 +339,37 @@ object TokenHasher {
     cnt
   }
 
+  /** "BPE-ish" regex token COUNT — the
+    * `size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0))` value as
+    * one byte scan, no Pattern machinery and no token-array
+    * materialization (x25's profile: the regex + split array allocations
+    * were the whole 39-task-stage cost at sf5). Counting rule, matching
+    * the Java-regex alternation exactly: each maximal run of [a-z0-9]
+    * counts once; every other character except ' ' counts once per CODE
+    * POINT (UTF-8 lead bytes — `(b & 0xC0) != 0x80` — count, continuation
+    * bytes don't, which is also how java.util.regex matches a negated
+    * class against a surrogate pair: one match per code point). */
+  def bpeTokenCount(u: UTF8String): Long = {
+    val b = u.getBytes
+    val n = b.length
+    var cnt = 0L
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == ' ') inRun = false
+      else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (!inRun) cnt += 1
+        inRun = true
+      } else {
+        inRun = false
+        if ((c & 0xC0) != 0x80) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
   /** Distinct tokens as strings, one pass, first-appearance order —
     * `array_distinct(tokens)` without materializing the full token array
     * (the document-frequency input of x39/x47-class queries). */
@@ -370,6 +401,7 @@ object TextHashFunctions {
     B.column(WinnowSet(B.expression(c), k, w))
   def allTokens(c: Column): Column = B.column(AllTokens(B.expression(c)))
   def tokenCount(c: Column): Column = B.column(TokenCount(B.expression(c)))
+  def bpeTokenCount(c: Column): Column = B.column(BpeTokenCount(B.expression(c)))
   def shinglePrefix(c: Column,
                     dfMap: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
                     tEff: Double): Column =
@@ -482,6 +514,17 @@ case class TokenCount(child: Expression) extends TextHashExpression {
   override def nullSafeEval(input: Any): Any =
     TokenHasher.tokenCount(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** Regex ("BPE-ish") token count as a long — one byte scan, no Pattern. */
+case class BpeTokenCount(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_token_count"
+  protected def kernel: String = "bpeTokenCount"
+  override def nullSafeEval(input: Any): Any =
+    TokenHasher.bpeTokenCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 

@@ -95,8 +95,24 @@ object Catalog {
     * carries text instead of the (smaller) kernel output; at sf0.1 that is
     * ~1 MB against a saved kernel pass, and at any scale the trade follows
     * kernel cost vs output width (these kernels all dominate). */
-  private def sortedDocs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select("doc_id", "text").orderBy("doc_id")
+  /** Ordered (doc_id, text) for the per-document text-feature queries
+    * (x23–x26). Under the kernel-spread gate a plain `orderBy` is the right
+    * shape (AQE coalesces the tiny post-sort read and the kernels fuse with
+    * the output task). Above it the pair-N sf5 profile caught the codec-tier
+    * lesson striking again: AQE sized the post-sort read by COMPRESSED text
+    * bytes and landed the whole kernel projection on 2 tasks (x24: ~1 s of
+    * its 2.6 s wall, 30 cores idle) — so the big branch pins the partition
+    * count the way [[codecDocIds]] does (user-specified counts are exempt
+    * from AQE coalescing), and range partitions concatenate in order so the
+    * global output order is unchanged. Same statistic as every other gate
+    * (zero-job parquet byte estimate). */
+  private def sortedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").select("doc_id", "text")
+    if (docsUnderSpread(s, d)) base.orderBy("doc_id")
+    else base
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+  }
 
   /** doc_id input for the CODEC queries (x78/x80/x82): range-partitioned by
     * doc_id with a PINNED partition count (user-specified counts are exempt
@@ -394,7 +410,10 @@ object Catalog {
     * the HOF empty-token filter lambda ran per token on the single-file
     * scan task). */
   val q13 = Q("q13_top_tokens",
-    (s, d) => tF(s, d, "documents")
+    // kernelDocsAuto (r16): under the spread gate this is the same fused
+    // one-task shape tF gave; above it the kernel + partial agg runs on
+    // the pinned 32-way spread instead of the raw row-group splits
+    (s, d) => kernelDocsAuto(s, d)
       .select(explode(
         graft.functions.TextHashFunctions.allTokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
@@ -1127,7 +1146,12 @@ object Catalog {
     // whole map side ran on the single-file scan task, so kernel cost was
     // wall-clock); the document-frequency count then needs only the one
     // partial-agg exchange and a TakeOrdered tail
-    (s, d) => t(s, d, "documents")
+    // kernelDocsAuto (r16, pair-N sf5 profile): the plain scan ran the
+    // kernel + partial agg on the 7 row-group splits — 5.8–8.8 s of the
+    // 6.1 s wall on 7 of 32 cores. Above the gate the pinned hash spread
+    // runs it 32-way; below it the fused one-task branch drops the floor
+    // jobs, same as x89.
+    (s, d) => kernelDocsAuto(s, d)
       .select(explode(
         graft.functions.TextHashFunctions.shingleStrings(col("text"))).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("n_docs"))
@@ -1770,7 +1794,9 @@ object Catalog {
     // one-pass TokenPairs kernel (with multiplicity; empty under 2 tokens,
     // so no size filter and no kernel-bearing pushdown) — the HOF
     // transform+concat form ran serially on the single-file scan task
-    (s, d) => t(s, d, "documents")
+    // kernelDocsAuto (r16, same pair-N sf5 profile as x47: the kernel +
+    // partial agg sat on the 7 row-group splits, 1.7–2.2 s of the wall)
+    (s, d) => kernelDocsAuto(s, d)
       .select(explode(
         graft.functions.TextHashFunctions.tokenPairs(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))

@@ -199,6 +199,18 @@ class KernelParitySpec extends AnyFunSuite {
         size(expr(Portable.tokens(SparkD, "text"))).cast("bigint").as("d"))
       .where(col("k") =!= col("d")).count()
     assert(cntMismatch == 0)
+    // BpeTokenCount kernel ≡ size(regexp_extract_all(...)), same cases +
+    // corpus, plus uppercase/digit/punctuation runs (each non-[a-z0-9 ]
+    // code point is its own match in the regex alternation — including
+    // every multibyte char above, which is what the lead-byte rule counts)
+    val bpeTexts = texts.union(Seq(
+      "ABC def9 x!y?z", "a1b2 C3", "..!!", "π≈3.14159", "MiXeD CaSe 42")
+      .toDF("text"))
+    val bpeMismatch = bpeTexts.union(docs.select("text"))
+      .select(TextHashFunctions.bpeTokenCount(col("text")).as("k"),
+        expr(TextAnalysis.regexTokens(SparkD, "text")).cast("bigint").as("d"))
+      .where(col("k") =!= col("d")).count()
+    assert(bpeMismatch == 0)
   }
 
   test("PairBuckets kernel ≡ tokHash of materialized bigram strings mod B") {
