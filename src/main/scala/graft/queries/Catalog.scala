@@ -1355,13 +1355,16 @@ object Catalog {
   /** Array-function kit over the token arrays: distinct count, lexicographic
     * first/last token per document (sort/distinct/element_at surface). */
   val x52 = Q("x52_array_ops",
-    // sort-input-first; the empty-doc filter is a CHEAP equivalent predicate
-    // (some non-space char exists ⟺ the token array is non-empty) so what
-    // gets pushed into the scan is a translate, not the token/sort kernel
+    // sort-input-first; the empty-doc filter is a CHEAP equivalent raw-text
+    // predicate (some non-space char exists ⟺ the token array is
+    // non-empty; rlike finds the first one without the translate copy), and
+    // the DistinctTokens kernel replaces split+filter+array_distinct —
+    // array_sort then runs over the already-distinct set (KernelParitySpec
+    // pins distinctTokens ≡ array_distinct(tokens))
     (s, d) => sortedDocs(s, d)
-      .where(length(translate(col("text"), " ", "")) > 0)
+      .where(col("text").rlike("[^ ]"))
       .select(col("doc_id"),
-        array_sort(array_distinct(expr(Portable.tokens(SparkD, "text"))))
+        array_sort(graft.functions.TextHashFunctions.distinctTokens(col("text")))
           .as("sorted"))
       .select(col("doc_id"),
         size(col("sorted")).cast("bigint").as("n_distinct"),
@@ -1763,10 +1766,18 @@ object Catalog {
     // the same global order (partitions are doc_id ranges).
     (s, d) => t(s, d, "documents")
       .select(col("doc_id"), col("text"))
+      // raw-text token-bearing filter (⇔ size(toks) > 0 for the
+      // single-space tokenizer): the post-tokenize `where(n > 0)` form
+      // pushed a split+filter-bearing predicate below the range exchange,
+      // tokenizing the corpus in the sampling job AND the map stage (the
+      // r16 x24 pushdown lesson; sf5 profile confirmed)
+      .where(col("text").rlike("[^ ]"))
       .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"))
+      // AllTokens kernel, not the split+filter HOF (KernelParitySpec pins
+      // kernel ≡ declarative)
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.allTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
-      .where(col("n") > 0)
       .select(col("doc_id"), col("toks"), col("n"),
         explode(expr("sequence(1, n, 25)")).as("off"))
       .select(col("doc_id"), col("off").cast("bigint").as("off"),
@@ -1938,15 +1949,21 @@ object Catalog {
     * token count; the distinct count reuses the one-pass [[ShingleSet]]
     * kernel — per-row compute, no shuffle before the output sort. */
   val x69 = Q("x69_repetition",
-    // sort-input-first: the ShingleSet kernel runs once, post-sort (the
-    // pushed-down n_sh filter only carries the cheaper token-count kernel)
+    // sort-input-first, with the ≥3-tokens gate expressed on RAW text:
+    // n_sh > 0 ⇔ ≥ 3 single-space-separated tokens ⇔ two space-gaps each
+    // bounded by non-space chars — the regex finds one in a forward scan,
+    // where the old post-kernel `where(n_sh > 0)` pushed a split+size
+    // predicate below the sort exchange and tokenized the corpus in the
+    // sampling job and map stage too (the r16 x64 pushdown lesson); the
+    // TokenCount kernel replaces the HOF split for the total
     (s, d) => sortedDocs(s, d)
-      .select(col("doc_id"), expr(Portable.tokens(SparkD, "text")).as("toks"),
+      .where(col("text").rlike("[^ ]+ +[^ ]+ +[^ ]"))
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.tokenCount(col("text")).as("n_toks"),
         graft.functions.TextHashFunctions.shingleSet(col("text")).as("shs"))
       .select(col("doc_id"),
-        greatest(size(col("toks")) - 2, lit(0)).cast("bigint").as("n_sh"),
+        greatest(col("n_toks") - 2, lit(0)).cast("bigint").as("n_sh"),
         size(col("shs")).cast("bigint").as("n_uniq"))
-      .where(col("n_sh") > 0)
       .select(col("doc_id"), col("n_sh"), col("n_uniq"),
         round(lit(1.0) - col("n_uniq") / (lit(1.0) * col("n_sh")), 4)
           .as("rep_ratio")),
@@ -3271,6 +3288,15 @@ object Catalog {
   val x100 = Q("x100_training_pipeline",
     (s, d) => {
       val docs = t(s, d, "documents")
+      // NOT spread (r16 A/B): moving the LangStats pass behind a pinned
+      // raw-text exchange on the md5 key (kernel 32-way, no second
+      // exchange — hashpartitioning(h, N) satisfies the groupBy) measured
+      // WORSE at sf5, 1.75 → 2.26 s best-of-5: unlike the x101/x64
+      // shapes, this kernel pass feeds a localCheckpoint, and the
+      // checkpoint materializes the exchange's output anyway — the extra
+      // shuffle write of full text costs more than the split-bound map
+      // stage it parallelized. The split-bound 7-task job is the known
+      // corpus-layout handicap (row-group finding), not a plan defect.
       val scored = docs
         .select(md5(col("text")).as("h"), col("doc_id"), col("source"),
           graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
@@ -3376,14 +3402,25 @@ object Catalog {
     * rank — no window anywhere in the plan. */
   val x101 = Q("x101_topk_exemplars",
     (s, d) => {
-      val q = t(s, d, "documents")
+      // the kernelDocsAuto discipline inline (x101 needs `source` too):
+      // pinned 32-way kernel spread above the byte gate, fused single
+      // partition below it
+      val base0 = t(s, d, "documents").select("doc_id", "source", "text")
+      val spread =
+        if (docsUnderSpread(s, d)) base0.coalesce(1)
+        else base0.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val q = spread
+        // raw-text token-bearing filter (r16): the post-kernel
+        // where(n_tokens > 0) pushed a LangStats-bearing predicate into
+        // the scan's DataFilters, running the kernel twice per row
+        // (Filter + Project are separate codegen subexpression scopes)
+        .where(col("text").rlike("[^ ]"))
         .select(col("doc_id"), col("source"),
           graft.functions.TextHashFunctions.langStats(col("text")).as("st"))
         .select(col("doc_id"), col("source"),
           element_at(col("st"), TextAnalysis.profiles.length + 1)
             .cast("int").as("n_tokens"),
           element_at(col("st"), 1).cast("int").as("en_hits"))
-        .where(col("n_tokens") > 0)
         .select(col("source"), col("doc_id"),
           expr(TextAnalysis.qualityScore("n_tokens", "en_hits"))
             .as("quality"))

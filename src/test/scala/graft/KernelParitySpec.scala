@@ -211,6 +211,18 @@ class KernelParitySpec extends AnyFunSuite {
         expr(TextAnalysis.regexTokens(SparkD, "text")).cast("bigint").as("d"))
       .where(col("k") =!= col("d")).count()
     assert(bpeMismatch == 0)
+    // x69's raw-text ≥3-tokens gate ≡ size(tokens) > 2 — the token atoms
+    // need `+` (an earlier `[^ ] +[^ ] +[^ ]` draft required a single-CHAR
+    // middle token and dropped 1220 of 5000 sf0.1 docs; caught by the
+    // oracle gate, pinned here)
+    val gateTexts = texts.union(Seq(
+      "abc def ghi", "a b", "ab cd", "a b c", "one", "x  y   z",
+      " lead mid trail ", "ab\tcd ef gh").toDF("text"))
+    val gateMismatch = gateTexts.union(docs.select("text"))
+      .select(col("text").rlike("[^ ]+ +[^ ]+ +[^ ]").as("g"),
+        (size(expr(Portable.tokens(SparkD, "text"))) > 2).as("d"))
+      .where(col("g") =!= col("d")).count()
+    assert(gateMismatch == 0)
   }
 
   test("PairBuckets kernel ≡ tokHash of materialized bigram strings mod B") {
