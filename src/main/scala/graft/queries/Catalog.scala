@@ -152,9 +152,15 @@ object Catalog {
     * x95 0.60→0.50, x97 0.64→0.52 (inline form), x91 wash on wall but
     * 196 → 5 tasks. */
   private val SpreadBytes = 2L << 20
+  /** Gate byte floor, conf-overridable (`spark.graft.kernelSpreadBytes`) so
+    * PlanShapeSpec can pin the at-scale spread branch on tiny test data —
+    * the same role `spark.graft.oneTaskFloorBytes` plays for [[oneTaskPlan]]. */
+  private def spreadFloorBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.kernelSpreadBytes")
+      .map(_.toLong).getOrElse(SpreadBytes)
   private def kernelDocsAuto(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "documents").select("doc_id", "text")
-    if (base.queryExecution.optimizedPlan.stats.sizeInBytes >= SpreadBytes)
+    if (base.queryExecution.optimizedPlan.stats.sizeInBytes >= spreadFloorBytes(s))
       base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     // r15: the under-spread scan is ONE split anyway, but a bare FileScan
     // reports UnknownPartitioning, so downstream windows/aggs still plan
@@ -170,7 +176,7 @@ object Catalog {
     * funnel back through a global window. */
   private def docsUnderSpread(s: SparkSession, d: String): Boolean =
     t(s, d, "documents").select("doc_id", "text")
-      .queryExecution.optimizedPlan.stats.sizeInBytes < SpreadBytes
+      .queryExecution.optimizedPlan.stats.sizeInBytes < spreadFloorBytes(s)
 
   /** Cap on the bigram-LM entries x81 will pull to the driver and broadcast
     * (same role and magnitude as [[Dedup.MaxBroadcastShingles]]): ~60 MB of

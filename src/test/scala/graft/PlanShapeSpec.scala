@@ -221,17 +221,32 @@ class PlanShapeSpec extends AnyFunSuite {
     // ranking machinery — the plan must carry the object-hash aggregate
     // (CollectTopK is a TypedImperativeAggregate) in partial+final form
     // and NO Window or per-group sort anywhere
+    // at-scale branch (pinned via the spread knob, the oneTaskFloorBytes
+    // pattern): kernel spread exchange + the partial-heap exchange, and
+    // still no ranking machinery anywhere
+    spark.conf.set("spark.graft.kernelSpreadBytes", "1")
+    try {
+      val plan = planOf(Catalog.queries("x101_topk_exemplars")(spark, sf0001))
+      assert(plan.contains("ObjectHashAggregate"),
+        s"x101 lost the heap aggregate:\n$plan")
+      assert(plan.contains("collect_top_k") || plan.contains("CollectTopK"),
+        s"x101 lost collect_top_k:\n$plan")
+      assert(!plan.contains("Window"), s"x101 must not plan a window:\n$plan")
+      val dataExchanges = "Exchange (range|hash)partitioning".r
+        .findAllIn(plan).length
+      assert(dataExchanges == 2,
+        s"x101 at scale must shuffle exactly twice — the kernel spread and " +
+          s"the partial-heap exchange (found $dataExchanges):\n$plan")
+    } finally spark.conf.unset("spark.graft.kernelSpreadBytes")
+    // fused branch (default at sf0.001, the r16 inline spread gate): the
+    // single-partition input satisfies the heap agg's distribution, so the
+    // whole query plans ZERO exchanges — and keeps the heap, not a window
     val plan = planOf(Catalog.queries("x101_topk_exemplars")(spark, sf0001))
     assert(plan.contains("ObjectHashAggregate"),
       s"x101 lost the heap aggregate:\n$plan")
-    assert(plan.contains("collect_top_k") || plan.contains("CollectTopK"),
-      s"x101 lost collect_top_k:\n$plan")
     assert(!plan.contains("Window"), s"x101 must not plan a window:\n$plan")
-    val dataExchanges = "Exchange (range|hash)partitioning".r
-      .findAllIn(plan).length
-    assert(dataExchanges == 1,
-      s"x101 must shuffle exactly once — the partial-heap exchange " +
-        s"(found $dataExchanges):\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"x101 under the spread gate must plan zero exchanges:\n$plan")
   }
 
   test("x72/x98 segment-explode shape: ONE data exchange, ONE window over " +
