@@ -125,10 +125,18 @@ object Dedup {
     // agreement over null minhashes is 0) and are dropped up front.
     // measured at sf0.1: repartitioning the (single-row-group) scan before
     // the kernel costs more in exchange + 32-task scheduling than the
-    // one-task kernel pass saves — the kernel stays on the scan
-    val sigOf = docs.select(col("doc_id"),
+    // one-task kernel pass saves — the kernel stays on the scan.
+    // Token-free gate on RAW text (r16, the x24/x101 pushdown lesson):
+    // `where(sig.isNotNull)` pushed `isnotnull(graft_minhash_sig(text))`
+    // below the Project — Filter and Project are separate codegen
+    // subexpression scopes, so the signature kernel ran TWICE per doc.
+    // sig IS NULL ⟺ zero tokens ⟺ no non-space char (single-space
+    // tokenizer; null text fails both forms), so the pushed predicate is
+    // the cheap forward regex and the kernel runs once, in the Project.
+    // KernelParitySpec pins the equivalence.
+    val sigOf = docs.where(col(textCol).rlike("[^ ]"))
+      .select(col("doc_id"),
         graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
-      .where(col("sig").isNotNull)
     val groups = sigOf.groupBy("sig").agg(collect_list("doc_id").as("ids"))
     val keyed = groups.select(col("sig") +: col("ids") +:
       array_min(col("ids")).as("gmin") +: bandKeyCols(col("sig")): _*)

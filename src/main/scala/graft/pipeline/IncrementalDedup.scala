@@ -114,9 +114,12 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val fs = FileSystem.get(new java.net.URI(historyPath),
       spark.sessionState.newHadoopConf())
-    val sigs = batch.select(col(idCol),
+    // raw-text token gate, not where(sig.isNotNull): the latter pushes a
+    // signature-kernel-bearing predicate below the Project and runs the
+    // kernel twice per doc (r16; see Dedup.minhashNearDupPairs)
+    val sigs = batch.where(col(textCol).rlike("[^ ]"))
+      .select(col(idCol),
         graft.functions.TextHashFunctions.minhashSig(col(textCol)).as("sig"))
-      .where(col("sig").isNotNull)
     // (a) within-batch: every qualifying (a < b) pair drops b
     val droppedWithin = Dedup.minhashNearDupPairs(
         batch.select(col(idCol).as("doc_id"), col(textCol)), minEstJaccard,

@@ -460,4 +460,25 @@ class KernelParitySpec extends AnyFunSuite {
     assert(sigs.where(col("sig").isNotNull).count() == 1)
     assert(sigs.where(col("sig").isNull).count() == 2)
   }
+
+  test("raw-text token gate ≡ where(minhashSig.isNotNull) — the r16 x18 " +
+    "pushdown fix (kernel must not run in the filter)") {
+    import spark.implicits._
+    // sig IS NULL ⟺ zero tokens ⟺ no non-space char; null text fails both
+    // predicates. Pin on nasty shapes + the real corpus.
+    val nasty = Seq[java.lang.String]("a", " a ", "   ", "", "a b", null,
+      "\t", " é ").toDF("text")
+    val viaSig = nasty.select(col("text"),
+        TextHashFunctions.minhashSig(col("text")).as("sig"))
+      .where(col("sig").isNotNull).select("text")
+    val viaRaw = nasty.where(col("text").rlike("[^ ]")).select("text")
+    assert(viaSig.exceptAll(viaRaw).count() == 0)
+    assert(viaRaw.exceptAll(viaSig).count() == 0)
+    val corpusSig = docs.select(col("doc_id"),
+        TextHashFunctions.minhashSig(col("text")).as("sig"))
+      .where(col("sig").isNotNull).select("doc_id")
+    val corpusRaw = docs.where(col("text").rlike("[^ ]")).select("doc_id")
+    assert(corpusSig.except(corpusRaw).count() == 0)
+    assert(corpusRaw.except(corpusSig).count() == 0)
+  }
 }
