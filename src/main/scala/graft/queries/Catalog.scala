@@ -206,13 +206,32 @@ object Catalog {
     * byte gate cannot see (the codec-tier lesson at [[codecDocIds]]) —
     * those keep their explicit spreads. Gate tunable/disable-able via
     * `spark.graft.oneTaskFloorBytes` (0 disables; used by PlanShapeSpec
-    * to pin the at-scale plan shapes). */
+    * to pin the at-scale plan shapes).
+    *
+    * r16 addition — a ROW cap alongside the byte cap
+    * (`spark.graft.oneTaskFloorRows`, default 750k, 0 disables fusion):
+    * `stats.sizeInBytes` is COMPRESSED file bytes, and the 2026-08-13
+    * corpus regeneration compressed events-sf1 (1M rows) to 11.9 MB —
+    * under the byte cap that was calibrated as "sf1's events already
+    * exceeds it" — so every events-only fused query silently planned a
+    * 1M-row SINGLE-TASK job at sf1 (caught by pair O's per-query rows:
+    * x62 2.50 s/1 task, x74 2.13, x28 1.44). The row count comes from
+    * the parquet footers ([[Tables.rowCount]] — zero-job, cached,
+    * compression-invariant); 750k keeps every bench-SF fusion (sf0.1
+    * max is lineitem's 600k) and can never hold at sf1+ (events 1M,
+    * growing linearly). Both caps must pass: a wide-row corpus under
+    * the row cap still fuses only if its bytes are one-task-sized. */
   private val OneTaskFloorBytes = 16L << 20
+  private val OneTaskFloorRows = 750L * 1000
   private def oneTaskPlan(s: SparkSession, d: String, tables: String*): Boolean = {
     val cap = s.conf.getOption("spark.graft.oneTaskFloorBytes")
       .map(_.toLong).getOrElse(OneTaskFloorBytes)
-    cap > 0 && tables.map(n =>
-      t(s, d, n).queryExecution.optimizedPlan.stats.sizeInBytes).sum <= BigInt(cap)
+    val rowCap = s.conf.getOption("spark.graft.oneTaskFloorRows")
+      .map(_.toLong).getOrElse(OneTaskFloorRows)
+    cap > 0 && rowCap > 0 &&
+      tables.map(n =>
+        t(s, d, n).queryExecution.optimizedPlan.stats.sizeInBytes).sum <= BigInt(cap) &&
+      tables.map(n => graft.sources.Tables.rowCount(s, d, n)).sum <= rowCap
   }
 
   /** [[oneTaskPlan]]-gated single-table loader: the common case where the

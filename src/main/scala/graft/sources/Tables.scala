@@ -54,6 +54,38 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
+  /** Exact row count from the parquet FOOTER — a zero-job, driver-side
+    * statistic (same cost class as the relation cache's listing + schema
+    * read), cached per (dir, table) since testdata files are immutable
+    * within a session. Exists because `optimizedPlan.stats.sizeInBytes`
+    * is COMPRESSED file bytes: the 2026-08-13 corpus regeneration
+    * compressed events-sf1 (1M rows) under the 16 MB one-task cap that
+    * was calibrated as "sf1 can never fuse", and a swath of event queries
+    * silently ran 1M-row single-task plans at sf1 (r16 pair-O find). Row
+    * count is compression-invariant; byte caps alone are not. */
+  private val rowCountCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    require(all.contains(name), s"unknown table: $name")
+    rowCountCache.getOrElseUpdate((sfDir, name), {
+      val conf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = path.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq.filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(path))
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    })
+  }
+
   /** Register every corpus table as a temp view so the whole surface is
     * reachable from pure `spark.sql(...)`. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

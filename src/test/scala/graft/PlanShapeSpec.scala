@@ -67,6 +67,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one-task fusion must plan no exchange at all:\n$plan")
   }
 
+  test("one-task fusion also gates on parquet ROW count, not only compressed " +
+    "bytes (r16: events-sf1 compressed under the byte cap)") {
+    // with the row cap forced below the table sizes, the same tiny inputs
+    // must take the at-scale branch — exchanges come back
+    spark.conf.set("spark.graft.oneTaskFloorRows", "1")
+    try {
+      val plan = planOf(Catalog.queries("q09_join_agg")(spark, sf0001))
+      assert(plan.contains("Exchange"),
+        s"row cap 1 must disable the one-task fusion:\n$plan")
+    } finally spark.conf.unset("spark.graft.oneTaskFloorRows")
+    // and the footer statistic itself is exact
+    assert(graft.sources.Tables.rowCount(spark, sf0001, "events") ==
+      Tables.events(spark, sf0001).count())
+  }
+
   test("r15 fused branches (x49/x84/x102): zero exchanges under the cap; " +
     "the at-scale shapes keep their exchanges/checkpoint") {
     // fused branch (default at sf0.001)
