@@ -152,15 +152,27 @@ object Catalog {
     * x95 0.60→0.50, x97 0.64→0.52 (inline form), x91 wash on wall but
     * 196 → 5 tasks. */
   private val SpreadBytes = 2L << 20
+  private val SpreadRows = 20L * 1000
   /** Gate byte floor, conf-overridable (`spark.graft.kernelSpreadBytes`) so
     * PlanShapeSpec can pin the at-scale spread branch on tiny test data —
     * the same role `spark.graft.oneTaskFloorBytes` plays for [[oneTaskPlan]]. */
   private def spreadFloorBytes(s: SparkSession): Long =
     s.conf.getOption("spark.graft.kernelSpreadBytes")
       .map(_.toLong).getOrElse(SpreadBytes)
+  /** Row companion to the byte floor (`spark.graft.kernelSpreadRows`,
+    * default 20k): compressed bytes drift with codec/corpus — the r16
+    * one-task lesson, where events-sf1 compressed under a cap calibrated
+    * as unreachable — so the spread also triggers on the parquet-footer
+    * doc count (zero-job, [[graft.sources.Tables.rowCount]]). 20k sits
+    * 4× above sf0.1's 5k docs and 2.5× under sf1's 50k: either statistic
+    * alone keeps today's branches; a recompressed corpus cannot silently
+    * serialize a 50k-doc kernel pass. */
+  private def spreadFloorRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.kernelSpreadRows")
+      .map(_.toLong).getOrElse(SpreadRows)
   private def kernelDocsAuto(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "documents").select("doc_id", "text")
-    if (base.queryExecution.optimizedPlan.stats.sizeInBytes >= spreadFloorBytes(s))
+    if (!docsUnderSpread(s, d))
       base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     // r15: the under-spread scan is ONE split anyway, but a bare FileScan
     // reports UnknownPartitioning, so downstream windows/aggs still plan
@@ -176,7 +188,8 @@ object Catalog {
     * funnel back through a global window. */
   private def docsUnderSpread(s: SparkSession, d: String): Boolean =
     t(s, d, "documents").select("doc_id", "text")
-      .queryExecution.optimizedPlan.stats.sizeInBytes < spreadFloorBytes(s)
+      .queryExecution.optimizedPlan.stats.sizeInBytes < spreadFloorBytes(s) &&
+      graft.sources.Tables.rowCount(s, d, "documents") < spreadFloorRows(s)
 
   /** Cap on the bigram-LM entries x81 will pull to the driver and broadcast
     * (same role and magnitude as [[Dedup.MaxBroadcastShingles]]): ~60 MB of

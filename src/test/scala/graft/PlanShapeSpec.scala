@@ -82,6 +82,20 @@ class PlanShapeSpec extends AnyFunSuite {
       Tables.events(spark, sf0001).count())
   }
 
+  test("kernel-spread gate also triggers on doc COUNT, not only compressed " +
+    "bytes (r16: the same compression-fragility class as the one-task cap)") {
+    spark.conf.set("spark.graft.kernelSpreadRows", "1")
+    try {
+      val plan = planOf(Catalog.queries("x47_boilerplate_ngrams")(spark, sf0001))
+      assert(plan.contains("Exchange hashpartitioning(doc_id"),
+        s"row floor 1 must force the kernel spread:\n$plan")
+    } finally spark.conf.unset("spark.graft.kernelSpreadRows")
+    // default at sf0.001: fused, zero exchanges
+    val fused = planOf(Catalog.queries("x47_boilerplate_ngrams")(spark, sf0001))
+    assert(!fused.contains("Exchange"),
+      s"x47 under the spread gate must plan zero exchanges:\n$fused")
+  }
+
   test("r15 fused branches (x49/x84/x102): zero exchanges under the cap; " +
     "the at-scale shapes keep their exchanges/checkpoint") {
     // fused branch (default at sf0.001)
